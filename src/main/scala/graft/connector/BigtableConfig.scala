@@ -1,0 +1,104 @@
+package graft.connector
+
+import org.apache.spark.sql.types._
+
+/** Declarative description of one Bigtable-backed table, assembled from
+  * DSv2 reader options. Mirrors the reference's `BigtableDataSource`
+  * constructor surface (reference: src/datasource.rs:28-38, 58-103):
+  * addressing, one column family, partition (row-key) columns with a
+  * separator, declared qualifier fields, and the latest-version flag.
+  *
+  * Differences from the reference, by design (SURVEY.md §1.3, §7.0):
+  * qualifier fields are nullable (missing cell → SQL NULL, where the
+  * reference pushes empty bytes and would panic decoding Int64,
+  * execute_plan.rs:264-267); `storeName` replaces project/instance gRPC
+  * addressing (the store backend is pluggable, §7.0); `allowFullScan`
+  * optionally relaxes the mandatory-filter guard (composer.rs:72-77) so
+  * whole-table analytics (GROUP BY, JOIN over everything) can run —
+  * the guard stays on by default for reference parity.
+  */
+final case class BigtableConfig(
+    storeName: String,
+    table: String,
+    columnFamily: String,
+    partitionCols: Seq[String],
+    separator: String,
+    qualifiers: Seq[(String, DataType)],
+    onlyReadLatest: Boolean,
+    allowFullScan: Boolean,
+    maxPartitions: Int
+) extends Serializable {
+
+  /** Fixed schema in the reference's column order (datasource.rs:68-79):
+    * partition cols (Utf8, non-null), `_timestamp` (µs), then declared
+    * qualifiers in declaration order.
+    */
+  def schema: StructType = {
+    val keyFields = partitionCols.map(StructField(_, StringType, nullable = false))
+    val tsField = StructField(BigtableConfig.TimestampCol, TimestampType, nullable = false)
+    val qualFields = qualifiers.map { case (n, t) => StructField(n, t, nullable = true) }
+    StructType(keyFields ++ Seq(tsField) ++ qualFields)
+  }
+
+  def isPartitionCol(name: String): Boolean = partitionCols.contains(name)
+
+  /** Data-qualifier classification, reference datasource.rs:105-117. */
+  def isQualifier(name: String): Boolean =
+    name != BigtableConfig.TimestampCol && !isPartitionCol(name)
+}
+
+object BigtableConfig {
+  /** Reserved single-key column name (reference datasource.rs:21). */
+  val RowKeyCol = "_row_key"
+  /** Reserved cell-timestamp column name (reference datasource.rs:22). */
+  val TimestampCol = "_timestamp"
+
+  /** Parse DSv2 options. Expected keys:
+    * {{{
+    *   store             registry name of the BigtableStore (required)
+    *   table             bigtable table name (required)
+    *   columnFamily      single column family (required)
+    *   partitionCols     comma-separated row-key components (default "_row_key")
+    *   separator         composite-key separator (default "#", datasource.rs:20)
+    *   qualifiers        comma-separated name:type, type ∈ {long,string,double}
+    *   onlyReadLatest    default true
+    *   allowFullScan     default false (reference behavior: composer.rs:72-77)
+    *   maxPartitions     scan split budget (default 32)
+    * }}}
+    */
+  def fromOptions(opts: java.util.Map[String, String]): BigtableConfig = {
+    def req(k: String): String = {
+      val v = opts.get(k)
+      require(v != null && v.nonEmpty, s"bigtable option '$k' is required")
+      v
+    }
+    def opt(k: String, d: String): String = Option(opts.get(k)).filter(_.nonEmpty).getOrElse(d)
+    val quals = req("qualifiers").split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+      s.split(':') match {
+        case Array(n, t) =>
+          val dt = t.trim.toLowerCase match {
+            case "long" | "int64" | "bigint" => LongType
+            case "string" | "utf8"           => StringType
+            // reference convention: floats stored as UTF-8 strings
+            // (datasource.rs:188-189 "Bigtable does not support float
+            // number, so store as string")
+            case "double" | "float64" => DoubleType
+            case other                => throw new IllegalArgumentException(s"unsupported qualifier type: $other")
+          }
+          (n.trim, dt)
+        case _ => throw new IllegalArgumentException(s"malformed qualifier spec: '$s' (want name:type)")
+      }
+    }
+    BigtableConfig(
+      storeName = req("store"),
+      table = req("table"),
+      columnFamily = req("columnFamily"),
+      partitionCols = opt("partitionCols", RowKeyCol).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+      separator = opt("separator", "#"),
+      qualifiers = quals,
+      onlyReadLatest = opt("onlyReadLatest", "true").toBoolean,
+      allowFullScan = opt("allowFullScan", "false").toBoolean,
+      maxPartitions = opt("maxPartitions", "32").toInt
+    )
+  }
+}

@@ -1,0 +1,154 @@
+package graft.connector
+
+import graft.model._
+import org.apache.spark.sql.sources._
+
+import java.util.regex.Pattern
+
+/** Filter → row-range composer: the Spark-native port of the
+  * reference's core IP (reference: src/datasource/composer.rs:13-300).
+  *
+  * Translates the `org.apache.spark.sql.sources.Filter`s Catalyst
+  * pushes into the smallest set of lexicographic row-key ranges:
+  *
+  *   - `EqualTo(col, utf8)` on a partition col → value list (A4,
+  *     composer.rs:163-192)
+  *   - `In(col, utf8*)`, non-negated → value list (A5, composer.rs:194-222)
+  *   - closed range on the LAST partition col only — Catalyst decomposes
+  *     `BETWEEN lo AND hi` into `GreaterThanOrEqual` + `LessThanOrEqual`
+  *     before pushdown, so we re-fuse that pair (A6, composer.rs:224-248)
+  *   - cartesian product of per-column value lists joined by the
+  *     separator → point ranges `[key,key]`; with a tail range →
+  *     `[prefix#lo, prefix#hi]` closed-closed (A7, composer.rs:101-162,
+  *     287-300)
+  *
+  * Anything else (other operators, non-string literals, OR trees,
+  * non-key columns) is ignored here and handled by Spark's residual
+  * `FilterExec` — pushdown is declared inexact (A14, datasource.rs:163-165),
+  * so over-broad ranges are always safe.
+  *
+  * Guard (A8, composer.rs:72-77): if the filters do not constrain every
+  * partition column (values for all, or values for a prefix plus a
+  * closed range on the tail), the scan fails at planning time — unless
+  * the table was registered with `allowFullScan=true`, in which case a
+  * whole-keyspace range is returned. Unlike the reference, a *gap* in
+  * the constrained columns (e.g. region and event_minute given but not
+  * balloon_id, composer.rs:109-137 hazard) is rejected with a clear
+  * error instead of silently composing wrong keys.
+  */
+object RowRangeComposer {
+
+  final case class Composition(ranges: Vector[RowRange], rowFilters: Vector[RowFilter])
+
+  /** Planning-time failure, reference composer.rs:72-77 / 127-133. */
+  final class MissingKeyFilterException(msg: String) extends IllegalArgumentException(msg)
+
+  def compose(cfg: BigtableConfig, filters: Seq[Filter], requiredQualifiers: Seq[String]): Composition =
+    Composition(composeRanges(cfg, filters), composeRowFilters(cfg, requiredQualifiers))
+
+  // ---------------------------------------------------------------------
+  // Partition pruning: filters → ranges
+  // ---------------------------------------------------------------------
+
+  def composeRanges(cfg: BigtableConfig, filters: Seq[Filter]): Vector[RowRange] = {
+    val conjuncts = filters.flatMap(flattenAnd)
+
+    // per-column exact values from = / IN (composer.rs:163-222)
+    val values = scala.collection.mutable.Map.empty[String, Vector[String]]
+    // tail-column bounds from >= / <= (re-fused BETWEEN, composer.rs:224-248)
+    var tailLo: Option[String] = None
+    var tailHi: Option[String] = None
+    val tailCol = cfg.partitionCols.last
+
+    conjuncts.foreach {
+      case EqualTo(col, v: String) if cfg.isPartitionCol(col) =>
+        values.updateWith(col) { cur => Some(cur.getOrElse(Vector.empty) :+ v) }
+      case In(col, vs) if cfg.isPartitionCol(col) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        values.updateWith(col) { cur => Some(cur.getOrElse(Vector.empty) ++ vs.map(_.asInstanceOf[String])) }
+      case GreaterThanOrEqual(col, v: String) if col == tailCol =>
+        tailLo = Some(tailLo.fold(v)(cur => if (RowRange.compareKeys(v, cur) > 0) v else cur))
+      case LessThanOrEqual(col, v: String) if col == tailCol =>
+        tailHi = Some(tailHi.fold(v)(cur => if (RowRange.compareKeys(v, cur) < 0) v else cur))
+      case _ => () // residual-only filter; Spark re-applies it above the scan
+    }
+
+    // = and IN on the same column append (union), like the reference
+    // (composer.rs:186-189, 214-217) — this can over-fetch, which the
+    // residual FilterExec corrects (inexact pushdown, A14)
+    val perCol: Map[String, Vector[String]] = values.toMap.map { case (c, vs) => c -> vs.distinct }
+
+    val tailRange: Option[(String, String)] = (tailLo, tailHi) match {
+      case (Some(lo), Some(hi)) => Some((lo, hi))
+      case _                    => None // one-sided bound: not composable, residual handles it
+    }
+
+    val constrained = cfg.partitionCols.map(c => perCol.contains(c))
+    val tailByRange = tailRange.isDefined && !perCol.contains(tailCol)
+
+    val fullyConstrained =
+      constrained.forall(identity) || (constrained.init.forall(identity) && tailByRange)
+
+    if (!fullyConstrained) {
+      if (cfg.allowFullScan) return Vector(RowRange.full)
+      // distinguish the reference's two error shapes: nothing usable at all
+      // (composer.rs:72-77) vs a gap in the composite key (composer.rs:127-133)
+      val missing = cfg.partitionCols.filterNot(perCol.contains)
+        .filterNot(c => c == tailCol && tailByRange)
+      throw new MissingKeyFilterException(
+        s"bigtable scan on '${cfg.table}' requires an equality/IN filter on every row-key " +
+          s"component (or a BETWEEN on the last one); missing: ${missing.mkString(", ")}. " +
+          "Register the table with allowFullScan=true to permit full scans."
+      )
+    }
+
+    // cartesian product over partition-col value lists, in declaration
+    // order (composer.rs:101-162, partial_cartesian 287-300)
+    val prefixCols = if (tailByRange) cfg.partitionCols.init else cfg.partitionCols
+    val prefixes: Vector[Vector[String]] =
+      prefixCols.foldLeft(Vector(Vector.empty[String])) { (acc, col) =>
+        val vs = perCol(col)
+        acc.flatMap(p => vs.map(v => p :+ v))
+      }
+
+    val ranges =
+      if (tailByRange) {
+        val (lo, hi) = tailRange.get
+        prefixes.map { p =>
+          val prefix = if (p.isEmpty) "" else p.mkString("", cfg.separator, cfg.separator)
+          RowRange.closed(prefix + lo, prefix + hi)
+        }
+      } else {
+        prefixes.map(p => RowRange.point(p.mkString(cfg.separator)))
+      }
+
+    RowRange.normalize(ranges)
+  }
+
+  private def flattenAnd(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => flattenAnd(l) ++ flattenAnd(r)
+    case other     => Seq(other)
+  }
+
+  // ---------------------------------------------------------------------
+  // Projection pushdown: required qualifiers → server-side filters
+  // ---------------------------------------------------------------------
+
+  /** Same chain the reference builds (composer.rs:249-284): family
+    * restriction (A10), latest-version limit (A11), then the qualifier
+    * regex from the projection (A9) — with literal-quoted names, fixing
+    * the reference's unescaped-regex hazard (composer.rs:270-281).
+    * An empty qualifier list (key-only projection) pushes no qualifier
+    * regex: Bigtable rows exist only through their cells, so at least
+    * one cell must survive for the row to be emitted.
+    */
+  def composeRowFilters(cfg: BigtableConfig, requiredQualifiers: Seq[String]): Vector[RowFilter] = {
+    val base = Vector[RowFilter](RowFilter.FamilyNameRegex(Pattern.quote(cfg.columnFamily)))
+    val withLatest =
+      if (cfg.onlyReadLatest) base :+ RowFilter.CellsPerColumnLimit(1) else base
+    val declared = cfg.qualifiers.map(_._1).toSet
+    val quals = requiredQualifiers.filter(declared)
+    if (quals.nonEmpty && quals.toSet != declared)
+      withLatest :+ RowFilter.ColumnQualifierRegex(quals.map(Pattern.quote).mkString("|"))
+    else withLatest
+  }
+}

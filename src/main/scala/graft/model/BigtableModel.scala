@@ -26,30 +26,122 @@ final case class BtCell(
 /** One Bigtable row: key plus its cells (any families/qualifiers/versions). */
 final case class BtRow(rowKey: String, cells: Seq[BtCell]) extends Serializable
 
-/** Closed-closed lexicographic row-key range `[startKey, endKey]`.
+/** Lexicographic row-key range.
   *
-  * The reference composes only closed ranges: point ranges `[key, key]`
-  * and BETWEEN ranges `[prefix#lo, prefix#hi]` (composer.rs:139-161,
-  * 88-91). Comparison is on UTF-8 bytes, unsigned, matching Bigtable's
-  * key order.
+  * `startKey` is always inclusive. `endKey = None` means unbounded
+  * (scan to end of table); otherwise `endInclusive` selects
+  * closed-closed vs closed-open. The reference only ever composes
+  * closed-closed ranges — point ranges `[key, key]` and BETWEEN ranges
+  * `[prefix#lo, prefix#hi]` (composer.rs:139-161, 88-91) — but the
+  * Spark connector additionally needs closed-open sub-ranges for
+  * partition-split planning (split a composed range at sampled row keys
+  * the way Bigtable's public `SampleRowKeys` RPC is used by the HBase
+  * and Beam connectors) and the unbounded form for explicitly-allowed
+  * full scans. Comparison is on UTF-8 bytes, unsigned, matching
+  * Bigtable's key order.
   */
-final case class RowRange(startKey: String, endKey: String) extends Serializable {
+final case class RowRange(
+    startKey: String,
+    endKey: Option[String],
+    endInclusive: Boolean
+) extends Serializable {
   def contains(key: String): Boolean =
-    RowRange.compareKeys(key, startKey) >= 0 && RowRange.compareKeys(key, endKey) <= 0
+    RowRange.compareKeys(key, startKey) >= 0 && (endKey match {
+      case None => true
+      case Some(e) =>
+        val c = RowRange.compareKeys(key, e)
+        if (endInclusive) c <= 0 else c < 0
+    })
 }
 
 object RowRange {
+  /** Closed-closed `[start, end]` — the only shape the composer emits. */
+  def closed(start: String, end: String): RowRange =
+    RowRange(start, Some(end), endInclusive = true)
+
+  /** Closed-open `[start, end)` — used by partition-split planning. */
+  def closedOpen(start: String, end: String): RowRange =
+    RowRange(start, Some(end), endInclusive = false)
+
+  /** Point lookup `[key, key]`. */
+  def point(key: String): RowRange = closed(key, key)
+
+  /** The whole key space (explicit full scan — never produced by the
+    * composer unless full scans are explicitly enabled).
+    */
+  val full: RowRange = RowRange("", None, endInclusive = false)
+
   /** Unsigned lexicographic compare over UTF-8 bytes (Bigtable key order). */
   def compareKeys(a: String, b: String): Int = {
     val ab = a.getBytes(StandardCharsets.UTF_8)
     val bb = b.getBytes(StandardCharsets.UTF_8)
     java.util.Arrays.compareUnsigned(ab, bb)
   }
+
+  /** Sort ranges by start key and coalesce overlapping/adjacent ones so a
+    * reader can scan them back-to-back and see each row key exactly once,
+    * in global key order. (The composer's cartesian merge can produce
+    * duplicate point ranges or a point range inside a BETWEEN range.)
+    */
+  def normalize(ranges: Seq[RowRange]): Vector[RowRange] = {
+    if (ranges.isEmpty) return Vector.empty
+    val sorted = ranges.sortWith { (a, b) =>
+      val c = compareKeys(a.startKey, b.startKey)
+      if (c != 0) c < 0
+      else {
+        // wider range first so the fold below keeps it
+        (a.endKey, b.endKey) match {
+          case (None, _)          => true
+          case (_, None)          => false
+          case (Some(x), Some(y)) => compareKeys(x, y) > 0
+        }
+      }
+    }
+    val out = Vector.newBuilder[RowRange]
+    var cur = sorted.head
+    sorted.tail.foreach { r =>
+      if (covers(cur, r.startKey)) {
+        // overlapping (or touching at an inclusive end): extend cur
+        cur = merge(cur, r)
+      } else {
+        out += cur
+        cur = r
+      }
+    }
+    out += cur
+    out.result()
+  }
+
+  /** Does `r` cover (or immediately touch) key `k` so a range starting at
+    * `k` can be merged into it? For a closed end, start == end is overlap;
+    * for an open end, start == end is adjacency — also mergeable.
+    */
+  private def covers(r: RowRange, k: String): Boolean = r.endKey match {
+    case None    => true
+    case Some(e) => compareKeys(k, e) <= 0
+  }
+
+  private def merge(a: RowRange, b: RowRange): RowRange = {
+    val (end, incl) = ((a.endKey, a.endInclusive), (b.endKey, b.endInclusive)) match {
+      case ((None, _), _) | (_, (None, _)) => (None, false)
+      case ((Some(x), xi), (Some(y), yi)) =>
+        val c = compareKeys(x, y)
+        if (c > 0) (Some(x), xi)
+        else if (c < 0) (Some(y), yi)
+        else (Some(x), xi || yi)
+    }
+    RowRange(a.startKey, end, incl)
+  }
 }
 
 /** Server-side row filters — exactly the three variants the reference
   * emits (composer.rs:253-281), chained as logical AND
   * (execute_plan.rs:175-180).
+  *
+  * Regex note: real Bigtable evaluates these with RE2 over raw bytes;
+  * the emulator uses java.util.regex. The composer only ever emits
+  * `Pattern.quote`d literals joined by `|` (an RE2-compatible subset),
+  * so the two engines cannot diverge on composed filters.
   */
 sealed trait RowFilter extends Serializable
 object RowFilter {

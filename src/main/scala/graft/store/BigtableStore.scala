@@ -17,14 +17,29 @@ import scala.jdk.CollectionConverters._
   * and the driver harness.
   */
 trait BigtableStore extends Serializable {
-  /** Read rows whose key falls in any of `ranges` (closed-closed,
-    * lexicographic on UTF-8 bytes; empty = full scan is NOT offered —
-    * the composer never produces it, composer.rs:72-77), applying
+  /** Read rows whose key falls in any of `ranges` (lexicographic on
+    * UTF-8 bytes; see [[RowRange]] for bounds semantics), applying
     * `filters` as a chain (logical AND) in order.
-    * Rows are returned in key order; cells within a row are ordered by
-    * (qualifier, timestamp desc) like Bigtable.
+    *
+    * `ranges` must be non-empty: an explicit full scan is
+    * `Seq(RowRange.full)`. Passing an empty seq throws
+    * IllegalArgumentException — real Bigtable treats an empty RowSet as
+    * a full table scan, so silently returning nothing here would let a
+    * future gRPC-backed implementation diverge from the emulator.
+    *
+    * Rows are returned in key order with each key appearing once; cells
+    * within a row are ordered by (family, qualifier, timestamp desc),
+    * matching Bigtable's cell ordering.
     */
   def readRows(table: String, ranges: Seq[RowRange], filters: Seq[RowFilter]): Iterator[BtRow]
+
+  /** Evenly-spaced row keys usable as partition split points, in key
+    * order — the emulator's stand-in for Bigtable's public
+    * `SampleRowKeys` RPC (which the HBase/Beam connectors use for
+    * exactly this). Default: no hints (scan planning falls back to one
+    * partition per composed range).
+    */
+  def sampleRowKeys(table: String): Seq[String] = Nil
 }
 
 /** In-memory, immutable-snapshot Bigtable emulator.
@@ -44,29 +59,47 @@ final class InMemoryBigtable private (
       ranges: Seq[RowRange],
       filters: Seq[RowFilter]
   ): Iterator[BtRow] = {
+    require(
+      ranges.nonEmpty,
+      "readRows requires at least one RowRange; use Seq(RowRange.full) for an explicit full scan"
+    )
     val data = tables.getOrElse(
       table,
       throw new IllegalArgumentException(s"unknown bigtable table: $table")
     )
-    // Merge ranges into a key-ordered, de-duplicated row iterator.
-    val keys: Iterator[String] =
-      if (ranges.isEmpty) Iterator.empty
-      else {
-        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        // rangeFrom/rangeTo on the TreeMap is O(log n) per range — point
-        // lookups and short scans stay cheap even with many ranges.
-        ranges.foreach { r =>
-          data
-            .rangeFrom(r.startKey)
-            .iterator
-            .takeWhile { case (k, _) => RowRange.compareKeys(k, r.endKey) <= 0 }
-            .foreach { case (k, _) => seen += k }
+    // Normalize (sort + coalesce overlaps) so per-range sub-iterators are
+    // disjoint and in global key order; then stream them back-to-back
+    // without materializing the key set (scale: a range read is O(log n)
+    // to seek + O(rows emitted), never O(table)).
+    RowRange.normalize(ranges).iterator.flatMap { r =>
+      data
+        .rangeFrom(r.startKey)
+        .iterator
+        .takeWhile { case (k, _) =>
+          r.endKey match {
+            case None    => true
+            case Some(e) =>
+              val c = RowRange.compareKeys(k, e)
+              if (r.endInclusive) c <= 0 else c < 0
+          }
         }
-        seen.iterator.toVector.sorted(InMemoryBigtable.keyOrdering).iterator
-      }
-    keys.flatMap { k =>
-      val cells = applyFilters(data(k), filters)
-      if (cells.isEmpty) None else Some(BtRow(k, cells))
+        .flatMap { case (k, cells) =>
+          val kept = applyFilters(cells, filters)
+          if (kept.isEmpty) None else Some(BtRow(k, kept))
+        }
+    }
+  }
+
+  override def sampleRowKeys(table: String): Seq[String] = {
+    val data = tables.getOrElse(table, return Nil)
+    val n = data.size
+    val targetSamples = 32
+    if (n <= 1) Nil
+    else {
+      val step = math.max(1, n / targetSamples)
+      data.keysIterator.zipWithIndex.collect {
+        case (k, i) if i > 0 && i % step == 0 => k
+      }.toVector
     }
   }
 
@@ -89,7 +122,7 @@ final class InMemoryBigtable private (
             .flatMap(_.sortBy(-_.timestampMicros).take(n))
             .toVector
       }
-    }.sortBy(c => (c.qualifier, -c.timestampMicros))
+    }.sortBy(c => (c.family, c.qualifier, -c.timestampMicros))
 }
 
 object InMemoryBigtable {
@@ -116,6 +149,15 @@ object InMemoryBigtable {
       t.updateWith(rowKey) {
         case Some(cs) => Some(cs :+ cell)
         case None     => Some(Vector(cell))
+      }
+      this
+    }
+
+    def putAll(table: String, rowKey: String, cells: Iterable[BtCell]): this.type = {
+      val t = rows.getOrElseUpdate(table, scala.collection.mutable.Map.empty)
+      t.updateWith(rowKey) {
+        case Some(cs) => Some(cs ++ cells)
+        case None     => Some(cells.toVector)
       }
       this
     }
@@ -149,6 +191,8 @@ object BigtableStores {
       )
     s
   }
+
+  def contains(name: String): Boolean = registry.containsKey(name)
 
   def names: Set[String] = registry.keySet().asScala.toSet
 }

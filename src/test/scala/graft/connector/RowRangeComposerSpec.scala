@@ -1,0 +1,120 @@
+package graft.connector
+
+import graft.model._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage the reference lacks (SURVEY.md §5): range composition
+  * for all 6 README shapes (reference README.md:36-41), the
+  * mandatory-filter guard (composer.rs:72-77), and the
+  * missing-middle-column hazard (composer.rs:109-137) which we reject.
+  */
+class RowRangeComposerSpec extends AnyFunSuite {
+  private val simple = BigtableConfig(
+    storeName = "s", table = "t", columnFamily = "f",
+    partitionCols = Seq("_row_key"), separator = "#",
+    qualifiers = Seq(("pressure", LongType), ("temperature", StringType)),
+    onlyReadLatest = true, allowFullScan = false, maxPartitions = 8)
+
+  private val composite = simple.copy(partitionCols = Seq("region", "balloon_id", "event_minute"))
+
+  test("equality → point range (composer.rs:163-192)") {
+    val r = RowRangeComposer.composeRanges(simple, Seq(EqualTo("_row_key", "k1")))
+    assert(r == Vector(RowRange.point("k1")))
+  }
+
+  test("IN list → one point range per value, key-ordered (composer.rs:194-222)") {
+    val r = RowRangeComposer.composeRanges(simple, Seq(In("_row_key", Array("kb", "ka"))))
+    assert(r == Vector(RowRange.point("ka"), RowRange.point("kb")))
+  }
+
+  test("BETWEEN (re-fused >= + <=) → closed range (composer.rs:224-248)") {
+    val r = RowRangeComposer.composeRanges(
+      simple, Seq(GreaterThanOrEqual("_row_key", "a"), LessThanOrEqual("_row_key", "m")))
+    assert(r == Vector(RowRange.closed("a", "m")))
+  }
+
+  test("composite: = + = + = → joined point range (composer.rs:101-162)") {
+    val r = RowRangeComposer.composeRanges(
+      composite,
+      Seq(EqualTo("region", "us"), EqualTo("balloon_id", "3698"), EqualTo("event_minute", "m1")))
+    assert(r == Vector(RowRange.point("us#3698#m1")))
+  }
+
+  test("composite: cartesian product of IN lists (partial_cartesian, composer.rs:287-300)") {
+    val r = RowRangeComposer.composeRanges(
+      composite,
+      Seq(EqualTo("region", "us"), In("balloon_id", Array("1", "2")), In("event_minute", Array("a", "b"))))
+    assert(r.toSet == Set(
+      RowRange.point("us#1#a"), RowRange.point("us#1#b"),
+      RowRange.point("us#2#a"), RowRange.point("us#2#b")))
+  }
+
+  test("composite: prefix = + tail BETWEEN → prefixed closed range (composer.rs:139-161)") {
+    val r = RowRangeComposer.composeRanges(
+      composite,
+      Seq(EqualTo("region", "us"), EqualTo("balloon_id", "3698"),
+        GreaterThanOrEqual("event_minute", "m1"), LessThanOrEqual("event_minute", "m3")))
+    assert(r == Vector(RowRange.closed("us#3698#m1", "us#3698#m3")))
+  }
+
+  test("And-tree conjuncts are flattened") {
+    val r = RowRangeComposer.composeRanges(
+      composite,
+      Seq(And(EqualTo("region", "us"), And(EqualTo("balloon_id", "1"), EqualTo("event_minute", "m")))))
+    assert(r == Vector(RowRange.point("us#1#m")))
+  }
+
+  test("no usable filter → guard error (composer.rs:72-77)") {
+    val e = intercept[RowRangeComposer.MissingKeyFilterException] {
+      RowRangeComposer.composeRanges(simple, Seq(GreaterThan("pressure", 5L)))
+    }
+    assert(e.getMessage.contains("_row_key"))
+  }
+
+  test("missing middle column → rejected, not wrong keys (composer.rs:109-137 hazard)") {
+    val e = intercept[RowRangeComposer.MissingKeyFilterException] {
+      RowRangeComposer.composeRanges(
+        composite, Seq(EqualTo("region", "us"), EqualTo("event_minute", "m1")))
+    }
+    assert(e.getMessage.contains("balloon_id"))
+  }
+
+  test("one-sided tail bound alone does not compose → guard error") {
+    intercept[RowRangeComposer.MissingKeyFilterException] {
+      RowRangeComposer.composeRanges(
+        composite,
+        Seq(EqualTo("region", "us"), EqualTo("balloon_id", "1"), GreaterThanOrEqual("event_minute", "m1")))
+    }
+  }
+
+  test("allowFullScan=true: unconstrained scan → full range") {
+    val cfg = simple.copy(allowFullScan = true)
+    assert(RowRangeComposer.composeRanges(cfg, Nil) == Vector(RowRange.full))
+  }
+
+  test("non-string literals are ignored (composer.rs:175, 206, 236-237)") {
+    intercept[RowRangeComposer.MissingKeyFilterException] {
+      RowRangeComposer.composeRanges(simple, Seq(EqualTo("_row_key", 42L)))
+    }
+  }
+
+  test("duplicate/overlapping ranges normalize away") {
+    val r = RowRangeComposer.composeRanges(
+      simple, Seq(In("_row_key", Array("k1", "k1", "k2"))))
+    assert(r == Vector(RowRange.point("k1"), RowRange.point("k2")))
+  }
+
+  test("row filters: family first, latest limit, quoted qualifier regex (composer.rs:249-284)") {
+    val fs = RowRangeComposer.composeRowFilters(simple, Seq("pressure"))
+    assert(fs.head == RowFilter.FamilyNameRegex(java.util.regex.Pattern.quote("f")))
+    assert(fs(1) == RowFilter.CellsPerColumnLimit(1))
+    assert(fs(2) == RowFilter.ColumnQualifierRegex(java.util.regex.Pattern.quote("pressure")))
+  }
+
+  test("row filters: full projection or key-only projection pushes no qualifier regex") {
+    assert(RowRangeComposer.composeRowFilters(simple, Seq("pressure", "temperature")).size == 2)
+    assert(RowRangeComposer.composeRowFilters(simple, Nil).size == 2)
+  }
+}
