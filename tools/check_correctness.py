@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+from oracle_sql.json in DuckDB over the same parquet tables and compare
+against the Verify-dumped Spark results (columns sorted by name, values
+hashed). Usage: check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for hashing: ints -> int64, floats -> float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_path, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+        elif not got.equals(want):
+            neq = (got != want) & ~(got.isna() & want.isna())
+            print(f"FAIL {name}: value mismatch in {int(neq.to_numpy().sum())} cells")
+            print("  spark:", got[neq.any(axis=1)].head(3).to_dict("records"))
+            print("  duckdb:", want[neq.any(axis=1)].head(3).to_dict("records"))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    # queries without oracles: rows-only check
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if os.path.isdir(d) and name not in oracle:
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"ROWS-ONLY {name}: {rows} rows")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
