@@ -132,6 +132,88 @@ object SparkEntry {
         .option("allowFullScan", "true")
         .load()
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
+    }),
+
+    // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
+
+    // --- text analysis: token / punctuation / length stats ---
+    "doc_token_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          regexp_count(col("text"), lit("[.,!?;:]")).as("n_punct"),
+          length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))),
+
+    // --- exact dedup: duplicate groups (keeper id + copy count) ---
+    "doc_exact_dedup" -> ((s, dir) =>
+      graft.operators.Dedup
+        .duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), Seq("text"), "doc_id")
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id"))),
+
+    // --- exact dedup: surviving rows ---
+    "doc_exact_dedup_rows" -> ((s, dir) =>
+      graft.operators.Dedup
+        .exact(s.read.parquet(s"$dir/documents.parquet"), Seq("text"), "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // --- MinHash-LSH near-dup with exact jaccard verification ---
+    "doc_near_dup" -> ((s, dir) =>
+      graft.operators.Dedup
+        .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9)
+        .orderBy(col("id1"), col("id2"))),
+
+    // --- SimHash near-dup (rows-only: no 64-bit simhash in DuckDB) ---
+    "doc_simhash_near_dup" -> ((s, dir) =>
+      graft.operators.Dedup
+        .simhashNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))),
+
+    // --- text quality / language-ID / fingerprint (rows-only) ---
+    "doc_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+          graft.functions.TextFunctions.fingerprint64(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
+    "emb_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // --- ANN: IVF bucketed variant (rows-only; approximate by design) ---
+    "emb_knn_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10, nCentroids = 16, nProbe = 6)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // --- embedding-cosine near-dup via hyperplane LSH (rows-only) ---
+    "emb_near_dup" -> ((s, dir) =>
+      graft.operators.Dedup
+        .embeddingNearDuplicates(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", dim = 64, threshold = 0.99)
+        .orderBy(col("id1"), col("id2"))),
+
+    // --- multimodal plumbing: stub decode over binary payloads ---
+    "mm_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      graft.operators.Multimodal.decodeStub(s, media)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"), col("size_bytes"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -193,6 +275,41 @@ object SparkEntry {
            FROM events WHERE user_id BETWEEN 0 AND 50) t
          WHERE rn = 1 ORDER BY u_key""",
     "bt_full_scan_agg" ->
-      """SELECT count(*) AS n, CAST(sum(n_regionkey) AS BIGINT) AS sum_rk FROM nation"""
+      """SELECT count(*) AS n, CAST(sum(n_regionkey) AS BIGINT) AS sum_rk FROM nation""",
+    "doc_token_stats" ->
+      """SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+         CAST(length(text) AS INT) AS len_chars
+         FROM documents ORDER BY doc_id""",
+    "doc_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "doc_exact_dedup_rows" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+    "doc_near_dup" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      greatest(length(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
+         ORDER BY id1, id2""",
+    "emb_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(q.qv, e.embedding) AS sim
+           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+           FROM scored)
+         SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+         ORDER BY qid, rank"""
   )
 }

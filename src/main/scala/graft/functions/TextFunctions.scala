@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines, built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs on the hot path — every helper here stays inside
+  * whole-stage codegen; `simhash64` is a native Catalyst expression).
+  *
+  * These compose over any DataFrame with a string column — typically
+  * the `documents` table (TESTDATA.md).
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens: runs of letters/digits/apostrophes. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}']+"), lit(0))
+
+  /** Whitespace-delimited token count (a BPE-ish proxy is `length/4`;
+    * this is the exact whitespace tokenization).
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Character k-shingles (distinct), the MinHash input set. Texts
+    * shorter than k yield the whole text as a single shingle.
+    */
+  def charShingles(text: Column, k: Int): Column = {
+    val shingled = transform(
+      sequence(lit(1), length(text) - (k - 1)),
+      i => text.substr(i, lit(k))
+    )
+    array_distinct(when(length(text) >= k, shingled).otherwise(array(text)))
+  }
+
+  /** Word n-grams joined with single spaces (distinct). */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")
+    )
+    array_distinct(when(size(toks) >= n, grams).otherwise(array(array_join(toks, " "))))
+  }
+
+  /** 64-bit document fingerprint (xxhash64 of the raw text). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** SimHash over word tokens — native Catalyst expression with codegen. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens(text))))
+
+  /** Fraction of CJK (Han) characters. */
+  def cjkRatio(text: Column): Column =
+    regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Punctuation marks per character. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,!?;:]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Count of tokens that appear in `words` (with repetition). */
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(words), t)))
+
+  // Small per-language stopword lists for the n-gram-free heuristic
+  // language identifier. Public knowledge (most-frequent function words).
+  private val EnStops = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on", "at", "by", "this")
+  private val DeStops = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "auf", "im", "sich", "des")
+  private val FrStops = Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour", "sur", "avec", "au", "pas")
+  private val EsStops = Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "en", "que", "por", "con", "para", "del", "se")
+
+  /** Heuristic language ID over {en, de, fr, es, zh}: CJK ratio first,
+    * then argmax of stopword hits; ties resolve in fixed order
+    * en > de > fr > es; no hits at all → "und" (undetermined).
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordHits(toks, EnStops)
+    val de = stopwordHits(toks, DeStops)
+    val fr = stopwordHits(toks, FrStops)
+    val es = stopwordHits(toks, EsStops)
+    when(cjkRatio(text) > 0.05, "zh")
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality score in [0, 1] from cheap surface statistics: length
+    * saturation, mean word length sanity, moderate punctuation, and
+    * alphabetic density — the usual pre-filter heuristics for web-scale
+    * training text.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = greatest(length(text), lit(1)).cast("double")
+    val nToks = greatest(tokenCount(text), lit(1)).cast("double")
+    val lenScore = least(nChars / 200.0, lit(1.0))
+    val meanWordLen = nChars / nToks
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.25)
+    val punctScore = when(punctRatio(text) <= 0.1, 1.0).otherwise(0.5)
+    val alphaDensity = regexp_count(text, lit("[\\p{L}]")).cast("double") / nChars
+    val alphaScore = least(alphaDensity / 0.6, lit(1.0))
+    round((lenScore * 0.25 + wordLenScore * 0.25 + punctScore * 0.2 + alphaScore * 0.3), 4)
+  }
+}

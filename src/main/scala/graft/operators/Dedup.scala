@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines, designed for
+  * partitioned execution at 100 TB (SURVEY.md §7.4): every variant is a
+  * bounded-fanout shuffle — hash-partition on content keys, or an
+  * LSH bucket join — never an all-pairs comparison.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct `keyCols` combination, the
+    * one with the smallest `tieBreaker`. One hash shuffle on the key.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Duplicate groups: per distinct key, the surviving id and the copy
+    * count. Partial (map-side) aggregation makes this one shuffle of
+    * pre-aggregated groups.
+    */
+  def duplicateGroups(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Jaccard similarity of two array columns (as distinct sets). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** MinHash signature: `numHashes` minima over the char-shingle set,
+    * hash family h_i(s) = xxhash64(shingle, i). Computed per-row inside
+    * codegen (nested `transform`s) — no shuffle.
+    */
+  def minhashSignature(text: Column, shingleK: Int = 5, numHashes: Int = 128): Column = {
+    val shingles = charShingles(text, shingleK)
+    transform(
+      sequence(lit(0L), lit(numHashes - 1L)),
+      i => array_min(transform(shingles, s => xxhash64(s, i)))
+    )
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the signature
+    * into `bands`, hash each band, and self-join on (band index, band
+    * hash). Only rows sharing a band bucket are ever compared — the
+    * scale path that replaces the quadratic all-pairs join. Buckets
+    * larger than `maxBucket` (degenerate content, e.g. empty strings)
+    * are dropped to bound join fanout, trading recall on pathological
+    * keys for worst-case safety.
+    *
+    * Returns (id1, id2) with id1 < id2, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("__id"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("__sig")
+    )
+    val banded = sig
+      .select(
+        col("__id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          )
+        ).as(Seq("__band", "__bucket"))
+      )
+    val bounded = banded
+      .withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bucket"))))
+      .where(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    val l = bounded.select(col("__band"), col("__bucket"), col("__id").as("id1"))
+    val r = bounded.select(col("__band"), col("__bucket"), col("__id").as("id2"))
+    l.join(r, Seq("__band", "__bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs, MinHash-LSH recall + exact n-gram Jaccard
+    * verification: candidates from the bucket join, then true
+    * char-shingle Jaccard computed only on candidates.
+    * Returns (id1, id2, jaccard) with jaccard >= threshold.
+    */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32
+  ): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    val sh = df.select(col(idCol).as("__sid"), charShingles(col(textCol), shingleK).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
+      .join(sh.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+      .withColumn("__j", jaccard(col("__sh1"), col("__sh2")))
+      .where(col("__j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** N-gram (word-shingle) Jaccard near-dup: same LSH recall shape but
+    * over word n-grams — catches re-ordered / lightly-edited documents
+    * where char shingles are too strict.
+    */
+  def ngramNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    val base = df.select(
+      col(idCol).as("__id"),
+      wordShingles(tokens(col(textCol)), n).as("__sh")
+    )
+    val sig = base.select(
+      col("__id"),
+      col("__sh"),
+      transform(
+        sequence(lit(0L), lit(numHashes - 1L)),
+        i => array_min(transform(col("__sh"), s => xxhash64(s, i)))
+      ).as("__sig")
+    )
+    val banded = sig.select(
+      col("__id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+        )
+      ).as(Seq("__band", "__bucket"))
+    )
+    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id1"))
+    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id2"))
+    val cands = l.join(r, Seq("__band", "__bucket")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(sig.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")
+      .join(sig.select(col("__id").as("id2"), col("__sh").as("__sh2")), "id2")
+      .withColumn("__j", jaccard(col("__sh1"), col("__sh2")))
+      .where(col("__j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit SimHash per doc, LSH by splitting into
+    * four 16-bit bands (pigeonhole: Hamming distance <= 3 guarantees at
+    * least one identical band), verify with bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sim"))
+    val banded = sigs.select(
+      col("__id"),
+      col("__sim"),
+      posexplode(
+        array((0 until 4).map(b => shiftright(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("__band", "__bucket"))
+    )
+    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id1"), col("__sim").as("__sim1"))
+    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id2"), col("__sim").as("__sim2"))
+    l.join(r, Seq("__band", "__bucket"))
+      .where(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("__sim1").bitwiseXOR(col("__sim2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH: `planes` sign
+    * bits form the bucket key; pairs sharing a bucket are verified with
+    * exact cosine >= threshold. Deterministic planes from `seed`.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      planes: Int = 12,
+      seed: Long = 42L
+  ): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planeVecs: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val bits = transform(
+      typedlit(planeVecs),
+      p => when(Similarity.dot(vecD, p) >= 0, lit(1)).otherwise(lit(0))
+    )
+    val bucket = aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+    val base = df.select(col(idCol).as("__id"), vecD.as("__v"), bucket.as("__bucket"))
+    val l = base.select(col("__bucket"), col("__id").as("id1"), col("__v").as("__v1"))
+    val r = base.select(col("__bucket"), col("__id").as("id2"), col("__v").as("__v2"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", round(Similarity.cosine(col("__v1"), col("__v2")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .distinct()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  /** documents ∪ copy-with-offset-ids: every doc has exactly one duplicate. */
+  private lazy val doubled = docs
+    .select($"doc_id", $"text")
+    .union(docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    .cache()
+
+  test("exact dedup keeps one row per text, the lowest id") {
+    val deduped = Dedup.exact(doubled, Seq("text"), "doc_id")
+    assert(deduped.count() == docs.count())
+    assert(deduped.agg(max($"doc_id")).collect().head.getLong(0) < 100000)
+  }
+
+  test("duplicateGroups reports keeper and copy count") {
+    val groups = Dedup.duplicateGroups(doubled, Seq("text"), "doc_id")
+    assert(groups.count() == docs.count())
+    assert(groups.where($"n_copies" =!= 2).count() == 0)
+  }
+
+  test("minhash LSH finds every exact duplicate pair (recall on identical text = 1)") {
+    val pairs = Dedup.nearDuplicates(doubled, "doc_id", "text", threshold = 0.9)
+    val n = docs.count()
+    // every (id, id+100000) pair must be found with jaccard 1.0
+    val found = pairs.where($"id2" === $"id1" + 100000 && $"jaccard" === 1.0).count()
+    assert(found == n, s"found only $found of $n identical pairs")
+  }
+
+  test("minhash LSH near-dup matches brute-force jaccard ground truth at 0.9") {
+    // the synthetic corpus plants a handful of non-identical near-dup
+    // pairs (max jaccard ≈ 0.99); brute-force all pairs driver-side and
+    // compare — LSH with 128 hashes / 32 bands has ~100% candidate
+    // probability at j >= 0.9, so the sets must match exactly.
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] =
+      if (t.length >= 5) (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet else Set(t)
+    val sets = texts.map { case (id, t) => id -> shingles(t) }
+    val expected = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (idA, a) = sets(i)
+      (idB, b) = sets(j)
+      jac = (a & b).size.toDouble / (a | b).size
+      if jac >= 0.9
+    } yield (math.min(idA, idB), math.max(idA, idB))).toSet
+    assert(expected.nonEmpty, "fixture should contain planted near-dups")
+    val got = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("ngram Jaccard near-dup finds doubled docs") {
+    val pairs = Dedup.ngramNearDuplicates(doubled, "doc_id", "text", n = 3, threshold = 0.9)
+    val found = pairs.where($"id2" === $"id1" + 100000).count()
+    assert(found == docs.count())
+  }
+
+  test("simhash near-dup finds identical docs at hamming 0") {
+    val pairs = Dedup.simhashNearDuplicates(doubled, "doc_id", "text", maxHamming = 3)
+    val found = pairs.where($"id2" === $"id1" + 100000 && $"hamming" === 0).count()
+    assert(found == docs.count())
+  }
+
+  test("embedding cosine near-dup finds duplicated vectors at cosine 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val doubledEmb = emb.union(emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val pairs = Dedup.embeddingNearDuplicates(doubledEmb, "vec_id", "embedding", dim = 64, threshold = 0.999)
+    val found = pairs.where($"id2" === $"id1" + 100000).count()
+    assert(found == emb.count())
+  }
+
+  test("jaccard column is exact set Jaccard") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard($"x", $"y")).collect().head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+}

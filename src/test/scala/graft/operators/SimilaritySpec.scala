@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private val K = 10
+
+  /** Reference top-k computed driver-side with plain Scala math. */
+  private lazy val expected: Map[Long, Seq[Long]] = {
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    (0L until 5L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(K).map(_._1)
+    }.toMap
+  }
+
+  test("bruteForceTopK matches driver-side reference ranking exactly") {
+    val queries = emb.where($"vec_id" < 5)
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K)
+      .orderBy($"qid", $"rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(got == expected)
+  }
+
+  test("topK output has contiguous ranks and descending sims") {
+    val queries = emb.where($"vec_id" < 3)
+    val rows = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K)
+      .orderBy($"qid", $"rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).toSeq == (1 to K))
+      val sims = rs.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("ivfTopK achieves reasonable recall against brute force") {
+    val queries = emb.where($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, nCentroids = 16, nProbe = 6)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = expected.map { case (q, exp) =>
+      val got = ivf.getOrElse(q, Set.empty)
+      exp.count(got).toDouble / exp.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    withClue(s"mean recall=$meanRecall") { assert(meanRecall >= 0.5) }
+  }
+}
