@@ -134,6 +134,128 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // --- §2B rollup / grouping sets over the connector ---
+    "bt_rollup" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").between("0000", "9999"))
+        .rollup(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_regionkey").asc_nulls_first)),
+
+    // --- §2B left-semi join (EXISTS) over the connector ---
+    "bt_semi_join" -> ((s, dir) => {
+      val nation = GraftTables.nation(s, dir).where(col("n_key").between("0000", "9999"))
+      val region = s.read.parquet(s"$dir/region.parquet").where(col("r_regionkey") < 3)
+      nation
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left_semi")
+        .select(col("n_key"), col("n_name"))
+        .orderBy(col("n_key"))
+    }),
+
+    // --- §2B left-anti join (NOT EXISTS) over the connector ---
+    "bt_anti_join" -> ((s, dir) => {
+      val nation = GraftTables.nation(s, dir).where(col("n_key").between("0000", "9999"))
+      val region = s.read.parquet(s"$dir/region.parquet").where(col("r_regionkey") < 3)
+      nation
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left_anti")
+        .select(col("n_key"), col("n_name"))
+        .orderBy(col("n_key"))
+    }),
+
+    // --- §2B DISTINCT over the connector ---
+    "bt_distinct" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").between("0000", "9999"))
+        .select(col("n_regionkey"))
+        .distinct()
+        .orderBy(col("n_regionkey"))),
+
+    // --- §2B ORDER BY + LIMIT (top-k) over the connector ---
+    "bt_limit" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").between("0000", "9999"))
+        .select(col("n_key"), col("n_name"))
+        .orderBy(col("n_key"))
+        .limit(5)),
+
+    // --- §2B scalar string/math functions over the connector ---
+    "bt_scalar" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").between("0000", "9999"))
+        .select(
+          col("n_key"),
+          upper(col("n_name")).as("un"),
+          substring(col("n_name"), 1, 3).as("pre"),
+          length(col("n_name")).as("ln"),
+          (col("n_regionkey") % 3).as("m"))
+        .orderBy(col("n_key"))),
+
+    // ============== relational surface on the large tables =============
+
+    // --- TPC-H Q1-shaped aggregation (FP-safe metrics) ---
+    "rel_q1" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // --- join + distinct-agg across the two largest tables ---
+    "rel_q3" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet").where(col("o_orderstatus") === "O")
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      orders
+        .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- window top-3 per segment on customer ---
+    "rel_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // --- Structured Streaming: connector change-stream → windowed agg ---
+    // Runs the micro-batch stream to completion (AvailableNow, stepped
+    // offsets) into a memory sink, then returns the final result — so
+    // the streaming path sits inside the same oracle gate.
+    "stream_windowed_counts" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "8000000000000") // ~3 months per batch
+        .load()
+      val counts = stream
+        .groupBy(window(col("_timestamp"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n_events"))
+      val qname = s"stream_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy(col("ws_us"), col("event_type"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- text analysis: token / punctuation / length stats ---
@@ -276,6 +398,47 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY u_key""",
     "bt_full_scan_agg" ->
       """SELECT count(*) AS n, CAST(sum(n_regionkey) AS BIGINT) AS sum_rk FROM nation""",
+    "bt_rollup" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
+         FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",
+    "bt_semi_join" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)
+         ORDER BY n_key""",
+    "bt_anti_join" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)
+         ORDER BY n_key""",
+    "bt_distinct" ->
+      """SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_regionkey""",
+    "bt_limit" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation ORDER BY n_key LIMIT 5""",
+    "bt_scalar" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key,
+         upper(n_name) AS un, substr(n_name, 1, 3) AS pre,
+         CAST(length(n_name) AS INT) AS ln, CAST(n_regionkey % 3 AS BIGINT) AS m
+         FROM nation ORDER BY n_key""",
+    "rel_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "rel_q3" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders, sum(l_quantity) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "stream_windowed_counts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type, count(*) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
+    "rel_window" ->
+      """SELECT c_mktsegment, c_custkey, rn FROM (
+           SELECT c_mktsegment, c_custkey,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+           FROM customer) t
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,

@@ -26,7 +26,12 @@ final case class BigtableConfig(
     qualifiers: Seq[(String, DataType)],
     onlyReadLatest: Boolean,
     allowFullScan: Boolean,
-    maxPartitions: Int
+    maxPartitions: Int,
+    /** Micro-batch admission step for streaming reads: each batch
+      * advances the cell-timestamp offset by at most this many µs
+      * (None = take everything available in one batch).
+      */
+    streamStepMicros: Option[Long] = None
 ) extends Serializable {
 
   /** Fixed schema in the reference's column order (datasource.rs:68-79):
@@ -98,7 +103,8 @@ object BigtableConfig {
       qualifiers = quals,
       onlyReadLatest = opt("onlyReadLatest", "true").toBoolean,
       allowFullScan = opt("allowFullScan", "false").toBoolean,
-      maxPartitions = opt("maxPartitions", "32").toInt
+      maxPartitions = opt("maxPartitions", "32").toInt,
+      streamStepMicros = Option(opts.get("streamStepMicros")).filter(_.nonEmpty).map(_.toLong)
     )
   }
 }

@@ -49,7 +49,7 @@ final class BigtableTable(cfg: BigtableConfig) extends Table with SupportsRead {
   override def name(): String = s"bigtable.${cfg.table}"
   override def schema(): StructType = cfg.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BigtableScanBuilder(cfg)
 }
@@ -140,6 +140,18 @@ final class BigtableScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BigtablePartitionReaderFactory(cfg, requiredSchema, comp.rowFilters)
+
+  /** Streaming read: cell versions become a change stream ordered by
+    * cell timestamp (micro-batch offsets = timestamp high-watermark).
+    * Requires `onlyReadLatest=false` — each cell version is one event.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(
+      !cfg.onlyReadLatest,
+      "streaming read requires onlyReadLatest=false (each cell version is one change event)"
+    )
+    new BigtableMicroBatchStream(cfg, requiredSchema, comp)
+  }
 }
 
 object BigtableScan {
@@ -186,7 +198,13 @@ object BigtableScan {
   }
 }
 
-final case class BigtableInputPartition(ranges: Seq[RowRange]) extends InputPartition
+/** One scan task: a group of disjoint key ranges, plus (streaming only)
+  * the micro-batch cell-timestamp window `tsLo < ts <= tsHi`.
+  */
+final case class BigtableInputPartition(
+    ranges: Seq[RowRange],
+    tsRange: Option[(Long, Long)] = None
+) extends InputPartition
 
 final class BigtablePartitionReaderFactory(
     cfg: BigtableConfig,
@@ -195,7 +213,7 @@ final class BigtablePartitionReaderFactory(
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
-    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges)
+    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange)
   }
 }
 
@@ -218,7 +236,8 @@ final class BigtablePartitionReader(
     cfg: BigtableConfig,
     readSchema: StructType,
     rowFilters: Seq[RowFilter],
-    ranges: Seq[RowRange]
+    ranges: Seq[RowRange],
+    tsRange: Option[(Long, Long)]
 ) extends PartitionReader[InternalRow] {
 
   private val sepPattern = Pattern.quote(cfg.separator)
@@ -270,7 +289,11 @@ final class BigtablePartitionReader(
           )
         parts
       }
-    val byTs = row.cells.groupBy(_.timestampMicros).toArray.sortBy(_._1)
+    val cellsInWindow = tsRange match {
+      case None           => row.cells
+      case Some((lo, hi)) => row.cells.filter(c => c.timestampMicros > lo && c.timestampMicros <= hi)
+    }
+    val byTs = cellsInWindow.groupBy(_.timestampMicros).toArray.sortBy(_._1)
     byTs.iterator.map { case (ts, cells) =>
       val byQual = cells.groupBy(_.qualifier) // first cell per qualifier wins (cells pre-sorted)
       val values = new Array[Any](fields.length)

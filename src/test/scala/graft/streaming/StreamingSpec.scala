@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.{Fixtures, SparkTestSession}
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates per tumbling window with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .windowedCounts(in.toDF(), windowLength = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    in.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:15:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 10:20:00"), 1, "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark past 11:00 + 1h so the 10:00 window closes
+    in.addData(Event(4, ts("2024-01-01 13:00:00"), 3, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(5, ts("2024-01-01 14:00:00"), 3, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select($"window_start", $"event_type", $"n_events", $"total_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionize emits gap-separated sessions via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .sessionize(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 1: two events 10 min apart (one session)
+    in.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // advance watermark beyond 10:40 (session end + gap)
+    in.addData(Event(3, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    // one more batch so the event-time timeout fires
+    in.addData(Event(4, ts("2024-01-01 12:30:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess").as[Session].collect().filter(_.user_id == 1)
+    q.stop()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.n_events == 2 && s.total_value == 3.0)
+    assert(s.session_start == ts("2024-01-01 10:00:00") && s.session_end == ts("2024-01-01 10:10:00"))
+  }
+
+  test("connector micro-batch stream replays cell versions in timestamp-stepped batches") {
+    Fixtures.ensureSeeded()
+    val stream = spark.readStream
+      .format("bigtable")
+      .option("store", Fixtures.StoreName)
+      .option("table", "balloon_history")
+      .option("columnFamily", "measurements")
+      .option("qualifiers", "pressure:long,temperature:string")
+      .option("onlyReadLatest", "false")
+      .option("allowFullScan", "true")
+      .option("streamStepMicros", "60000000") // 60s: forces one ts per batch
+      .load()
+    val q = stream.writeStream.format("memory").queryName("btstream").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("btstream")
+      .select(col("_row_key"), unix_micros(col("_timestamp")), col("pressure"), col("temperature"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batchesWithRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(rows == Set(
+      ("us-west2#3698#2021-03-05-1200", 1614945605100000L, 94000L, "9.1"),
+      ("us-west2#3698#2021-03-05-1200", 1614945665200000L, 94558L, "9.6"),
+      ("us-west2#3698#2021-03-05-1201", 1614945725300000L, 94122L, "9.7")))
+    assert(batchesWithRows >= 2, s"expected stepped replay, got $batchesWithRows batches with rows")
+  }
+
+  test("streaming read with onlyReadLatest=true is rejected") {
+    Fixtures.ensureSeeded()
+    val e = intercept[Exception] {
+      spark.readStream
+        .format("bigtable")
+        .option("store", Fixtures.StoreName)
+        .option("table", "balloon_history")
+        .option("columnFamily", "measurements")
+        .option("qualifiers", "pressure:long,temperature:string")
+        .option("allowFullScan", "true")
+        .load()
+        .writeStream.format("memory").queryName("btfail").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(30000)
+    }
+    assert(e.getMessage != null)
+  }
+}
