@@ -65,10 +65,19 @@ final class BigtableTable(cfg: BigtableConfig) extends Table with SupportsRead {
 final class BigtableScanBuilder(cfg: BigtableConfig)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var filters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = cfg.schema
+  private var limit: Option[Int] = None
+
+  /** A15 improvement: the reference ignores the limit (datasource.rs:148);
+    * we cap each partition reader at `limit` rows. Declared partially
+    * pushed so Spark keeps its global limit above the scan.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     this.filters = filters
@@ -98,16 +107,36 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
     // exactly like the reference's TableProvider::scan.
     val requiredQualifiers = requiredSchema.fieldNames.toSeq.filter(cfg.isQualifier)
     val comp = RowRangeComposer.compose(cfg, filters.toSeq, requiredQualifiers)
-    new BigtableScan(cfg, requiredSchema, comp)
+    val tsRange = RowRangeComposer.composeTsRange(filters.toSeq)
+    new BigtableScan(cfg, requiredSchema, comp, tsRange, limit)
   }
 }
 
 final class BigtableScan(
     cfg: BigtableConfig,
     requiredSchema: StructType,
-    comp: RowRangeComposer.Composition
+    comp: RowRangeComposer.Composition,
+    tsRange: Option[(Long, Long)] = None,
+    limit: Option[Int] = None
 ) extends Scan
-    with Batch {
+    with Batch
+    with SupportsReportStatistics {
+
+  /** A16 improvement over the reference's `todo!()` statistics
+    * (execute_plan.rs:152-157): range-scoped estimates from the store,
+    * letting Catalyst auto-broadcast small connector tables in joins.
+    */
+  override def estimateStatistics(): Statistics = {
+    val est =
+      try BigtableStores.get(cfg.storeName).estimateSize(cfg.table, comp.ranges)
+      catch { case _: IllegalStateException => None }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.map(e => java.util.OptionalLong.of(e._2)).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        est.map(e => java.util.OptionalLong.of(e._1)).getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   override def readSchema(): StructType = requiredSchema
 
@@ -135,11 +164,11 @@ final class BigtableScan(
       catch { case _: IllegalStateException => Nil } // planning on a driver without the store
     val split = BigtableScan.splitRanges(comp.ranges, samples)
     val groups = BigtableScan.chunkContiguous(split, cfg.maxPartitions)
-    groups.map(g => BigtableInputPartition(g): InputPartition).toArray
+    groups.map(g => BigtableInputPartition(g, tsRange): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BigtablePartitionReaderFactory(cfg, requiredSchema, comp.rowFilters)
+    new BigtablePartitionReaderFactory(cfg, requiredSchema, comp.rowFilters, limit)
 
   /** Streaming read: cell versions become a change stream ordered by
     * cell timestamp (micro-batch offsets = timestamp high-watermark).
@@ -209,11 +238,12 @@ final case class BigtableInputPartition(
 final class BigtablePartitionReaderFactory(
     cfg: BigtableConfig,
     readSchema: StructType,
-    rowFilters: Seq[RowFilter]
+    rowFilters: Seq[RowFilter],
+    limit: Option[Int] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
-    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange)
+    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit)
   }
 }
 
@@ -237,7 +267,8 @@ final class BigtablePartitionReader(
     readSchema: StructType,
     rowFilters: Seq[RowFilter],
     ranges: Seq[RowRange],
-    tsRange: Option[(Long, Long)]
+    tsRange: Option[(Long, Long)],
+    limit: Option[Int] = None
 ) extends PartitionReader[InternalRow] {
 
   private val sepPattern = Pattern.quote(cfg.separator)
@@ -256,13 +287,16 @@ final class BigtablePartitionReader(
     }
   }
 
-  private val rowIter: Iterator[InternalRow] =
-    if (ranges.isEmpty) Iterator.empty
-    else
-      BigtableStores
-        .get(cfg.storeName)
-        .readRows(cfg.table, ranges, rowFilters)
-        .flatMap(pivot)
+  private val rowIter: Iterator[InternalRow] = {
+    val base =
+      if (ranges.isEmpty) Iterator.empty[InternalRow]
+      else
+        BigtableStores
+          .get(cfg.storeName)
+          .readRows(cfg.table, ranges, rowFilters)
+          .flatMap(pivot)
+    limit.fold(base)(base.take) // pushed limit (per partition; Spark keeps the global one)
+  }
 
   private var current: InternalRow = _
 

@@ -130,6 +130,37 @@ object RowRangeComposer {
   }
 
   // ---------------------------------------------------------------------
+  // Cell-timestamp range pushdown (reference roadmap README.md:48-49,
+  // never implemented there): bounds on `_timestamp` narrow the cells a
+  // reader decodes. Residual filtering keeps it safe (A14).
+  // ---------------------------------------------------------------------
+
+  /** Extract an exclusive-lo / inclusive-hi µs window from `_timestamp`
+    * bounds, matching the reader's `(lo, hi]` cell filter. None if the
+    * filters don't constrain `_timestamp`.
+    */
+  def composeTsRange(filters: Seq[Filter]): Option[(Long, Long)] = {
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    var lo = Long.MinValue // exclusive
+    var hi = Long.MaxValue // inclusive
+    filters.flatMap(flattenAnd).foreach {
+      case GreaterThan(BigtableConfig.TimestampCol, v)        => micros(v).foreach(m => lo = math.max(lo, m))
+      case GreaterThanOrEqual(BigtableConfig.TimestampCol, v) => micros(v).foreach(m => lo = math.max(lo, m - 1))
+      case LessThan(BigtableConfig.TimestampCol, v)           => micros(v).foreach(m => hi = math.min(hi, m - 1))
+      case LessThanOrEqual(BigtableConfig.TimestampCol, v)    => micros(v).foreach(m => hi = math.min(hi, m))
+      case EqualTo(BigtableConfig.TimestampCol, v)            => micros(v).foreach(m => { lo = math.max(lo, m - 1); hi = math.min(hi, m) })
+      case _                                                  => ()
+    }
+    if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
+  }
+
+  // ---------------------------------------------------------------------
   // Projection pushdown: required qualifiers → server-side filters
   // ---------------------------------------------------------------------
 

@@ -40,6 +40,13 @@ trait BigtableStore extends Serializable {
     * partition per composed range).
     */
   def sampleRowKeys(table: String): Seq[String] = Nil
+
+  /** Estimated (rowCount, sizeBytes) for the given ranges, if cheaply
+    * available — feeds Spark's `SupportsReportStatistics` so the
+    * optimizer can e.g. auto-broadcast small connector tables. None =
+    * unknown (Spark assumes conservative defaults).
+    */
+  def estimateSize(table: String, ranges: Seq[RowRange]): Option[(Long, Long)] = None
 }
 
 /** In-memory, immutable-snapshot Bigtable emulator.
@@ -88,6 +95,30 @@ final class InMemoryBigtable private (
           if (kept.isEmpty) None else Some(BtRow(k, kept))
         }
     }
+  }
+
+  override def estimateSize(table: String, ranges: Seq[RowRange]): Option[(Long, Long)] = {
+    val data = tables.getOrElse(table, return Some((0L, 0L)))
+    var rows = 0L
+    var bytes = 0L
+    RowRange.normalize(ranges).foreach { r =>
+      data
+        .rangeFrom(r.startKey)
+        .iterator
+        .takeWhile { case (k, _) =>
+          r.endKey match {
+            case None    => true
+            case Some(e) =>
+              val c = RowRange.compareKeys(k, e)
+              if (r.endInclusive) c <= 0 else c < 0
+          }
+        }
+        .foreach { case (k, cells) =>
+          rows += 1
+          bytes += k.length + cells.iterator.map(c => 16L + c.qualifier.length + c.value.length).sum
+        }
+    }
+    Some((rows, bytes))
   }
 
   override def sampleRowKeys(table: String): Seq[String] = {

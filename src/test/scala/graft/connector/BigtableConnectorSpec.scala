@@ -174,6 +174,37 @@ class BigtableConnectorSpec extends AnyFunSuite {
     assert(keys.sorted.toSeq == Fixtures.BalloonRows.map(_._1))
   }
 
+  test("_timestamp range predicate filters version rows (pushed + residual)") {
+    val df = Fixtures.balloonHistory(spark)
+    val rows = df
+      .filter(col("_row_key") === "us-west2#3698#2021-03-05-1200" &&
+        unix_micros(col("_timestamp")) >= 1614945665200000L)
+      .select(col("pressure"))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(94558L))
+  }
+
+  test("statistics: connector table in a join is auto-broadcast (SupportsReportStatistics)") {
+    val nation = Fixtures.balloonsComposite(spark)
+      .where(col("region") === "us-west2" && col("balloon_id") === "3698" &&
+        col("event_minute").between("2021-03-05-1200", "2021-03-05-1204"))
+    val other = spark.range(100).withColumnRenamed("id", "pressure")
+    // no broadcast() hint: Catalyst must learn the scan is tiny from stats
+    val joined = nation.join(other, "pressure")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected auto-broadcast, got:\n${plan.take(800)}")
+  }
+
+  test("limit pushdown caps partition readers, result still correct") {
+    simple
+    val rows = spark
+      .sql("""SELECT `_row_key` FROM weather_balloons
+              WHERE `_row_key` BETWEEN 'us-west2#3698#2021-03-05-1200' AND 'us-west2#3698#2021-03-05-1204'
+              LIMIT 2""")
+      .collect()
+    assert(rows.length == 2)
+  }
+
   test("residual filter corrects over-broad ranges (inexact pushdown, datasource.rs:163-165)") {
     simple
     // numeric-looking residual predicate on a qualifier the composer ignores

@@ -117,4 +117,20 @@ class RowRangeComposerSpec extends AnyFunSuite {
     assert(RowRangeComposer.composeRowFilters(simple, Seq("pressure", "temperature")).size == 2)
     assert(RowRangeComposer.composeRowFilters(simple, Nil).size == 2)
   }
+
+  test("timestamp-range pushdown: bounds on _timestamp become a (lo, hi] µs window") {
+    val t1 = java.time.Instant.ofEpochSecond(1614945605L, 100000000L) // ...605.1
+    val t2 = java.time.Instant.ofEpochSecond(1614945725L, 300000000L) // ...725.3
+    val r = RowRangeComposer.composeTsRange(Seq(
+      GreaterThanOrEqual("_timestamp", t1), LessThan("_timestamp", t2)))
+    assert(r.contains((1614945605100000L - 1, 1614945725300000L - 1)))
+  }
+
+  test("timestamp-range pushdown: instants and no-op cases") {
+    val i = java.time.Instant.ofEpochSecond(1614945605L, 100000000L)
+    val r = RowRangeComposer.composeTsRange(Seq(EqualTo("_timestamp", i)))
+    assert(r.contains((1614945605100000L - 1, 1614945605100000L)))
+    assert(RowRangeComposer.composeTsRange(Seq(EqualTo("x", "y"))).isEmpty)
+    assert(RowRangeComposer.composeTsRange(Seq(GreaterThan("_timestamp", "not-a-ts"))).isEmpty)
+  }
 }
