@@ -294,15 +294,23 @@ object SparkEntry {
         .simhashNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 6)
         .orderBy(col("id1"), col("id2"))),
 
-    // --- text quality / language-ID / fingerprint (rows-only) ---
+    // --- text quality / language-ID / fingerprints (rows-only) ---
     "doc_quality" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
           graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
-          graft.functions.TextFunctions.fingerprint64(col("text")).as("fingerprint"))
+          graft.functions.TextFunctions.fingerprint64(col("text")).as("fingerprint"),
+          size(graft.functions.TextFunctions.winnowFingerprints(col("text"))).as("n_winnow_fp"))
         .orderBy(col("doc_id"))),
+
+    // --- partial-overlap (containment) via winnowing fingerprints ---
+    "doc_containment" -> ((s, dir) =>
+      graft.operators.Dedup
+        .containmentCandidates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          minShared = 50)
+        .orderBy(col("id1"), col("id2"))),
 
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
     "emb_knn" -> ((s, dir) => {

@@ -47,6 +47,20 @@ object TextFunctions {
   /** 64-bit document fingerprint (xxhash64 of the raw text). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** Winnowing fingerprints (rolling-window minima over positional
+    * char-shingle hashes, MOSS-style): any shared substring of length
+    * >= windowW + shingleK - 1 between two documents yields at least
+    * one shared fingerprint. Native expression; no shuffle.
+    */
+  def winnowFingerprints(text: Column, shingleK: Int = 5, windowW: Int = 8): Column = {
+    // positional (NOT distinct) shingles: winnowing needs document order
+    val shingled = transform(
+      sequence(lit(1), greatest(length(text) - (shingleK - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(shingleK)))
+    )
+    ColumnBridge.column(Winnow(ColumnBridge.expression(shingled), windowW))
+  }
+
   /** SimHash over word tokens — native Catalyst expression with codegen. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens(text))))

@@ -180,6 +180,39 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
   }
 
+  /** Partial-overlap (containment) candidates via winnowing
+    * fingerprints: documents sharing >= `minShared` selected
+    * fingerprints — catches a document embedded inside another, which
+    * whole-document jaccard misses. Fingerprint explode + self-join on
+    * the fingerprint value (bounded by `maxBucket` docs per
+    * fingerprint), one shuffle on the fingerprint key.
+    */
+  def containmentCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      windowW: Int = 8,
+      minShared: Int = 3,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val fp = df.select(
+      col(idCol).as("__id"),
+      explode(winnowFingerprints(col(textCol), shingleK, windowW)).as("__fp")
+    )
+    val bounded = fp
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = bounded.select(col("__fp"), col("__id").as("id1"))
+    val r = bounded.select(col("__fp"), col("__id").as("id2"))
+    l.join(r, Seq("__fp"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .where(col("shared_fingerprints") >= minShared)
+  }
+
   /** SimHash near-dup: 64-bit SimHash per doc, LSH by splitting into
     * four 16-bit bands (pigeonhole: Hamming distance <= 3 guarantees at
     * least one identical band), verify with bit_count(xor) <= maxHamming.

@@ -91,6 +91,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
+  test("winnowing: shared substring guarantees a shared fingerprint; disjoint text shares none") {
+    val base = "the quick brown fox jumps over the lazy dog while the band plays on"
+    val df = Seq(
+      ("whole", base),
+      ("embedded", "PREFIX PREFIX " + base + " SUFFIX SUFFIX"),
+      ("unrelated", "astrophysics telescopes galaxies quasars nebulae supernovae redshift")
+    ).toDF("id", "text")
+    val fps = df.select($"id", TextFunctions.winnowFingerprints($"text", 5, 8))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps("whole") & fps("embedded")).nonEmpty)
+    assert((fps("whole") & fps("unrelated")).isEmpty)
+    // winnowing selects far fewer fingerprints than raw shingles
+    assert(fps("whole").size < base.length - 4)
+  }
+
+  test("winnowing is deterministic and non-empty for short texts") {
+    val fps = Seq("ab", "").toDF("text")
+      .select(TextFunctions.winnowFingerprints($"text")).collect().map(_.getSeq[Long](0))
+    assert(fps(0).size == 1) // single shingle -> single fingerprint
+    assert(fps(1).size == 1) // empty text -> one shingle ("")
+  }
+
   test("cjkRatio detects Han text") {
     val r = Seq("这是一个中文句子", "pure ascii text").toDF("text")
       .select(TextFunctions.cjkRatio($"text")).collect().map(_.getDouble(0))

@@ -80,6 +80,16 @@ class DedupSpec extends AnyFunSuite {
     assert(found == emb.count())
   }
 
+  test("containment candidates find a document embedded in another") {
+    val docs500 = docs.select($"doc_id", $"text").limit(50)
+    val host = docs500.select(
+      ($"doc_id" + 200000).as("doc_id"),
+      concat(lit("long prefix text before the payload "), $"text", lit(" and a long suffix after it")).as("text"))
+    val cands = Dedup.containmentCandidates(docs500.union(host), "doc_id", "text", minShared = 3)
+    val found = cands.where($"id2" === $"id1" + 200000).count()
+    assert(found == 50, s"expected all 50 embedded docs found, got $found")
+  }
+
   test("jaccard column is exact set Jaccard") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard($"x", $"y")).collect().head.getDouble(0)
