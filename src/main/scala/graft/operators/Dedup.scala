@@ -186,6 +186,12 @@ object Dedup {
     * whole-document jaccard misses. Fingerprint explode + self-join on
     * the fingerprint value (bounded by `maxBucket` docs per
     * fingerprint), one shuffle on the fingerprint key.
+    *
+    * Scale note: join volume is Σ over fingerprints of bucket². On
+    * natural text fingerprints are near-unique and this is ~linear; on
+    * degenerate corpora (tiny shared vocabulary) buckets fatten and
+    * `maxBucket` becomes the safety valve — lower it to trade recall on
+    * common content for bounded work.
     */
   def containmentCandidates(
       df: DataFrame,

@@ -174,6 +174,23 @@ class BigtableConnectorSpec extends AnyFunSuite {
     assert(keys.sorted.toSeq == Fixtures.BalloonRows.map(_._1))
   }
 
+  test("CREATE TABLE ... USING bigtable registers through SQL DDL (register_table analogue)") {
+    Fixtures.ensureSeeded()
+    spark.sql("DROP TABLE IF EXISTS wb_ddl")
+    spark.sql(s"""
+      CREATE TABLE wb_ddl USING bigtable OPTIONS (
+        store '${Fixtures.StoreName}',
+        table 'weather_balloons',
+        columnFamily 'measurements',
+        qualifiers 'pressure:long,temperature:string'
+      )""")
+    val rows = spark
+      .sql("""SELECT pressure FROM wb_ddl WHERE `_row_key` = 'us-west2#3698#2021-03-05-1204'""")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(96021L))
+    spark.sql("DROP TABLE wb_ddl")
+  }
+
   test("_timestamp range predicate filters version rows (pushed + residual)") {
     val df = Fixtures.balloonHistory(spark)
     val rows = df
