@@ -191,6 +191,23 @@ class BigtableConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE wb_ddl")
   }
 
+  test("TableCatalog plugin: SELECT from bt.default.<table> (SURVEY §3.3(c))") {
+    Fixtures.ensureSeeded()
+    spark.conf.set("spark.sql.catalog.bt", classOf[BigtableCatalog].getName)
+    BigtableCatalogDefs.register("bt", "weather_balloons", BigtableConfig(
+      storeName = Fixtures.StoreName, table = "weather_balloons", columnFamily = "measurements",
+      partitionCols = Seq("_row_key"), separator = "#",
+      qualifiers = Seq(("pressure", org.apache.spark.sql.types.LongType),
+        ("temperature", org.apache.spark.sql.types.StringType)),
+      onlyReadLatest = true, allowFullScan = false, maxPartitions = 8))
+    val rows = spark
+      .sql("""SELECT pressure, temperature FROM bt.default.weather_balloons
+              WHERE `_row_key` = 'us-west2#3698#2021-03-05-1201'""")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((94122L, "9.7")))
+    assert(spark.sql("SHOW TABLES IN bt.default").collect().map(_.getString(1)).contains("weather_balloons"))
+  }
+
   test("_timestamp range predicate filters version rows (pushed + residual)") {
     val df = Fixtures.balloonHistory(spark)
     val rows = df
