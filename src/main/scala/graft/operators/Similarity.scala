@@ -14,10 +14,15 @@ object Similarity {
 
   /** Sequential left-to-right dot product — same evaluation order as a
     * SQL engine's list fold, so double-precision results are
-    * bit-comparable across engines.
+    * bit-comparable across engines. Native compiled loop
+    * ([[graft.functions.DotProduct]]): interpreted `aggregate(zip_with)`
+    * lambdas cost ~700ns/element and this runs |corpus|×|queries| times.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
