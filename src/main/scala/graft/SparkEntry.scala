@@ -288,6 +288,25 @@ object SparkEntry {
         .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- word-ngram Jaccard near-dup (rows-only; shares the oracle'd
+    //     LSH machinery with doc_near_dup) ---
+    "doc_ngram_near_dup" -> ((s, dir) =>
+      graft.operators.Dedup
+        .ngramNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          n = 3, threshold = 0.7)
+        .orderBy(col("id1"), col("id2"))),
+
+    // --- salted aggregation over a skewed key (events per type) ---
+    "doc_salted_count" -> ((s, dir) => {
+      // explicit schema: sidesteps events.parquet's TIMESTAMP(NANOS)
+      // column, which Spark's schema inference rejects
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+      graft.operators.Skew
+        .saltedCount(s.read.schema(schema).parquet(s"$dir/events.parquet"), Seq("event_type"), saltBuckets = 16)
+        .orderBy(col("event_type"))
+    }),
+
     // --- SimHash near-dup (rows-only: no 64-bit simhash in DuckDB) ---
     "doc_simhash_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
@@ -440,6 +459,8 @@ object SparkEntry {
     "stream_windowed_counts" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
+    "doc_salted_count" ->
+      """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
     "rel_window" ->
       """SELECT c_mktsegment, c_custkey, rn FROM (
            SELECT c_mktsegment, c_custkey,

@@ -147,8 +147,10 @@ final class BigtableScan(
       .take(4)
       .map(r => s"[${r.startKey}, ${r.endKey.getOrElse("∞")}${if (r.endInclusive) "]" else ")"}")
       .mkString(", ")
+    val tsDesc = tsRange.map { case (lo, hi) => s" tsWindow=($lo, $hi]µs" }.getOrElse("")
+    val limitDesc = limit.map(l => s" limit=$l").getOrElse("")
     s"BigtableScan ${cfg.table} ranges=${comp.ranges.size} ($rangesDesc${if (comp.ranges.size > 4) ", …" else ""}) " +
-      s"rowFilters=${comp.rowFilters.size} cols=${requiredSchema.fieldNames.mkString(",")}"
+      s"rowFilters=${comp.rowFilters.size} cols=${requiredSchema.fieldNames.mkString(",")}$tsDesc$limitDesc"
   }
 
   /** One InputPartition per split range group. Composed ranges are split
