@@ -134,6 +134,14 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // --- §2B CUBE / grouping sets over the connector ---
+    "bt_cube" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").between("0000", "9999"))
+        .cube(col("n_regionkey"), substring(col("n_name"), 1, 1).as("initial"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_regionkey").asc_nulls_first, col("initial").asc_nulls_first)),
+
     // --- §2B rollup / grouping sets over the connector ---
     "bt_rollup" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -428,6 +436,27 @@ object SparkEntry {
     "bt_rollup" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",
+    "bt_cube" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, substr(n_name, 1, 1) AS initial,
+         count(*) AS cnt
+         FROM nation GROUP BY CUBE(n_regionkey, substr(n_name, 1, 1))
+         ORDER BY n_regionkey NULLS FIRST, initial NULLS FIRST""",
+    "doc_ngram_near_dup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS t FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS g
+           FROM toks)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                      greatest(len(list_distinct(a.g || b.g)), 1), 6) AS jaccard
+         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+               greatest(len(list_distinct(a.g || b.g)), 1) >= 0.7
+         ORDER BY id1, id2""",
     "bt_semi_join" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)
