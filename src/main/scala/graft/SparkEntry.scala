@@ -357,12 +357,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // --- embedding-cosine near-dup via hyperplane LSH (rows-only) ---
-    "emb_near_dup" -> ((s, dir) =>
+    // --- embedding-cosine near-dup via hyperplane LSH ---
+    // The raw synthetic embeddings have no pairs above 0.6 cosine, so a
+    // near-dup query over them alone is vacuously empty; self-union with
+    // offset ids plants one exact duplicate per vector, making the
+    // result non-trivial AND exactly SQL-expressible for the oracle.
+    "emb_near_dup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+      val corpus = emb.union(emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
       graft.operators.Dedup
-        .embeddingNearDuplicates(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", dim = 64, threshold = 0.99)
-        .orderBy(col("id1"), col("id2"))),
+        .embeddingNearDuplicates(corpus, "vec_id", "embedding", dim = 64, threshold = 0.99)
+        .orderBy(col("id1"), col("id2"))
+    }),
 
     // --- multimodal plumbing: stub decode over binary payloads ---
     "mm_decode" -> ((s, dir) => {
@@ -490,6 +496,16 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
     "doc_salted_count" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "emb_near_dup" ->
+      """WITH c AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cosine
+         FROM c a JOIN c b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+         ORDER BY id1, id2""",
     "rel_window" ->
       """SELECT c_mktsegment, c_custkey, rn FROM (
            SELECT c_mktsegment, c_custkey,
