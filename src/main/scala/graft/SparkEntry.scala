@@ -370,6 +370,26 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- text quality + language-ID, fully oracle-replicated in SQL ---
+    "doc_quality_oracle" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // --- multimodal frame-sampling arithmetic (oracle-checkable) ---
+    "mm_frames" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      graft.operators.Multimodal.frameSample(media, 4)
+        .select(
+          col("media_id"),
+          size(col("frames")).as("n_frames"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- multimodal plumbing: stub decode over binary payloads ---
     "mm_decode" -> ((s, dir) => {
       val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -537,6 +557,38 @@ object SparkEntry {
          WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
          ORDER BY id1, id2""",
+    "doc_quality_oracle" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ntoks,
+             regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CASE
+             WHEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) / nchars > 0.05 THEN 'zh'
+             ELSE (
+               WITH h AS (SELECT
+                 len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','on','at','by','this'], t))) AS en,
+                 len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','auf','im','sich','des'], t))) AS de,
+                 len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','sur','avec','au','pas'], t))) AS fr,
+                 len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para','del','se'], t))) AS es)
+               SELECT CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und'
+                           WHEN en>=de AND en>=fr AND en>=es THEN 'en'
+                           WHEN de>=fr AND de>=es THEN 'de'
+                           WHEN fr>=es THEN 'fr' ELSE 'es' END FROM h)
+           END AS lang_guess,
+           round(least(nchars/200.0, 1.0)*0.25 +
+                 (CASE WHEN nchars/ntoks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+                 (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
+                 least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
+         FROM base ORDER BY doc_id""",
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+         CAST(ceil(CAST(greatest(strlen(text),1) AS DOUBLE) /
+              CAST(ceil(CAST(greatest(strlen(text),1) AS DOUBLE) / 4.0) AS INT)) AS INT) AS n_frames,
+         CAST(strlen(text) AS BIGINT) AS payload_len
+         FROM documents ORDER BY media_id""",
     "emb_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          scored AS (

@@ -118,6 +118,10 @@ object TextFunctions {
     val punctScore = when(punctRatio(text) <= 0.1, 1.0).otherwise(0.5)
     val alphaDensity = regexp_count(text, lit("[\\p{L}]")).cast("double") / nChars
     val alphaScore = least(alphaDensity / 0.6, lit(1.0))
-    round((lenScore * 0.25 + wordLenScore * 0.25 + punctScore * 0.2 + alphaScore * 0.3), 4)
+    // round to 6dp, not 4: every component has at most 5 decimal digits
+    // (e.g. lenScore = int × 0.00125), so 4dp rounding sits exactly on
+    // the .5 boundary where engines' last-ulp differences flip the
+    // result — 6dp never needs to round a boundary value
+    round((lenScore * 0.25 + wordLenScore * 0.25 + punctScore * 0.2 + alphaScore * 0.3), 6)
   }
 }
