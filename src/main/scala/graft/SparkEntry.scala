@@ -293,7 +293,8 @@ object SparkEntry {
     // --- MinHash-LSH near-dup with exact jaccard verification ---
     "doc_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
-        .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9)
+        .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9,
+          persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
     // --- word-ngram Jaccard near-dup (rows-only; shares the oracle'd
@@ -301,7 +302,7 @@ object SparkEntry {
     "doc_ngram_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
         .ngramNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          n = 3, threshold = 0.7)
+          n = 3, threshold = 0.7, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
     // --- salted aggregation over a skewed key (events per type) ---

@@ -123,10 +123,17 @@ object Dedup {
       threshold: Double = 0.8,
       shingleK: Int = 5,
       numHashes: Int = 128,
-      bands: Int = 32
+      bands: Int = 32,
+      /** Persist the per-doc shingle-hash frame: the LSH plan references
+        * it from 3+ join branches, and without persistence Spark
+        * recomputes the shingling per branch. ~(8·|shingles|) bytes per
+        * doc; callers own unpersisting (or let it age out).
+        */
+      persistIntermediate: Boolean = false
   ): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-    val sh = df.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
+    val sh0 = df.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
+    val sh = if (persistIntermediate) sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sh0
     cands
       .join(sh.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(sh.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
@@ -146,7 +153,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       numHashes: Int = 64,
-      bands: Int = 16
+      bands: Int = 16,
+      persistIntermediate: Boolean = false
   ): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
@@ -154,11 +162,12 @@ object Dedup {
       col(idCol).as("__id"),
       array_sort(transform(wordShingles(tokens(col(textCol)), n), s => xxhash64(s))).as("__sh")
     )
-    val sig = base.select(
+    val sig0 = base.select(
       col("__id"),
       col("__sh"),
       minhashFromHashes(col("__sh"), numHashes).as("__sig")
     )
+    val sig = if (persistIntermediate) sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sig0
     val banded = sig.select(
       col("__id"),
       posexplode(
