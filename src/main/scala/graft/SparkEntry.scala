@@ -337,7 +337,7 @@ object SparkEntry {
     "doc_containment" -> ((s, dir) =>
       graft.operators.Dedup
         .containmentCandidates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          minShared = 50)
+          minShared = 50, maxBucket = 200)
         .orderBy(col("id1"), col("id2"))),
 
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---

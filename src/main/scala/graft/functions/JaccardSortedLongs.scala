@@ -35,6 +35,46 @@ object JaccardImpl {
   }
 }
 
+object IntersectImpl {
+  /** Intersection size of two sorted distinct long arrays (merge walk). */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** `intersect_count_sorted(array<long>, array<long>) -> int`, codegen'd. */
+case class IntersectCountSortedLongs(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"intersect_count_sorted requires two array<long>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectImpl.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectImpl.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectCountSortedLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `jaccard_sorted(array<long>, array<long>) -> double`, codegen'd. */
 case class JaccardSortedLongs(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -211,21 +211,39 @@ object Dedup {
       minShared: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val fp = df.select(
+    // candidates-then-verify: pairs are DISCOVERED through fingerprints
+    // whose bucket is <= maxBucket (join volume Σ rare-bucket² stays
+    // bounded even on degenerate corpora), then the shared-fingerprint
+    // count is VERIFIED exactly on the full per-doc fingerprint arrays
+    // with a native merge walk — so popular fingerprints still count
+    // toward minShared, they just can't be the discovery channel. A
+    // pair is missed only if it shares NO fingerprint rarer than
+    // maxBucket docs.
+    val fpArrays = df.select(
       col(idCol).as("__id"),
-      explode(winnowFingerprints(col(textCol), shingleK, windowW)).as("__fp")
-    )
+      array_sort(winnowFingerprints(col(textCol), shingleK, windowW)).as("__fps")
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = fpArrays.select(col("__id"), explode(col("__fps")).as("__fp"))
     val bounded = fp
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__fp"))))
       .where(col("__n") <= maxBucket)
       .drop("__n")
     val l = bounded.select(col("__fp"), col("__id").as("id1"))
     val r = bounded.select(col("__fp"), col("__id").as("id2"))
-    l.join(r, Seq("__fp"))
+    val cands = l.join(r, Seq("__fp"))
       .where(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("shared_fingerprints"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    import org.apache.spark.sql.graft.ColumnBridge
+    def intersectCount(a: Column, b: Column): Column =
+      ColumnBridge.column(graft.functions.IntersectCountSortedLongs(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    cands
+      .join(fpArrays.select(col("__id").as("id1"), col("__fps").as("__f1")), "id1")
+      .join(fpArrays.select(col("__id").as("id2"), col("__fps").as("__f2")), "id2")
+      .withColumn("shared_fingerprints", intersectCount(col("__f1"), col("__f2")).cast("long"))
       .where(col("shared_fingerprints") >= minShared)
+      .select(col("id1"), col("id2"), col("shared_fingerprints"))
   }
 
   /** SimHash near-dup: 64-bit SimHash per doc, LSH by splitting into
