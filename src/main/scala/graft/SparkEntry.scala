@@ -223,6 +223,26 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // --- TPC-H Q5-shaped 5-way join across the whole star schema ---
+    "rel_q5" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet").where(col("o_orderstatus") =!= "P")
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      region
+        .join(nation, region("r_regionkey") === nation("n_regionkey"))
+        .join(customer, nation("n_nationkey") === customer("c_nationkey"))
+        .join(orders, customer("c_custkey") === orders("o_custkey"))
+        .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_lineitems"),
+          sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
     // --- window top-3 per segment on customer ---
     "rel_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -353,7 +373,8 @@ object SparkEntry {
     "emb_knn_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity
-        .ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10, nCentroids = 16, nProbe = 6)
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nCentroids = 16, nProbe = 6, kmeansIterations = 2)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -527,6 +548,16 @@ object SparkEntry {
          FROM c a JOIN c b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
          ORDER BY id1, id2""",
+    "rel_q5" ->
+      """SELECT r_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus <> 'P'
+         GROUP BY r_name ORDER BY r_name""",
     "rel_window" ->
       """SELECT c_mktsegment, c_custkey, rn FROM (
            SELECT c_mktsegment, c_custkey,

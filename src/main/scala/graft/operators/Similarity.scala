@@ -94,13 +94,75 @@ object Similarity {
       )
   }
 
+  /** Distributed Lloyd k-means over an embedding column: initialize
+    * from the `k` lowest-id vectors (deterministic), then iterate
+    * assign (broadcast centroids, argmax cosine) → recompute means
+    * (partial aggregation; one shuffle of k×dim partial sums per
+    * iteration — corpus is never collected). Returns the centroids.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 3
+  ): Seq[Seq[Double]] = {
+    val c = corpus.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v")
+    )
+    var centroids: Seq[Seq[Double]] =
+      c.orderBy(col("__id")).limit(k).collect().map(_.getSeq[Double](1)).toSeq
+    var iter = 0
+    while (iter < iterations) {
+      val centLit = typedlit(centroids)
+      val nC = centroids.size
+      val assigned = c.withColumn(
+        "__bucket",
+        nearestCentroidIdx(col("__v"), centLit, nC)
+      )
+      // mean per bucket: aggregate per-dimension sums via posexplode
+      // (partial map-side aggregation keeps the shuffle at k×dim rows)
+      val sums = assigned
+        .select(col("__bucket"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("__bucket"), col("__dim"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byBucket = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { b =>
+        byBucket.get(b) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          case None => centroids(b) // empty cluster keeps its centroid
+        }
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  private def nearestCentroidIdx(vec: Column, centLit: Column, nCentroids: Int): Column =
+    slice(
+      transform(
+        array_sort(
+          zip_with(
+            transform(centLit, cv => dot(vec, cv) / greatest(norm(vec) * norm(cv), lit(1e-12))),
+            sequence(lit(0), lit(nCentroids - 1)),
+            (sim, idx) => struct((-sim).as("neg"), idx.as("idx"))
+          )
+        ),
+        s => s.getField("idx")
+      ),
+      1, 1
+    ).getItem(0)
+
   /** IVF-style ANN: corpus vectors are bucketed by nearest centroid;
     * each query probes only its `nProbe` closest centroid buckets, so
-    * the scan touches ~nProbe/nCentroids of the corpus. Centroids here
-    * are a deterministic sample of the corpus (the first `nCentroids`
-    * ids) — a production pipeline would run k-means iterations, which
-    * only changes how the centroid table is produced, not the query
-    * plan shape (bucket join + bounded top-k).
+    * the scan touches ~nProbe/nCentroids of the corpus. Centroids come
+    * from [[kmeansCentroids]] when `kmeansIterations > 0`, else a
+    * deterministic sample (the `nCentroids` lowest-id vectors); either
+    * way the query plan shape is the same (bucket join + bounded
+    * top-k).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -109,16 +171,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      kmeansIterations: Int = 0
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("nid"),
       transform(col(vecCol), x => x.cast("double")).as("cvec")
     )
-    // deterministic "training": lowest-id vectors are the centroids
-    val centroids = c.orderBy(col("nid")).limit(nCentroids).collect().map { r =>
-      r.getSeq[Double](1)
-    }.toSeq
+    val centroids =
+      if (kmeansIterations > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIterations)
+      else // deterministic sample: lowest-id vectors
+        c.orderBy(col("nid")).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
+    // a corpus smaller than nCentroids yields fewer centroids; clamp so
+    // bucket indexing never zips past the centroid array
+    val nCent = centroids.size
     val centLit = typedlit(centroids)
     def nearestBuckets(vec: Column, n: Int): Column =
       slice(
@@ -126,7 +193,7 @@ object Similarity {
           array_sort(
             zip_with(
               transform(centLit, cv => dot(vec, cv) / greatest(norm(vec) * norm(cv), lit(1e-12))),
-              sequence(lit(0), lit(nCentroids - 1)),
+              sequence(lit(0), lit(nCent - 1)),
               (sim, idx) => struct((-sim).as("neg"), idx.as("idx"))
             )
           ),

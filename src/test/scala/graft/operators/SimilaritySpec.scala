@@ -50,6 +50,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansCentroids converges to valid centroids; k-means IVF recall >= sampled-centroid IVF") {
+    val queries = emb.where($"vec_id" < 5)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iterations = 2)
+    assert(cents.size == 16 && cents.forall(_.size == 64))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val rs = expected.map { case (q, exp) => exp.count(got.getOrElse(q, Set.empty)).toDouble / exp.size }
+      rs.sum / rs.size
+    }
+    val sampled = recallOf(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, 16, 6))
+    val trained = recallOf(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, 16, 6, kmeansIterations = 2))
+    withClue(s"sampled=$sampled trained=$trained") {
+      assert(trained >= sampled - 0.15) // trained should be at least comparable
+      assert(trained >= 0.5)
+    }
+  }
+
   test("ivfTopK achieves reasonable recall against brute force") {
     val queries = emb.where($"vec_id" < 5)
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, nCentroids = 16, nProbe = 6)
