@@ -111,10 +111,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-duplicate pairs, MinHash-LSH recall + exact n-gram Jaccard
-    * verification: candidates from the bucket join, then true
-    * char-shingle Jaccard computed only on candidates.
-    * Returns (id1, id2, jaccard) with jaccard >= threshold.
+  /** Near-duplicate pairs, MinHash-LSH recall + exact char-shingle
+    * Jaccard verification: candidates from the bucket join, then true
+    * set Jaccard (on hashed shingles, native merge walk) computed only
+    * on candidates. Returns (id1, id2, jaccard) with jaccard >= threshold.
     */
   def nearDuplicates(
       df: DataFrame,
@@ -189,18 +189,17 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
   }
 
-  /** Partial-overlap (containment) candidates via winnowing
-    * fingerprints: documents sharing >= `minShared` selected
-    * fingerprints — catches a document embedded inside another, which
-    * whole-document jaccard misses. Fingerprint explode + self-join on
-    * the fingerprint value (bounded by `maxBucket` docs per
-    * fingerprint), one shuffle on the fingerprint key.
+  /** Partial-overlap (containment) pairs via winnowing fingerprints:
+    * documents sharing >= `minShared` fingerprints — catches a document
+    * embedded inside another, which whole-document jaccard misses.
     *
-    * Scale note: join volume is Σ over fingerprints of bucket². On
-    * natural text fingerprints are near-unique and this is ~linear; on
-    * degenerate corpora (tiny shared vocabulary) buckets fatten and
-    * `maxBucket` becomes the safety valve — lower it to trade recall on
-    * common content for bounded work.
+    * Candidates-then-verify: pairs are discovered through fingerprints
+    * appearing in <= `maxBucket` documents (join volume Σ rare-bucket²
+    * stays bounded even on degenerate corpora), then the shared count
+    * is verified exactly on the full per-doc fingerprint arrays with a
+    * native merge walk — popular fingerprints still count toward
+    * `minShared`, they just can't be the discovery channel. A pair is
+    * missed only if it shares no fingerprint rarer than `maxBucket`.
     */
   def containmentCandidates(
       df: DataFrame,
@@ -211,14 +210,6 @@ object Dedup {
       minShared: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
-    // candidates-then-verify: pairs are DISCOVERED through fingerprints
-    // whose bucket is <= maxBucket (join volume Σ rare-bucket² stays
-    // bounded even on degenerate corpora), then the shared-fingerprint
-    // count is VERIFIED exactly on the full per-doc fingerprint arrays
-    // with a native merge walk — so popular fingerprints still count
-    // toward minShared, they just can't be the discovery channel. A
-    // pair is missed only if it shares NO fingerprint rarer than
-    // maxBucket docs.
     val fpArrays = df.select(
       col(idCol).as("__id"),
       array_sort(winnowFingerprints(col(textCol), shingleK, windowW)).as("__fps")
@@ -300,9 +291,9 @@ object Dedup {
     val r = base.select(col("__bucket"), col("__id").as("id2"), col("__v").as("__v2"))
     l.join(r, Seq("__bucket"))
       .where(col("id1") < col("id2"))
-      .withColumn("cosine", round(Similarity.cosine(col("__v1"), col("__v2")), 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id1"), col("id2"), col("cosine"))
+      .withColumn("__cos", Similarity.cosine(col("__v1"), col("__v2")))
+      .where(col("__cos") >= threshold) // filter raw, round only for output
+      .select(col("id1"), col("id2"), round(col("__cos"), 6).as("cosine"))
       .distinct()
   }
 }
