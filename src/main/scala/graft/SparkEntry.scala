@@ -292,6 +292,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          graft.functions.TextFunctions.bpeTokenCountApprox(col("text")).as("n_bpe"),
           regexp_count(col("text"), lit("[.,!?;:]")).as("n_punct"),
           length(col("text")).as("len_chars"))
         .orderBy(col("doc_id"))),
@@ -412,12 +413,13 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // --- multimodal plumbing: stub decode over binary payloads ---
+    // --- multimodal plumbing: stub decode + resize over binary payloads ---
     "mm_decode" -> ((s, dir) => {
       val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-      graft.operators.Multimodal.decodeStub(s, media)
-        .toDF()
-        .select(col("media_id"), col("width"), col("height"), col("channels"), col("size_bytes"))
+      graft.operators.Multimodal
+        .resizeMeta(graft.operators.Multimodal.decodeStub(s, media).toDF(), maxDim = 512)
+        .select(col("media_id"), col("width"), col("height"), col("channels"), col("size_bytes"),
+          col("resized_width"), col("resized_height"))
         .orderBy(col("media_id"))
     })
   )
@@ -568,6 +570,7 @@ object SparkEntry {
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '\p{L}{1,4}|\p{N}|[^\p{L}\p{N}\s]')) AS INT) AS n_bpe,
          CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
          CAST(length(text) AS INT) AS len_chars
          FROM documents ORDER BY doc_id""",

@@ -18,11 +18,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}']+"), lit(0))
 
-  /** Whitespace-delimited token count (a BPE-ish proxy is `length/4`;
-    * this is the exact whitespace tokenization).
-    */
+  /** Whitespace-delimited token count (exact whitespace tokenization). */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword token count proxy: letter runs are split into
+    * <=4-char chunks, digits and punctuation count one token each —
+    * the usual cheap budget estimator when the real tokenizer is too
+    * expensive to run at corpus scale.
+    */
+  def bpeTokenCountApprox(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}{1,4}|\\p{N}|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** Character k-shingles (distinct), the MinHash input set. Texts
     * shorter than k yield the whole text as a single shingle.

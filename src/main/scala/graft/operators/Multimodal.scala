@@ -72,6 +72,20 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(_.map(fakeDecode))
   }
 
+  /** "Resize": scale decoded dimensions so the longer side is at most
+    * `maxDim`, preserving aspect ratio — metadata-only here (the stub
+    * has no pixels), but the column math and schema are exactly what a
+    * real resize step maintains alongside the re-encoded payload.
+    */
+  def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val scale = when(longSide > maxDim, lit(maxDim).cast("double") / longSide.cast("double"))
+      .otherwise(lit(1.0))
+    decoded
+      .withColumn("resized_width", floor(col("width") * scale).cast("int"))
+      .withColumn("resized_height", floor(col("height") * scale).cast("int"))
+  }
+
   /** "Frame sampling": split the payload into `n` equal byte chunks
     * (standing in for video frame extraction) — pure column functions,
     * stays in codegen.

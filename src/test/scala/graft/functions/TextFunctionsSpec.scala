@@ -85,6 +85,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(scores("clean") > scores("junk"))
   }
 
+  test("bpeTokenCountApprox splits letter runs into <=4-char chunks, counts digits/punct singly") {
+    val counts = Seq("hello", "a b", "12.5!", "internationalization").toDF("text")
+      .select(TextFunctions.bpeTokenCountApprox($"text")).collect().map(_.getInt(0))
+    // hello -> hell+o (2); a b -> 2; 12.5! -> 1,2,.,5,! (5); 20 letters -> 5 chunks
+    assert(counts.toSeq == Seq(2, 2, 5, 5))
+  }
+
   test("fingerprint64 is deterministic and content-sensitive") {
     val fp = Seq("x", "x", "y").toDF("text")
       .select(TextFunctions.fingerprint64($"text")).collect().map(_.getLong(0))

@@ -32,6 +32,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sizes.count() == 0)
   }
 
+  test("resizeMeta caps the long side at maxDim preserving aspect ratio") {
+    val decoded = Multimodal.decodeStub(spark, media).toDF()
+    val resized = Multimodal.resizeMeta(decoded, maxDim = 256)
+    val bad = resized.where(
+      greatest($"resized_width", $"resized_height") > 256 ||
+        ($"width" <= 256 && $"height" <= 256 &&
+          ($"resized_width" =!= $"width" || $"resized_height" =!= $"height")))
+    assert(bad.count() == 0)
+  }
+
   test("frameSample chunks reassemble the payload") {
     val framed = Multimodal.frameSample(media, 4)
       .select($"media_id", $"payload", concat($"frames"(0), $"frames"(1), $"frames"(2), $"frames"(3)).as("reassembled"))
