@@ -134,6 +134,13 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // --- prefix scan (LIKE 'p%'): the canonical Bigtable access pattern ---
+    "bt_prefix" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").like("000%"))
+        .select(col("n_key"), col("n_name"))
+        .orderBy(col("n_key"))),
+
     // --- §2B CUBE / grouping sets over the connector ---
     "bt_cube" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -486,6 +493,10 @@ object SparkEntry {
     "bt_rollup" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",
+    "bt_prefix" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation WHERE lpad(CAST(n_nationkey AS VARCHAR), 4, '0') LIKE '000%'
+         ORDER BY n_key""",
     "bt_cube" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, substr(n_name, 1, 1) AS initial,
          count(*) AS cnt

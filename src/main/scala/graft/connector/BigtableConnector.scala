@@ -94,6 +94,7 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
       case org.apache.spark.sql.sources.In(c, _)                          => cfg.isPartitionCol(c)
       case org.apache.spark.sql.sources.GreaterThanOrEqual(c, _: String)  => c == tailCol
       case org.apache.spark.sql.sources.LessThanOrEqual(c, _: String)     => c == tailCol
+      case org.apache.spark.sql.sources.StringStartsWith(c, _)            => c == tailCol
       case _                                                              => false
     }
   }

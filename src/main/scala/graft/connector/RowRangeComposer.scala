@@ -58,6 +58,10 @@ object RowRangeComposer {
     // tail-column bounds from >= / <= (re-fused BETWEEN, composer.rs:224-248)
     var tailLo: Option[String] = None
     var tailHi: Option[String] = None
+    // tail-column prefix from LIKE 'p%' — the canonical Bigtable prefix
+    // scan (not in the reference; ASCII prefixes only so the successor
+    // bound stays exact in UTF-8 byte order)
+    var tailPrefix: Option[String] = None
     val tailCol = cfg.partitionCols.last
 
     conjuncts.foreach {
@@ -69,6 +73,9 @@ object RowRangeComposer {
         tailLo = Some(tailLo.fold(v)(cur => if (RowRange.compareKeys(v, cur) > 0) v else cur))
       case LessThanOrEqual(col, v: String) if col == tailCol =>
         tailHi = Some(tailHi.fold(v)(cur => if (RowRange.compareKeys(v, cur) < 0) v else cur))
+      case StringStartsWith(col, p) if col == tailCol && p.nonEmpty && p.forall(_ < 0x80) =>
+        // keep the longest prefix if several are pushed
+        tailPrefix = Some(tailPrefix.fold(p)(cur => if (p.length > cur.length) p else cur))
       case _ => () // residual-only filter; Spark re-applies it above the scan
     }
 
@@ -83,7 +90,7 @@ object RowRangeComposer {
     }
 
     val constrained = cfg.partitionCols.map(c => perCol.contains(c))
-    val tailByRange = tailRange.isDefined && !perCol.contains(tailCol)
+    val tailByRange = (tailRange.isDefined || tailPrefix.isDefined) && !perCol.contains(tailCol)
 
     val fullyConstrained =
       constrained.forall(identity) || (constrained.init.forall(identity) && tailByRange)
@@ -112,16 +119,34 @@ object RowRangeComposer {
 
     val ranges =
       if (tailByRange) {
-        val (lo, hi) = tailRange.get
         prefixes.map { p =>
-          val prefix = if (p.isEmpty) "" else p.mkString("", cfg.separator, cfg.separator)
-          RowRange.closed(prefix + lo, prefix + hi)
+          val keyPrefix = if (p.isEmpty) "" else p.mkString("", cfg.separator, cfg.separator)
+          (tailRange, tailPrefix) match {
+            case (Some((lo, hi)), _) => RowRange.closed(keyPrefix + lo, keyPrefix + hi)
+            case (None, Some(pre)) =>
+              // prefix scan: [prefix, successor(prefix)) — exact for
+              // ASCII prefixes in UTF-8 byte order
+              prefixSuccessor(keyPrefix + pre) match {
+                case Some(succ) => RowRange.closedOpen(keyPrefix + pre, succ)
+                case None       => RowRange(keyPrefix + pre, None, endInclusive = false)
+              }
+            case _ => throw new IllegalStateException("tailByRange without bounds")
+          }
         }
       } else {
         prefixes.map(p => RowRange.point(p.mkString(cfg.separator)))
       }
 
     RowRange.normalize(ranges)
+  }
+
+  /** Smallest string greater than every string with the given prefix
+    * (Bigtable's prefixSuccessor): increment the last non-max char,
+    * truncate the rest; None if the prefix is all max chars.
+    */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != '￿')
+    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
   private def flattenAnd(f: Filter): Seq[Filter] = f match {

@@ -174,6 +174,22 @@ class BigtableConnectorSpec extends AnyFunSuite {
     assert(keys.sorted.toSeq == Fixtures.BalloonRows.map(_._1))
   }
 
+  test("prefix scan: LIKE 'prefix%' composes a range and returns exact rows") {
+    simple
+    val rows = spark
+      .sql("""SELECT `_row_key`, pressure FROM weather_balloons
+              WHERE `_row_key` LIKE 'us-west2#3698#2021-03-05-120%'
+              ORDER BY `_row_key`""")
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).toSeq == Fixtures.BalloonRows.map(_._1))
+    // narrower prefix
+    val one = spark
+      .sql("SELECT pressure FROM weather_balloons WHERE `_row_key` LIKE 'us-west2#3698#2021-03-05-1203%'")
+      .collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(96025L))
+  }
+
   test("CREATE TABLE ... USING bigtable registers through SQL DDL (register_table analogue)") {
     Fixtures.ensureSeeded()
     spark.sql("DROP TABLE IF EXISTS wb_ddl")

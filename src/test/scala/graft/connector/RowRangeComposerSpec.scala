@@ -118,6 +118,24 @@ class RowRangeComposerSpec extends AnyFunSuite {
     assert(RowRangeComposer.composeRowFilters(simple, Nil).size == 2)
   }
 
+  test("prefix scan: LIKE 'p%' on the tail col → [prefix, successor) range") {
+    val r = RowRangeComposer.composeRanges(simple, Seq(StringStartsWith("_row_key", "us-west")))
+    assert(r == Vector(RowRange.closedOpen("us-west", "us-wesu")))
+  }
+
+  test("prefix scan: composite prefix joins ahead of the tail prefix") {
+    val r = RowRangeComposer.composeRanges(
+      composite,
+      Seq(EqualTo("region", "us"), EqualTo("balloon_id", "3698"), StringStartsWith("event_minute", "2021-03")))
+    assert(r == Vector(RowRange.closedOpen("us#3698#2021-03", "us#3698#2021-04")))
+  }
+
+  test("prefix scan: non-ASCII prefix is ignored (guard still fires)") {
+    intercept[RowRangeComposer.MissingKeyFilterException] {
+      RowRangeComposer.composeRanges(simple, Seq(StringStartsWith("_row_key", "日本")))
+    }
+  }
+
   test("timestamp-range pushdown: bounds on _timestamp become a (lo, hi] µs window") {
     val t1 = java.time.Instant.ofEpochSecond(1614945605L, 100000000L) // ...605.1
     val t2 = java.time.Instant.ofEpochSecond(1614945725L, 300000000L) // ...725.3
