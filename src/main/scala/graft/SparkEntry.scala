@@ -134,6 +134,13 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // --- OR of key predicates → range union (beyond the reference) ---
+    "bt_or" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key") === "0003" || col("n_key").between("0010", "0013"))
+        .select(col("n_key"), col("n_name"))
+        .orderBy(col("n_key"))),
+
     // --- prefix scan (LIKE 'p%'): the canonical Bigtable access pattern ---
     "bt_prefix" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -493,6 +500,10 @@ object SparkEntry {
     "bt_rollup" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",
+    "bt_or" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation WHERE n_nationkey = 3 OR n_nationkey BETWEEN 10 AND 13
+         ORDER BY n_key""",
     "bt_prefix" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE lpad(CAST(n_nationkey AS VARCHAR), 4, '0') LIKE '000%'

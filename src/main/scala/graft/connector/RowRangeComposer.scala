@@ -50,8 +50,30 @@ object RowRangeComposer {
   // Partition pruning: filters → ranges
   // ---------------------------------------------------------------------
 
+  /** Disjunction handling (beyond the reference, which ignores OR
+    * entirely): if the conjuncts alone can't compose, try splitting ONE
+    * Or conjunct — `A AND (B OR C)` composes as
+    * `compose(A, B) ∪ compose(A, C)`. Recursive, so nested
+    * disjunctions of key predicates (e.g. `key='a' OR key BETWEEN ...`)
+    * become range unions. Residual filtering keeps exactness (A14).
+    */
   def composeRanges(cfg: BigtableConfig, filters: Seq[Filter]): Vector[RowRange] = {
     val conjuncts = filters.flatMap(flattenAnd)
+    try composeConjuncts(cfg, conjuncts)
+    catch {
+      case e: MissingKeyFilterException =>
+        val orIdx = conjuncts.indexWhere(_.isInstanceOf[Or])
+        if (orIdx < 0) throw e
+        else {
+          val Or(lhs, rhs) = conjuncts(orIdx): @unchecked
+          val rest = conjuncts.patch(orIdx, Nil, 1)
+          RowRange.normalize(
+            composeRanges(cfg, rest :+ lhs) ++ composeRanges(cfg, rest :+ rhs))
+        }
+    }
+  }
+
+  private def composeConjuncts(cfg: BigtableConfig, conjuncts: Seq[Filter]): Vector[RowRange] = {
 
     // per-column exact values from = / IN (composer.rs:163-222)
     val values = scala.collection.mutable.Map.empty[String, Vector[String]]

@@ -174,6 +174,20 @@ class BigtableConnectorSpec extends AnyFunSuite {
     assert(keys.sorted.toSeq == Fixtures.BalloonRows.map(_._1))
   }
 
+  test("OR of key predicates runs end-to-end as a range union") {
+    simple
+    val rows = spark
+      .sql("""SELECT `_row_key`, pressure FROM weather_balloons
+              WHERE `_row_key` = 'us-west2#3698#2021-03-05-1200'
+                 OR `_row_key` BETWEEN 'us-west2#3698#2021-03-05-1203' AND 'us-west2#3698#2021-03-05-1204'
+              ORDER BY `_row_key`""")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("us-west2#3698#2021-03-05-1200", 94558L),
+      ("us-west2#3698#2021-03-05-1203", 96025L),
+      ("us-west2#3698#2021-03-05-1204", 96021L)))
+  }
+
   test("prefix scan: LIKE 'prefix%' composes a range and returns exact rows") {
     simple
     val rows = spark

@@ -118,6 +118,29 @@ class RowRangeComposerSpec extends AnyFunSuite {
     assert(RowRangeComposer.composeRowFilters(simple, Nil).size == 2)
   }
 
+  test("OR of key predicates composes as a range union") {
+    val r = RowRangeComposer.composeRanges(
+      simple, Seq(Or(EqualTo("_row_key", "ka"), EqualTo("_row_key", "kz"))))
+    assert(r == Vector(RowRange.point("ka"), RowRange.point("kz")))
+  }
+
+  test("OR mixes shapes: equality OR (re-fused) range, under a shared conjunct") {
+    val r = RowRangeComposer.composeRanges(
+      composite,
+      Seq(
+        EqualTo("region", "us"), EqualTo("balloon_id", "1"),
+        Or(EqualTo("event_minute", "m9"),
+          And(GreaterThanOrEqual("event_minute", "m1"), LessThanOrEqual("event_minute", "m3")))))
+    assert(r == Vector(RowRange.closed("us#1#m1", "us#1#m3"), RowRange.point("us#1#m9")))
+  }
+
+  test("OR with a non-composable branch still fails the guard") {
+    intercept[RowRangeComposer.MissingKeyFilterException] {
+      RowRangeComposer.composeRanges(
+        simple, Seq(Or(EqualTo("_row_key", "ka"), GreaterThan("pressure", 5L))))
+    }
+  }
+
   test("prefix scan: LIKE 'p%' on the tail col → [prefix, successor) range") {
     val r = RowRangeComposer.composeRanges(simple, Seq(StringStartsWith("_row_key", "us-west")))
     assert(r == Vector(RowRange.closedOpen("us-west", "us-wesu")))
