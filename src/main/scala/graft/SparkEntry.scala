@@ -106,6 +106,27 @@ object SparkEntry {
       a.union(b).distinct().orderBy(col("n_key"))
     }),
 
+    // --- §2B INTERSECT / EXCEPT over two connector key ranges ---
+    "bt_intersect" -> ((s, dir) => {
+      val a = GraftTables.nation(s, dir).where(col("n_key").between("0000", "0008")).select(col("n_key"))
+      val b = GraftTables.nation(s, dir).where(col("n_key").between("0005", "0015")).select(col("n_key"))
+      a.intersect(b).orderBy(col("n_key"))
+    }),
+    "bt_except" -> ((s, dir) => {
+      val a = GraftTables.nation(s, dir).where(col("n_key").between("0000", "0008")).select(col("n_key"))
+      val b = GraftTables.nation(s, dir).where(col("n_key").between("0005", "0015")).select(col("n_key"))
+      a.except(b).orderBy(col("n_key"))
+    }),
+
+    // --- §2B date/time functions on the relational surface ---
+    "rel_dates" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("yr"), col("qtr"))),
+
     // --- §2A A13 version explosion: onlyReadLatest=false (execute_plan.rs:223-271) ---
     "bt_versions" -> ((s, dir) =>
       GraftTables.eventsAllVersions(s, dir)
@@ -485,6 +506,24 @@ object SparkEntry {
          SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key
          FROM nation WHERE n_nationkey BETWEEN 3 AND 8
          ORDER BY n_key""",
+    "bt_intersect" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key FROM nation
+         WHERE n_nationkey BETWEEN 0 AND 8
+         INTERSECT
+         SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key FROM nation
+         WHERE n_nationkey BETWEEN 5 AND 15
+         ORDER BY n_key""",
+    "bt_except" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key FROM nation
+         WHERE n_nationkey BETWEEN 0 AND 8
+         EXCEPT
+         SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key FROM nation
+         WHERE n_nationkey BETWEEN 5 AND 15
+         ORDER BY n_key""",
+    "rel_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr,
+         count(*) AS n_orders
+         FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""",
     "bt_versions" ->
       """SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type, value
          FROM events WHERE user_id IN (3, 7, 11)
