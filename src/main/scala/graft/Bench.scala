@@ -38,6 +38,10 @@ object Bench {
         case e: Throwable =>
           timings(name) = -1.0
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200)
+      } finally {
+        // drop per-query persisted intermediates (LSH signature frames
+        // etc.) so queries don't interfere through cache pressure
+        spark.catalog.clearCache()
       }
     }
     def q(s: String): String = "\"" + s.flatMap {

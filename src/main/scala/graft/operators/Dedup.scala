@@ -151,8 +151,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5,
-      numHashes: Int = 64,
+      threshold: Double = 0.7,
+      // r=8 rows/band puts the LSH S-curve threshold at (1/16)^(1/8)≈0.71,
+      // matching the default jaccard threshold; r=4 (the char-shingle
+      // default) would admit every pair above j≈0.5 as a candidate,
+      // which floods verification on corpora with high baseline overlap
+      numHashes: Int = 128,
       bands: Int = 16,
       persistIntermediate: Boolean = false
   ): DataFrame = {
