@@ -74,6 +74,7 @@ object GraftTables {
 
       BigtableStores.register(name, b.build())
     }
+    seeded += sfDir
   }
 
   private def reader(spark: SparkSession, sfDir: String) = {

@@ -347,18 +347,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // --- MinHash-LSH near-dup with exact jaccard verification ---
+    // banding r=6/b=20: S-curve midpoint (1/20)^(1/6)≈0.61, so recall at
+    // the 0.9 query threshold is 1-(1-0.9^6)^20 ≈ 1-2.6e-7 (safe for an
+    // exact-equality gate) while pairs below ~0.6 rarely reach verification
     "doc_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
         .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9,
-          persistIntermediate = true)
+          numHashes = 120, bands = 20, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
-    // --- word-ngram Jaccard near-dup (rows-only; shares the oracle'd
-    //     LSH machinery with doc_near_dup) ---
+    // --- word-ngram Jaccard near-dup: EXACT prefix-filtered set-
+    //     similarity join (AllPairs/PPJoin family) — recall 1 by
+    //     construction, so the exhaustive-oracle equality gate can't
+    //     flake at any threshold (the LSH variant stays available as
+    //     Dedup.ngramNearDuplicates for sub-threshold scale paths) ---
+    // hash-ordered prefixes (frequencyOrdered=false): this corpus's
+    // trigram document frequency is near-uniform (max 25), so the
+    // VernicaJoin stats pass would cost more than it prunes
     "doc_ngram_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
-        .ngramNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          n = 3, threshold = 0.7, persistIntermediate = true)
+        .ngramJaccardJoin(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          n = 3, threshold = 0.7, frequencyOrdered = false, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
     // --- salted aggregation over a skewed key (events per type) ---
@@ -393,7 +402,7 @@ object SparkEntry {
     "doc_containment" -> ((s, dir) =>
       graft.operators.Dedup
         .containmentCandidates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          minShared = 50, maxBucket = 200)
+          minShared = 50, maxBucket = 200, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---

@@ -85,18 +85,56 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
   }
 
   /** What `explain` shows as PushedFilters — only the ones the composer
-    * actually uses for pruning.
+    * actually uses for pruning (display-only; mirrors the acceptance
+    * conditions in [[RowRangeComposer.composeRanges]] so EXPLAIN never
+    * overstates pruning: tail bounds count only when both sides are
+    * present and the tail isn't equality-constrained; prefixes only when
+    * ASCII and non-empty; nothing counts if the composition fell back to
+    * a full scan). `_timestamp` bounds consumed by the cell-window
+    * pushdown are reported too.
     */
   override def pushedFilters(): Array[Filter] = {
+    import org.apache.spark.sql.sources._
+    val tsPushed = filters.filter(f => RowRangeComposer.composeTsRange(Seq(f)).isDefined)
+    val prunes =
+      try RowRangeComposer.composeRanges(cfg, filters.toSeq) != Vector(RowRange.full)
+      catch { case _: RowRangeComposer.MissingKeyFilterException => false }
+    if (!prunes) return tsPushed
+
     val tailCol = cfg.partitionCols.last
-    filters.filter {
-      case org.apache.spark.sql.sources.EqualTo(c, _: String)             => cfg.isPartitionCol(c)
-      case org.apache.spark.sql.sources.In(c, _)                          => cfg.isPartitionCol(c)
-      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, _: String)  => c == tailCol
-      case org.apache.spark.sql.sources.LessThanOrEqual(c, _: String)     => c == tailCol
-      case org.apache.spark.sql.sources.StringStartsWith(c, _)            => c == tailCol
-      case _                                                              => false
+    def eqInCol(f: Filter): Option[String] = f match {
+      case EqualTo(c, _: String) if cfg.isPartitionCol(c) => Some(c)
+      case In(c, vs) if cfg.isPartitionCol(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => Some(c)
+      case _ => None
     }
+    val eqInCols = filters.flatMap(eqInCol).toSet
+    val tailEq = eqInCols.contains(tailCol)
+    val hasLo = filters.exists { case GreaterThanOrEqual(c, _: String) => c == tailCol; case _ => false }
+    val hasHi = filters.exists { case LessThanOrEqual(c, _: String) => c == tailCol; case _ => false }
+    val useBounds = !tailEq && hasLo && hasHi
+    // prefixes are used only when no two-sided bound took precedence; any
+    // valid prefix is then implied by the composed (longest-prefix) range
+    val usePrefix = !tailEq && !useBounds
+    def validPrefix(f: Filter): Boolean = f match {
+      case StringStartsWith(c, p) => c == tailCol && p.nonEmpty && p.forall(_ < 0x80)
+      case _                      => false
+    }
+    val tailByRange = !tailEq && (useBounds || filters.exists(validPrefix))
+    val fullyViaConjuncts =
+      cfg.partitionCols.forall(eqInCols.contains) ||
+        (cfg.partitionCols.init.forall(eqInCols.contains) && tailByRange)
+    val keyPushed = filters.filter { f =>
+      eqInCol(f).isDefined || (f match {
+        case GreaterThanOrEqual(c, _: String) => useBounds && c == tailCol
+        case LessThanOrEqual(c, _: String)    => useBounds && c == tailCol
+        case s: StringStartsWith              => usePrefix && validPrefix(s)
+        // pruning succeeded only through the OR-split channel: the Or
+        // conjunct over key columns is what composed the range union
+        case o: Or => !fullyViaConjuncts && o.references.forall(cfg.isPartitionCol)
+        case _     => false
+      })
+    }
+    keyPushed ++ tsPushed
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -109,7 +147,7 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
     val requiredQualifiers = requiredSchema.fieldNames.toSeq.filter(cfg.isQualifier)
     val comp = RowRangeComposer.compose(cfg, filters.toSeq, requiredQualifiers)
     val tsRange = RowRangeComposer.composeTsRange(filters.toSeq)
-    new BigtableScan(cfg, requiredSchema, comp, tsRange, limit)
+    new BigtableScan(cfg, requiredSchema, comp, tsRange, limit, pushedFilters())
   }
 }
 
@@ -118,7 +156,8 @@ final class BigtableScan(
     requiredSchema: StructType,
     comp: RowRangeComposer.Composition,
     tsRange: Option[(Long, Long)] = None,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    pushed: Array[Filter] = Array.empty
 ) extends Scan
     with Batch
     with SupportsReportStatistics {
@@ -150,8 +189,11 @@ final class BigtableScan(
       .mkString(", ")
     val tsDesc = tsRange.map { case (lo, hi) => s" tsWindow=($lo, $hi]µs" }.getOrElse("")
     val limitDesc = limit.map(l => s" limit=$l").getOrElse("")
+    // DSv2 explain surfaces only Scan.description(): render the pushed
+    // list here (it already mirrors the composer's true acceptance)
+    val pushedDesc = s" PushedFilters: [${pushed.mkString(", ")}]"
     s"BigtableScan ${cfg.table} ranges=${comp.ranges.size} ($rangesDesc${if (comp.ranges.size > 4) ", …" else ""}) " +
-      s"rowFilters=${comp.rowFilters.size} cols=${requiredSchema.fieldNames.mkString(",")}$tsDesc$limitDesc"
+      s"rowFilters=${comp.rowFilters.size} cols=${requiredSchema.fieldNames.mkString(",")}$tsDesc$limitDesc$pushedDesc"
   }
 
   /** One InputPartition per split range group. Composed ranges are split

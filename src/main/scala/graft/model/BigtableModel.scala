@@ -89,8 +89,10 @@ object RowRange {
       val c = compareKeys(a.startKey, b.startKey)
       if (c != 0) c < 0
       else {
-        // wider range first so the fold below keeps it
+        // wider range first so the fold below keeps it; (None, None) must
+        // compare equal (not mutually "less") to keep the ordering strict-weak
         (a.endKey, b.endKey) match {
+          case (None, None)       => false
           case (None, _)          => true
           case (_, None)          => false
           case (Some(x), Some(y)) => compareKeys(x, y) > 0

@@ -12,6 +12,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Spread an under-partitioned input across the cluster before per-row
+    * heavy compute (shingling, hashing, minhashing). A small parquet
+    * file plans as ONE input partition, which serializes the whole map
+    * stage regardless of cluster size; at real scale inputs already have
+    * >= defaultParallelism partitions and this is a no-op (no shuffle).
+    * The decision reads logical-plan statistics (file sizes for scans) —
+    * never `.rdd`, which under AQE eagerly executes query stages.
+    */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(target.toLong) * 8L * 1024 * 1024
+    if (small) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep one row per distinct `keyCols` combination, the
     * one with the smallest `tieBreaker`. One hash shuffle on the key.
     */
@@ -81,11 +96,12 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      persistIntermediate: Boolean = false
   ): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
+    val sig = parallelize(df).select(
       col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleK, numHashes).as("__sig")
     )
@@ -99,10 +115,15 @@ object Dedup {
           )
         ).as(Seq("__band", "__bucket"))
       )
-    val bounded = banded
+    val bounded0 = banded
       .withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bucket"))))
       .where(col("__bucket_n") <= maxBucket)
       .drop("__bucket_n")
+    // both sides of the bucket self-join read this — persist so the
+    // shingle+minhash map stage and the bucket-count shuffle run once
+    val bounded =
+      if (persistIntermediate) bounded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bounded0
     val l = bounded.select(col("__band"), col("__bucket"), col("__id").as("id1"))
     val r = bounded.select(col("__band"), col("__bucket"), col("__id").as("id2"))
     l.join(r, Seq("__band", "__bucket"))
@@ -131,8 +152,10 @@ object Dedup {
         */
       persistIntermediate: Boolean = false
   ): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-    val sh0 = df.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
+    val pdf = parallelize(df)
+    val cands = minhashCandidates(pdf, idCol, textCol, shingleK, numHashes, bands,
+      persistIntermediate = persistIntermediate)
+    val sh0 = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
     val sh = if (persistIntermediate) sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sh0
     cands
       .join(sh.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
@@ -142,9 +165,115 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
   }
 
+  /** EXACT Jaccard set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family in its distributed (MapReduce) formulation
+    * (Vernica, Carey, Li — SIGMOD 2010). Unlike the LSH variants, recall
+    * is exactly 1 by construction, so results can be gated against an
+    * exhaustive oracle with equality, at any threshold:
+    *
+    *   1. global token order = ascending document frequency (rarest
+    *      first), ties by token value — one shuffle to count, one
+    *      broadcast-sized join back;
+    *   2. prefix filter: a pair with jaccard >= t MUST share a token in
+    *      the first `|s| - ceil(t*|s|) + 1` tokens of each side's
+    *      frequency-ordered list, so only prefix tokens enter the
+    *      inverted-index self-join — rare tokens, tiny buckets;
+    *   3. size filter: `t*|a| <= |b| && t*|b| <= |a|` prunes candidates
+    *      before verification;
+    *   4. exact verification with the native sorted-merge jaccard.
+    *
+    * `setCol` is any array column; elements are hashed to 64 bits and
+    * deduplicated, so jaccard is over the element *set*. Scale shape:
+    * two hash shuffles (df count + prefix join) and a bounded-fanout
+    * bucket join — never all-pairs.
+    */
+  def exactJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double,
+      /** Order tokens by ascending global document frequency (the
+        * VernicaJoin stats pass: one count shuffle + a join + a per-doc
+        * window). Minimizes candidates on Zipfian corpora — the 100 TB
+        * default. `false` orders by token hash instead: the prefix is
+        * then just a `slice` of the already-sorted array — no stats
+        * pass, no extra shuffle — at the cost of more candidates when
+        * token frequencies are very skewed.
+        */
+      frequencyOrdered: Boolean = true,
+      persistIntermediate: Boolean = false
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold must be in (0, 1]")
+    def maybePersist(d: DataFrame): DataFrame =
+      if (persistIntermediate) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+    // epsilon guards: filter-side thresholds are slack so FP rounding can
+    // only ADMIT extra candidates (verification is exact), never drop one
+    val eps = 1e-9
+    val base = maybePersist(
+      parallelize(df).select(
+        col(idCol).as("__id"),
+        array_sort(array_distinct(transform(col(setCol), e => xxhash64(e)))).as("__sh")
+      ).withColumn("__sz", size(col("__sh"))))
+    // prefix length per doc: |s| - ceil(t*|s|) + 1
+    val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold) - lit(eps)) + 1).cast("int")
+    val prefix = maybePersist(
+      if (frequencyOrdered) {
+        val tok = base.select(col("__id"), col("__sz"), explode(col("__sh")).as("__t"))
+        val dfc = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+        val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t"))
+        tok.join(dfc, "__t")
+          .withColumn("__r", row_number().over(w))
+          .where(col("__r") <= prefLen)
+          .select(col("__t"), col("__id"), col("__sz"))
+      } else {
+        base.select(col("__id"), col("__sz"), explode(slice(col("__sh"), lit(1), prefLen)).as("__t"))
+          .select(col("__t"), col("__id"), col("__sz"))
+      })
+    val l = prefix.select(col("__t"), col("__id").as("id1"), col("__sz").as("__sz1"))
+    val r = prefix.select(col("__t"), col("__id").as("id2"), col("__sz").as("__sz2"))
+    val cands = l.join(r, Seq("__t"))
+      .where(col("id1") < col("id2") &&
+        col("__sz1") * lit(threshold) <= col("__sz2") + lit(eps) &&
+        col("__sz2") * lit(threshold) <= col("__sz1") + lit(eps))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    cands
+      .join(base.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")
+      .join(base.select(col("__id").as("id2"), col("__sh").as("__sh2")), "id2")
+      .withColumn("__j", jaccardSortedCol(col("__sh1"), col("__sh2")))
+      .where(col("__j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** Exact word-ngram Jaccard join over raw text: tokenize, build word
+    * n-gram shingles, then [[exactJaccardJoin]]. The recall-1 companion
+    * to [[ngramNearDuplicates]] — same semantics, exhaustive-oracle
+    * gateable at any threshold.
+    */
+  def ngramJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.7,
+      frequencyOrdered: Boolean = true,
+      persistIntermediate: Boolean = false
+  ): DataFrame =
+    // parallelize BEFORE projecting the grams: projections don't get
+    // pushed through a repartition exchange, so spreading must happen
+    // while the heavy shingle compute is still upstream of it
+    exactJaccardJoin(
+      parallelize(df).select(col(idCol), wordShingles(tokens(col(textCol)), n).as("__grams")),
+      idCol, "__grams", threshold, frequencyOrdered, persistIntermediate)
+
   /** N-gram (word-shingle) Jaccard near-dup: same LSH recall shape but
     * over word n-grams — catches re-ordered / lightly-edited documents
     * where char shingles are too strict.
+    *
+    * APPROXIMATE by design: recall at the query threshold follows the
+    * LSH S-curve `1-(1-j^r)^b` (r=8/b=16 puts the curve's midpoint at
+    * ~0.71). Gate results against a superset/rows-style check, or use
+    * [[ngramJaccardJoin]] when exact-equality gating is required.
     */
   def ngramNearDuplicates(
       df: DataFrame,
@@ -162,7 +291,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val base = df.select(
+    val base = parallelize(df).select(
       col(idCol).as("__id"),
       array_sort(transform(wordShingles(tokens(col(textCol)), n), s => xxhash64(s))).as("__sh")
     )
@@ -212,17 +341,30 @@ object Dedup {
       shingleK: Int = 5,
       windowW: Int = 8,
       minShared: Int = 3,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      /** Persist the per-doc fingerprint frame (referenced from the
+        * explode branch and both verification-join branches). Callers
+        * own unpersisting, consistent with the sibling operators.
+        */
+      persistIntermediate: Boolean = false
   ): DataFrame = {
-    val fpArrays = df.select(
+    val fpArrays0 = parallelize(df).select(
       col(idCol).as("__id"),
       array_sort(winnowFingerprints(col(textCol), shingleK, windowW)).as("__fps")
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )
+    val fpArrays =
+      if (persistIntermediate) fpArrays0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fpArrays0
     val fp = fpArrays.select(col("__id"), explode(col("__fps")).as("__fp"))
-    val bounded = fp
+    val bounded0 = fp
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__fp"))))
       .where(col("__n") <= maxBucket)
       .drop("__n")
+    // referenced from both sides of the discovery self-join — persist so
+    // the explode + bucket-count chain runs once
+    val bounded =
+      if (persistIntermediate) bounded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bounded0
     val l = bounded.select(col("__fp"), col("__id").as("id1"))
     val r = bounded.select(col("__fp"), col("__id").as("id2"))
     val cands = l.join(r, Seq("__fp"))
@@ -251,7 +393,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sim"))
+    val sigs = parallelize(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sim"))
     val banded = sigs.select(
       col("__id"),
       col("__sim"),
@@ -290,7 +432,7 @@ object Dedup {
       p => when(Similarity.dot(vecD, p) >= 0, lit(1)).otherwise(lit(0))
     )
     val bucket = aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-    val base = df.select(col(idCol).as("__id"), vecD.as("__v"), bucket.as("__bucket"))
+    val base = parallelize(df).select(col(idCol).as("__id"), vecD.as("__v"), bucket.as("__bucket"))
     val l = base.select(col("__bucket"), col("__id").as("id1"), col("__v").as("__v1"))
     val r = base.select(col("__bucket"), col("__id").as("id2"), col("__v").as("__v2"))
     l.join(r, Seq("__bucket"))

@@ -95,4 +95,56 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.jaccard($"x", $"y")).collect().head.getDouble(0)
     assert(math.abs(j - 0.5) < 1e-9)
   }
+
+  /** Driver-side brute-force word-trigram jaccard, replicating
+    * TextFunctions.tokens + wordShingles semantics.
+    */
+  private def bruteForceTrigramPairs(threshold: Double): Set[(Long, Long)] = {
+    val tokRe = """[\p{L}\p{N}']+""".r
+    def grams(t: String): Set[String] = {
+      val toks = tokRe.findAllIn(t.toLowerCase).toVector
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val sets = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+    (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (idA, a) = sets(i)
+      (idB, b) = sets(j)
+      jac = (a & b).size.toDouble / math.max((a | b).size, 1)
+      if jac >= threshold
+    } yield (math.min(idA, idB), math.max(idA, idB))).toSet
+  }
+
+  test("exact prefix-filter join matches brute-force ground truth (recall 1 by construction)") {
+    val expected = bruteForceTrigramPairs(0.7)
+    assert(expected.nonEmpty, "fixture should contain planted ngram near-dups")
+    for (freqOrdered <- Seq(true, false)) {
+      val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.7,
+        frequencyOrdered = freqOrdered)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"frequencyOrdered=$freqOrdered diverged from brute force")
+    }
+  }
+
+  test("exact join finds every identical pair with jaccard 1.0 at threshold 1.0") {
+    val pairs = Dedup.ngramJaccardJoin(doubled, "doc_id", "text", n = 3, threshold = 1.0)
+    val found = pairs.where($"id2" === $"id1" + 100000 && $"jaccard" === 1.0).count()
+    assert(found == docs.count(), "every doubled doc must pair with its copy")
+  }
+
+  test("exact join prefix filter is not vacuous (prefix rows < total tokens)") {
+    // sanity on the bound itself: for t=0.7 the per-doc prefix keeps
+    // |s| - ceil(0.7|s|) + 1 tokens, i.e. under ~1/3 of each set
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "k"))
+    ).toDF("id", "s")
+    val out = Dedup.exactJaccardJoin(sets, "id", "s", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // |∩|=9, |∪|=11 → j=9/11≈0.818 ≥ 0.7
+    assert(out.toSeq == Seq((1L, 2L, math.rint(9.0 / 11 * 1e6) / 1e6)))
+  }
 }
