@@ -155,6 +155,22 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // --- value-predicate pushdown (reference roadmap README.md:46-47,
+    //     unimplemented there): string equality on a qualifier becomes a
+    //     server-side per-qualifier value filter; residual keeps exactness ---
+    "bt_value_eq" -> ((s, dir) =>
+      GraftTables.eventsLatest(s, dir)
+        .where(col("u_key").between("000000", "000050") && col("event_type") === "click")
+        .select(col("u_key"), col("event_type"))
+        .orderBy(col("u_key"))),
+
+    // --- value-range pushdown on a long qualifier (both bounds >= 0) ---
+    "bt_value_range" -> ((s, dir) =>
+      GraftTables.nation(s, dir)
+        .where(col("n_key").between("0000", "9999") && col("n_regionkey").between(1L, 3L))
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))),
+
     // --- OR of key predicates → range union (beyond the reference) ---
     "bt_or" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -552,6 +568,16 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE n_nationkey = 3 OR n_nationkey BETWEEN 10 AND 13
          ORDER BY n_key""",
+    "bt_value_eq" ->
+      """SELECT u_key, event_type FROM (
+           SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events WHERE user_id BETWEEN 0 AND 50) t
+         WHERE rn = 1 AND event_type = 'click' ORDER BY u_key""",
+    "bt_value_range" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation WHERE n_regionkey BETWEEN 1 AND 3 ORDER BY n_key""",
     "bt_prefix" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE lpad(CAST(n_nationkey AS VARCHAR), 4, '0') LIKE '000%'

@@ -96,10 +96,13 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
   override def pushedFilters(): Array[Filter] = {
     import org.apache.spark.sql.sources._
     val tsPushed = filters.filter(f => RowRangeComposer.composeTsRange(Seq(f)).isDefined)
+    // value predicates push independently of key-range pruning (they
+    // narrow cells server-side even on a full scan)
+    val valuePushed = RowRangeComposer.composeValueFilters(cfg, filters.toSeq)._2.toArray
     val prunes =
       try RowRangeComposer.composeRanges(cfg, filters.toSeq) != Vector(RowRange.full)
       catch { case _: RowRangeComposer.MissingKeyFilterException => false }
-    if (!prunes) return tsPushed
+    if (!prunes) return tsPushed ++ valuePushed
 
     val tailCol = cfg.partitionCols.last
     def eqInCol(f: Filter): Option[String] = f match {
@@ -134,7 +137,7 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
         case _     => false
       })
     }
-    keyPushed ++ tsPushed
+    keyPushed ++ tsPushed ++ valuePushed
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =

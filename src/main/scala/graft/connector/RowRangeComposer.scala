@@ -44,7 +44,12 @@ object RowRangeComposer {
   final class MissingKeyFilterException(msg: String) extends IllegalArgumentException(msg)
 
   def compose(cfg: BigtableConfig, filters: Seq[Filter], requiredQualifiers: Seq[String]): Composition =
-    Composition(composeRanges(cfg, filters), composeRowFilters(cfg, requiredQualifiers))
+    Composition(
+      composeRanges(cfg, filters),
+      // value filters AFTER the base chain: CellsPerColumnLimit must pick
+      // the latest version BEFORE value filtering, or an older passing
+      // version would surface as "latest" (see QualifierValueRange docs)
+      composeRowFilters(cfg, requiredQualifiers) ++ composeValueFilters(cfg, filters)._1)
 
   // ---------------------------------------------------------------------
   // Partition pruning: filters → ranges
@@ -205,6 +210,120 @@ object RowRangeComposer {
       case _                                                  => ()
     }
     if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
+  }
+
+  // ---------------------------------------------------------------------
+  // Value-predicate pushdown (reference roadmap README.md:46-47, never
+  // implemented there): predicates on declared qualifier columns become
+  // per-qualifier server-side value filters. Only encodings whose
+  // unsigned BYTE order provably agrees with (or over-approximates) the
+  // SQL predicate are pushed — everything else stays residual-only:
+  //
+  //   - string qualifiers: UTF-8 byte order = string order → =, IN
+  //     (regex alternation), two- and one-sided ranges, ASCII prefix.
+  //   - long qualifiers (big-endian 8 bytes): equality always; lower
+  //     bounds only when >= 0 (negatives sort ABOVE positives in
+  //     unsigned byte order, so byte->=enc(lo) merely over-fetches
+  //     them — safe); upper bounds only alongside a lower bound >= 0
+  //     (a lone byte-<=enc(hi) would wrongly DROP negative values).
+  //   - double qualifiers: never pushed — they are stored as decimal
+  //     strings whose representation is not canonical ("9.60" vs "9.6"),
+  //     so byte comparison could drop cells the predicate accepts.
+  //
+  // Returns (filters-to-evaluate, source-filters-accepted) so the scan
+  // builder can report exactly what was pushed.
+  // ---------------------------------------------------------------------
+
+  def composeValueFilters(cfg: BigtableConfig, filters: Seq[Filter]): (Vector[RowFilter], Vector[Filter]) = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val qualType = cfg.qualifiers.toMap
+    val out = Vector.newBuilder[RowFilter]
+    val accepted = Vector.newBuilder[Filter]
+
+    // per-long-qualifier accumulated numeric bounds (merged at the end)
+    val longLo = scala.collection.mutable.Map.empty[String, (Long, Boolean)] // (bound, inclusive)
+    val longHi = scala.collection.mutable.Map.empty[String, (Long, Boolean)]
+    val longSrc = scala.collection.mutable.Map.empty[String, Vector[Filter]]
+
+    def tightenLo(q: String, v: Long, inc: Boolean, f: Filter): Unit = {
+      longLo.updateWith(q) {
+        case Some((cur, curInc)) if cur > v || (cur == v && !curInc) => Some((cur, curInc))
+        case _                                                      => Some((v, inc))
+      }
+      longSrc.updateWith(q)(s => Some(s.getOrElse(Vector.empty) :+ f))
+    }
+    def tightenHi(q: String, v: Long, inc: Boolean, f: Filter): Unit = {
+      longHi.updateWith(q) {
+        case Some((cur, curInc)) if cur < v || (cur == v && !curInc) => Some((cur, curInc))
+        case _                                                      => Some((v, inc))
+      }
+      longSrc.updateWith(q)(s => Some(s.getOrElse(Vector.empty) :+ f))
+    }
+
+    filters.flatMap(flattenAnd).foreach { f =>
+      f match {
+        case EqualTo(q, v: String) if qualType.get(q).contains(StringType) =>
+          val b = CellCodec.encodeString(v)
+          out += RowFilter.QualifierValueRange(q, Some(b), loInclusive = true, Some(b), hiInclusive = true)
+          accepted += f
+        case EqualTo(q, v: Long) if qualType.get(q).contains(LongType) =>
+          val b = CellCodec.encodeLong(v)
+          out += RowFilter.QualifierValueRange(q, Some(b), loInclusive = true, Some(b), hiInclusive = true)
+          accepted += f
+        case In(q, vs) if qualType.get(q).contains(StringType) &&
+            vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+          out += RowFilter.QualifierValueRegex(
+            q, vs.map(v => Pattern.quote(v.asInstanceOf[String])).mkString("|"))
+          accepted += f
+        case GreaterThan(q, v: String) if qualType.get(q).contains(StringType) =>
+          out += RowFilter.QualifierValueRange(q, Some(CellCodec.encodeString(v)), loInclusive = false, None, hiInclusive = false)
+          accepted += f
+        case GreaterThanOrEqual(q, v: String) if qualType.get(q).contains(StringType) =>
+          out += RowFilter.QualifierValueRange(q, Some(CellCodec.encodeString(v)), loInclusive = true, None, hiInclusive = false)
+          accepted += f
+        case LessThan(q, v: String) if qualType.get(q).contains(StringType) =>
+          out += RowFilter.QualifierValueRange(q, None, loInclusive = false, Some(CellCodec.encodeString(v)), hiInclusive = false)
+          accepted += f
+        case LessThanOrEqual(q, v: String) if qualType.get(q).contains(StringType) =>
+          out += RowFilter.QualifierValueRange(q, None, loInclusive = false, Some(CellCodec.encodeString(v)), hiInclusive = true)
+          accepted += f
+        case StringStartsWith(q, p) if qualType.get(q).contains(StringType) &&
+            p.nonEmpty && p.forall(_ < 0x80) =>
+          val lo = CellCodec.encodeString(p)
+          val hi = prefixSuccessor(p).map(CellCodec.encodeString)
+          out += RowFilter.QualifierValueRange(q, Some(lo), loInclusive = true, hi, hiInclusive = false)
+          accepted += f
+        case GreaterThan(q, v: Long) if qualType.get(q).contains(LongType) && v >= 0 =>
+          tightenLo(q, v, inc = false, f)
+        case GreaterThanOrEqual(q, v: Long) if qualType.get(q).contains(LongType) && v >= 0 =>
+          tightenLo(q, v, inc = true, f)
+        case LessThan(q, v: Long) if qualType.get(q).contains(LongType) =>
+          tightenHi(q, v, inc = false, f)
+        case LessThanOrEqual(q, v: Long) if qualType.get(q).contains(LongType) =>
+          tightenHi(q, v, inc = true, f)
+        case _ => () // residual-only (doubles, negatives-lo, unsupported shapes)
+      }
+    }
+
+    // merge accumulated long bounds: lower bound alone is safe (negatives
+    // over-fetched); an upper bound needs a non-negative lower bound
+    longSrc.keysIterator.foreach { q =>
+      (longLo.get(q), longHi.get(q)) match {
+        case (Some((lo, loInc)), hiOpt) =>
+          val hiBytes = hiOpt.collect { case (hi, hiInc) if hi >= 0 => (CellCodec.encodeLong(hi), hiInc) }
+          out += RowFilter.QualifierValueRange(
+            q, Some(CellCodec.encodeLong(lo)), loInc,
+            hiBytes.map(_._1), hiBytes.exists(_._2))
+          // report the hi-side sources only if the hi bound was usable
+          accepted ++= longSrc(q).filter {
+            case LessThan(_, _) | LessThanOrEqual(_, _) => hiBytes.isDefined
+            case _                                      => true
+          }
+        case _ => () // hi-only: cannot push without a floor at 0
+      }
+    }
+
+    (out.result(), accepted.result())
   }
 
   // ---------------------------------------------------------------------

@@ -157,6 +157,37 @@ object RowFilter {
     * (composer.rs:263-281, projection pushdown).
     */
   final case class ColumnQualifierRegex(regex: String) extends RowFilter
+
+  /** Value-range restriction scoped to ONE qualifier: cells of other
+    * qualifiers pass through untouched; cells of `qualifier` survive
+    * only when their value lies within the bounds in unsigned byte
+    * order. This is the reference's unimplemented "predicate pushdown
+    * on values" roadmap item (reference README.md:46-47); in real
+    * Bigtable it is expressed as
+    * `Interleave(Chain(QualifierRegex(^(?!q$))), Chain(QualifierRegex(q), ValueRange))`.
+    *
+    * Dropping a failing cell can only turn the pivoted column value
+    * into SQL NULL (or drop the row when no cell survives) — both of
+    * which the residual FilterExec above the scan resolves identically
+    * to the unpushed plan, so this is safe under inexact pushdown. The
+    * composer must chain it AFTER CellsPerColumnLimit so latest-version
+    * selection happens before value filtering (otherwise an older
+    * passing version would surface as "latest").
+    */
+  final case class QualifierValueRange(
+      qualifier: String,
+      lo: Option[Array[Byte]],
+      loInclusive: Boolean,
+      hi: Option[Array[Byte]],
+      hiInclusive: Boolean
+  ) extends RowFilter
+
+  /** Value-regex restriction scoped to one qualifier (reference roadmap
+    * README.md:46; real Bigtable `ValueRegexFilter` inside the same
+    * Interleave shape as [[QualifierValueRange]]). The composer only
+    * emits `Pattern.quote`d literals joined by `|`.
+    */
+  final case class QualifierValueRegex(qualifier: String, regex: String) extends RowFilter
 }
 
 /** Big-endian Int64 codec for cell values.

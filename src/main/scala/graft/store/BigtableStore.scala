@@ -152,6 +152,26 @@ final class InMemoryBigtable private (
             .valuesIterator
             .flatMap(_.sortBy(-_.timestampMicros).take(n))
             .toVector
+        case RowFilter.QualifierValueRange(q, lo, loInc, hi, hiInc) =>
+          cs.filter { c =>
+            c.qualifier != q || {
+              val loOk = lo.forall { b =>
+                val cmp = java.util.Arrays.compareUnsigned(c.value, b)
+                if (loInc) cmp >= 0 else cmp > 0
+              }
+              val hiOk = hi.forall { b =>
+                val cmp = java.util.Arrays.compareUnsigned(c.value, b)
+                if (hiInc) cmp <= 0 else cmp < 0
+              }
+              loOk && hiOk
+            }
+          }
+        case RowFilter.QualifierValueRegex(q, re) =>
+          val p = re.r.pattern
+          cs.filter { c =>
+            c.qualifier != q ||
+              p.matcher(new String(c.value, java.nio.charset.StandardCharsets.UTF_8)).matches()
+          }
       }
     }.sortBy(c => (c.family, c.qualifier, -c.timestampMicros))
 }

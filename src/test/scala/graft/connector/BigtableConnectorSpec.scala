@@ -282,4 +282,38 @@ class BigtableConnectorSpec extends AnyFunSuite {
       "us-west2#3698#2021-03-05-1203",
       "us-west2#3698#2021-03-05-1204"))
   }
+
+  test("value pushdown e2e: long range reaches the store and result is exact (README.md:46-47)") {
+    simple
+    val df = spark.sql(
+      """SELECT `_row_key`, pressure FROM weather_balloons
+         WHERE `_row_key` BETWEEN 'us-west2#3698#2021-03-05-1200' AND 'us-west2#3698#2021-03-05-1204'
+           AND pressure BETWEEN 94000 AND 95000""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(pressure,94000)"),
+      s"value bound missing from PushedFilters:\n${plan.take(900)}")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == Seq(
+      ("us-west2#3698#2021-03-05-1200", 94558L),
+      ("us-west2#3698#2021-03-05-1201", 94122L)))
+  }
+
+  test("value pushdown e2e: string equality on a multi-version latest read stays correct") {
+    // latest temperature for key 'a' is "9.9"; an older version is "9.6".
+    // Predicate temperature='9.6' must match NOTHING (latest-then-value
+    // chain order): the older passing version must not resurface.
+    val b = new graft.store.InMemoryBigtable.Builder
+    b.put("vt", "a", graft.model.BtCell("f", "temperature", 200L, graft.model.CellCodec.encodeString("9.9")))
+    b.put("vt", "a", graft.model.BtCell("f", "temperature", 100L, graft.model.CellCodec.encodeString("9.6")))
+    b.put("vt", "b", graft.model.BtCell("f", "temperature", 200L, graft.model.CellCodec.encodeString("9.6")))
+    graft.store.BigtableStores.register("value-vt", b.build())
+    val df = spark.read.format("bigtable")
+      .option("store", "value-vt").option("table", "vt")
+      .option("columnFamily", "f").option("partitionCols", "_row_key")
+      .option("qualifiers", "temperature:string")
+      .option("allowFullScan", "true")
+      .load()
+      .where(col("temperature") === "9.6")
+      .select(col("_row_key"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
 }

@@ -174,4 +174,72 @@ class RowRangeComposerSpec extends AnyFunSuite {
     assert(RowRangeComposer.composeTsRange(Seq(EqualTo("x", "y"))).isEmpty)
     assert(RowRangeComposer.composeTsRange(Seq(GreaterThan("_timestamp", "not-a-ts"))).isEmpty)
   }
+
+  // ---- value-predicate pushdown (reference roadmap README.md:46-47) ----
+
+  test("value pushdown: string equality → closed point value range") {
+    val (fs, acc) = RowRangeComposer.composeValueFilters(simple, Seq(EqualTo("temperature", "9.6")))
+    val b = CellCodec.encodeString("9.6")
+    assert(acc == Vector(EqualTo("temperature", "9.6")))
+    fs match {
+      case Vector(RowFilter.QualifierValueRange("temperature", Some(lo), true, Some(hi), true)) =>
+        assert(lo.sameElements(b) && hi.sameElements(b))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("value pushdown: long equality pushes for any sign; long BETWEEN needs lo >= 0") {
+    val (eqF, eqAcc) = RowRangeComposer.composeValueFilters(simple, Seq(EqualTo("pressure", -3L)))
+    assert(eqF.size == 1 && eqAcc.size == 1)
+    val (rangeF, rangeAcc) = RowRangeComposer.composeValueFilters(
+      simple, Seq(GreaterThanOrEqual("pressure", 100L), LessThanOrEqual("pressure", 900L)))
+    rangeF match {
+      case Vector(RowFilter.QualifierValueRange("pressure", Some(lo), true, Some(hi), true)) =>
+        assert(lo.sameElements(CellCodec.encodeLong(100L)))
+        assert(hi.sameElements(CellCodec.encodeLong(900L)))
+      case other => fail(s"unexpected: $other")
+    }
+    assert(rangeAcc.size == 2)
+    // a negative lower bound can't be expressed in unsigned byte order
+    val (negF, _) = RowRangeComposer.composeValueFilters(
+      simple, Seq(GreaterThanOrEqual("pressure", -5L), LessThanOrEqual("pressure", 900L)))
+    assert(negF.isEmpty)
+    // an upper bound alone would wrongly drop negative values
+    val (hiOnlyF, _) = RowRangeComposer.composeValueFilters(
+      simple, Seq(LessThanOrEqual("pressure", 900L)))
+    assert(hiOnlyF.isEmpty)
+  }
+
+  test("value pushdown: long lower bound alone pushes (negatives merely over-fetched)") {
+    val (fs, acc) = RowRangeComposer.composeValueFilters(simple, Seq(GreaterThan("pressure", 100L)))
+    fs match {
+      case Vector(RowFilter.QualifierValueRange("pressure", Some(lo), false, None, _)) =>
+        assert(lo.sameElements(CellCodec.encodeLong(100L)))
+      case other => fail(s"unexpected: $other")
+    }
+    assert(acc == Vector(GreaterThan("pressure", 100L)))
+  }
+
+  test("value pushdown: string IN → quoted regex alternation; doubles never push") {
+    val (fs, _) = RowRangeComposer.composeValueFilters(simple, Seq(In("temperature", Array("a", "b"))))
+    fs match {
+      case Vector(RowFilter.QualifierValueRegex("temperature", re)) =>
+        assert(re == java.util.regex.Pattern.quote("a") + "|" + java.util.regex.Pattern.quote("b"))
+      case other => fail(s"unexpected: $other")
+    }
+    val dblCfg = simple.copy(qualifiers = Seq(("value", DoubleType)))
+    val (dblF, dblAcc) = RowRangeComposer.composeValueFilters(
+      dblCfg, Seq(EqualTo("value", 9.6), GreaterThan("value", 1.0)))
+    assert(dblF.isEmpty && dblAcc.isEmpty, "decimal-string encoding is not canonical — must stay residual")
+  }
+
+  test("value pushdown: filters chain AFTER CellsPerColumnLimit in compose()") {
+    val cfg = simple // onlyReadLatest = true
+    val comp = RowRangeComposer.compose(
+      cfg, Seq(EqualTo("_row_key", "k"), EqualTo("temperature", "x")), Seq("temperature"))
+    val latestIdx = comp.rowFilters.indexWhere(_.isInstanceOf[RowFilter.CellsPerColumnLimit])
+    val valueIdx = comp.rowFilters.indexWhere(_.isInstanceOf[RowFilter.QualifierValueRange])
+    assert(latestIdx >= 0 && valueIdx > latestIdx,
+      s"value filter must follow CellsPerColumnLimit: ${comp.rowFilters}")
+  }
 }

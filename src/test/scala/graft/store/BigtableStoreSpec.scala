@@ -107,4 +107,56 @@ class BigtableStoreSpec extends AnyFunSuite {
     val n = RowRange.normalize(Seq(RowRange.closedOpen("a", "c"), RowRange.closed("c", "e")))
     assert(n == Vector(RowRange.closed("a", "e")))
   }
+
+  test("RowRange.normalize tolerates many duplicate unbounded ranges (strict-weak ordering)") {
+    // 33+ equal (None, None) ranges exercise TimSort's contract check
+    val dup = Vector.fill(40)(RowRange("k", None, endInclusive = false)) :+ RowRange.full
+    val n = RowRange.normalize(dup)
+    assert(n == Vector(RowRange("", None, endInclusive = false)))
+  }
+
+  test("QualifierValueRange drops only the target qualifier's failing cells") {
+    val f = RowFilter.QualifierValueRange(
+      "q1", Some(CellCodec.encodeString("va")), loInclusive = true,
+      Some(CellCodec.encodeString("vb")), hiInclusive = true)
+    val rows = store.readRows("t", Seq(RowRange.full), Seq(f)).toSeq
+    // q1 survives only for rows a,b (values va, vb; "oldX" sorts below "va");
+    // q2 cells keep every row alive
+    val q1Rows = rows.filter(_.cells.exists(_.qualifier == "q1")).map(_.rowKey)
+    assert(q1Rows == Seq("a", "b"))
+    assert(rows.map(_.rowKey) == Seq("a", "b", "c", "d", "e"), "other qualifiers pass through")
+  }
+
+  test("QualifierValueRange bounds are unsigned-byte, optional on each side") {
+    val loOnly = RowFilter.QualifierValueRange(
+      "q1", Some(CellCodec.encodeString("vc")), loInclusive = false, None, hiInclusive = false)
+    val rows = store.readRows("t", Seq(RowRange.full), Seq(loOnly)).toSeq
+    val q1 = rows.flatMap(_.cells.filter(_.qualifier == "q1")).map(c => new String(c.value))
+    assert(q1.sorted == Seq("vd", "ve"))
+  }
+
+  test("QualifierValueRegex keeps other qualifiers, matches whole value") {
+    val f = RowFilter.QualifierValueRegex("q1", "\\Qva\\E|\\Qvd\\E")
+    val rows = store.readRows("t", Seq(RowRange.full), Seq(f)).toSeq
+    val q1Rows = rows.filter(_.cells.exists(_.qualifier == "q1")).map(_.rowKey)
+    assert(q1Rows == Seq("a", "d"))
+    assert(rows.size == 5)
+  }
+
+  test("value filter after CellsPerColumnLimit: failing latest does NOT resurface older version") {
+    // q1 on row 'a' has versions: ts=100 'va' (latest), ts=50 'olda'.
+    // Chain latest-then-value('olda'): latest 'va' picked first, fails the
+    // value filter -> q1 gone entirely (correct SQL semantics: the row's
+    // current value is 'va', predicate q1='olda' must not match).
+    val chain = Seq(
+      RowFilter.CellsPerColumnLimit(1),
+      RowFilter.QualifierValueRange(
+        "q1", Some(CellCodec.encodeString("olda")), loInclusive = true,
+        Some(CellCodec.encodeString("olda")), hiInclusive = true))
+    val rows = store.readRows("t", Seq(RowRange.point("a")), chain).toSeq
+    assert(rows.flatMap(_.cells.filter(_.qualifier == "q1")).isEmpty)
+    // reversed chain (value first) would wrongly surface 'olda' as latest
+    val wrong = store.readRows("t", Seq(RowRange.point("a")), chain.reverse).toSeq
+    assert(wrong.flatMap(_.cells.filter(_.qualifier == "q1")).map(c => new String(c.value)) == Seq("olda"))
+  }
 }
