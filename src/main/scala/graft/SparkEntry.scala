@@ -294,6 +294,22 @@ object SparkEntry {
         .orderBy(col("r_name"))
     }),
 
+    // --- as-of (point-in-time) join over the connector: for every
+    //     purchase event, the user's most recent view at-or-before it.
+    //     Union-tag + running last_value — one shuffle, no join fanout;
+    //     DuckDB's native ASOF JOIN is the oracle. The event_type
+    //     predicates also exercise value pushdown on the scan. ---
+    "rel_asof" -> ((s, dir) => {
+      val events = GraftTables.eventsAllVersions(s, dir)
+        .where(col("u_key").between("000000", "999999"))
+      val p = events.where(col("event_type") === "purchase")
+        .select(col("u_key"), unix_micros(col("_timestamp")).as("p_us"))
+      val v = events.where(col("event_type") === "view")
+        .select(col("u_key"), unix_micros(col("_timestamp")).as("v_us"), col("value").as("v_value"))
+      graft.operators.AsOf.joinBackward(p, v, Seq("u_key"), "p_us", "v_us")
+        .orderBy(col("u_key"), col("p_us"))
+    }),
+
     // --- window top-3 per segment on customer ---
     "rel_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -656,6 +672,16 @@ object SparkEntry {
          JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderstatus <> 'P'
          GROUP BY r_name ORDER BY r_name""",
+    "rel_asof" ->
+      """WITH p AS (
+           SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         v AS (
+           SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS v_us, value AS v_value
+           FROM events WHERE event_type = 'view')
+         SELECT p.u_key, p.p_us, v.v_us AS asof_v_us, v.v_value AS asof_v_value
+         FROM p ASOF LEFT JOIN v ON p.u_key = v.u_key AND v.v_us <= p.p_us
+         ORDER BY p.u_key, p.p_us""",
     "rel_window" ->
       """SELECT c_mktsegment, c_custkey, rn FROM (
            SELECT c_mktsegment, c_custkey,

@@ -163,7 +163,45 @@ final class BigtableScan(
     pushed: Array[Filter] = Array.empty
 ) extends Scan
     with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  /** Ranges after runtime (DPP-style) narrowing; starts at the
+    * planning-time composition.
+    */
+  @volatile private var effectiveRanges: Vector[RowRange] = comp.ranges
+
+  /** Runtime-prunable attributes: the row-key columns. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    cfg.partitionCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  /** Runtime filtering (SPARK-37206 DSv2 API): when this scan sits on
+    * the probe side of a join keyed on the row key, Spark hands us the
+    * build side's key values after it materializes — the dynamic
+    * equivalent of partition pruning. We intersect the planned ranges
+    * with the delivered IN-set. Over-inclusion is safe (the join still
+    * filters), so anything untranslatable is ignored.
+    *
+    * Single-component keys only: for composite keys an IN-set on one
+    * component does not factor into lexicographic ranges without the
+    * other components' values.
+    */
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (cfg.partitionCols.size != 1) return
+    val keyCol = cfg.partitionCols.head
+    val sets = predicates.flatMap(BigtableScan.inSetValues(_, keyCol))
+    if (sets.nonEmpty) {
+      val keySet = sets.map(_.toSet).reduce(_ intersect _)
+      // an empty intersection legitimately yields zero partitions
+      effectiveRanges = RowRange.normalize(
+        keySet.toVector.collect {
+          case k if comp.ranges.exists(_.contains(k)) => RowRange.point(k)
+        })
+    }
+  }
+
+  /** Visible for tests/metrics: the ranges the scan will actually read. */
+  private[connector] def currentRanges: Vector[RowRange] = effectiveRanges
 
   /** A16 improvement over the reference's `todo!()` statistics
     * (execute_plan.rs:152-157): range-scoped estimates from the store,
@@ -210,7 +248,7 @@ final class BigtableScan(
     val samples =
       try BigtableStores.get(cfg.storeName).sampleRowKeys(cfg.table)
       catch { case _: IllegalStateException => Nil } // planning on a driver without the store
-    val split = BigtableScan.splitRanges(comp.ranges, samples)
+    val split = BigtableScan.splitRanges(effectiveRanges, samples)
     val groups = BigtableScan.chunkContiguous(split, cfg.maxPartitions)
     groups.map(g => BigtableInputPartition(g, tsRange): InputPartition).toArray
   }
@@ -232,6 +270,33 @@ final class BigtableScan(
 }
 
 object BigtableScan {
+  /** Translate a V2 runtime predicate to the string key values it pins
+    * `keyCol` to: `IN(col, lits...)` or `=(col, lit)` with UTF-8 string
+    * literals. None for anything else (ignored — over-inclusion safe).
+    */
+  private[connector] def inSetValues(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      keyCol: String
+  ): Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def colMatches(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(keyCol))
+      case _                 => false
+    }
+    def litString(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case l: Literal[_] if l.dataType == StringType && l.value != null => Some(l.value.toString)
+      case _                                                           => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && colMatches(p.children().head) =>
+        val lits = p.children().tail.map(litString)
+        if (lits.nonEmpty && lits.forall(_.isDefined)) Some(lits.map(_.get).toSeq) else None
+      case "=" if p.children().length == 2 && colMatches(p.children().head) =>
+        litString(p.children()(1)).map(Seq(_))
+      case _ => None
+    }
+  }
+
   /** Split each range at the sample keys strictly inside it:
     * `[a, b]` with samples s1 < s2 inside → `[a,s1) [s1,s2) [s2,b]`.
     */

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** V2 literal factory: `LiteralValue`'s companion is `private[sql]`
+    * in Spark 4; tests constructing runtime V2 predicates need it.
+    */
+  def v2Literal[T](value: T, dataType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[T] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dataType)
 }
