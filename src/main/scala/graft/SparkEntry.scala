@@ -294,6 +294,61 @@ object SparkEntry {
         .orderBy(col("r_name"))
     }),
 
+    // --- scalar subquery: customers above the global average balance ---
+    // planned exactly as Catalyst plans a scalar subquery: broadcast the
+    // 1-row aggregate and filter against it
+    "rel_subquery_scalar" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val avgBal = customer.agg(avg(col("c_acctbal")).as("__avg"))
+      customer.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("__avg"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_above"), min(col("c_custkey")).as("min_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- correlated EXISTS: orders with at least one high-quantity item ---
+    "rel_exists" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val big = s.read.parquet(s"$dir/lineitem.parquet").where(col("l_quantity") >= 48)
+      orders.join(big, orders("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- exact percentiles / median per group (0.5 and 0.25: the
+    //     interpolation weights are exact binary fractions over integral
+    //     quantities, so Spark and DuckDB agree bitwise) ---
+    "rel_percentile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // --- PIVOT: order counts per priority × status ---
+    "rel_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy(col("o_orderpriority"))),
+
+    // --- LATERAL explode: top-20 tokens across the corpus ---
+    "rel_explode" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // --- as-of (point-in-time) join over the connector: for every
     //     purchase event, the user's most recent view at-or-before it.
     //     Union-tag + running last_value — one shuffle, no join fanout;
@@ -672,6 +727,30 @@ object SparkEntry {
          JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderstatus <> 'P'
          GROUP BY r_name ORDER BY r_name""",
+    "rel_subquery_scalar" ->
+      """SELECT c_mktsegment, count(*) AS n_above, min(c_custkey) AS min_key
+         FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "rel_exists" ->
+      """SELECT o_orderstatus, count(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "rel_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+         quantile_cont(l_quantity, 0.25) AS p25_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "rel_explode" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "rel_asof" ->
       """WITH p AS (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us
