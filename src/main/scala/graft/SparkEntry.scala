@@ -406,6 +406,31 @@ object SparkEntry {
       s.table(qname).orderBy(col("ws_us"), col("event_type"))
     }),
 
+    // --- streaming exact dedup over the change stream: each distinct
+    //     (user, event_type) emitted once at first sight (append mode) ---
+    "stream_dedup" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "8000000000000")
+        .load()
+      val deduped = graft.streaming.EventStreams.dedupStream(
+        stream.select(col("u_key"), col("event_type")), Seq("u_key", "event_type"))
+      val qname = s"stream_dd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy(col("u_key"), col("event_type"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- text analysis: token / punctuation / length stats ---
@@ -707,6 +732,9 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
     "doc_salted_count" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_dedup" ->
+      """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
+         FROM events ORDER BY u_key, event_type""",
     "emb_near_dup" ->
       """WITH c AS (
            SELECT vec_id, embedding FROM embeddings

@@ -29,6 +29,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact deduplication — the LLM-pipeline dedup tier's
+    * streaming face. Append mode emits each distinct key combination
+    * once, at first sight.
+    *
+    * `withinWatermark = false` keeps exact global dedup (state grows
+    * with distinct keys — fine when the key space is bounded, e.g.
+    * (user, event_type)). `true` switches to
+    * `dropDuplicatesWithinWatermark`: duplicates are only suppressed
+    * while inside the watermark window, so state is bounded by event
+    * time — the 100 TB/unbounded-stream path.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "2 hours",
+      withinWatermark: Boolean = false
+  ): DataFrame =
+    if (withinWatermark)
+      events.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(keyCols)
+    else
+      events.dropDuplicates(keyCols)
+
   /** Gap-based sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user, event-time timeout at
     * watermark + gap. Emits a session row when the gap elapses.

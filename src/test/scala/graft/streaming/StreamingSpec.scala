@@ -40,6 +40,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("dedupStream emits each distinct key once; withinWatermark bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .dedupStream(in.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    in.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:15:00"), 1, "click", 2.0), // dup of (1, click)
+      Event(3, ts("2024-01-01 10:20:00"), 1, "view", 5.0))
+    q.processAllAvailable()
+    in.addData(Event(4, ts("2024-01-01 11:00:00"), 1, "click", 9.0)) // still a dup
+    q.processAllAvailable()
+    val rows = spark.table("dd").select($"user_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    assert(rows.sorted == Seq((1L, "click"), (1L, "view")))
+
+    // watermark-bounded variant: a duplicate arriving AFTER the watermark
+    // passed the first occurrence is re-emitted (state was evicted)
+    val in2 = MemoryStream[Event]
+    val q2 = EventStreams
+      .dedupStream(in2.toDF(), Seq("user_id", "event_type"), tsCol = "ts",
+        watermarkDelay = "10 minutes", withinWatermark = true)
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    in2.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+    q2.processAllAvailable()
+    in2.addData(Event(2, ts("2024-01-01 12:00:00"), 7, "other", 1.0)) // advance watermark
+    q2.processAllAvailable()
+    in2.addData(Event(3, ts("2024-01-01 12:01:00"), 7, "click", 1.0)) // same key, state evicted
+    q2.processAllAvailable()
+    val n = spark.table("ddw").where($"event_type" === "click").count()
+    q2.stop()
+    assert(n == 2, "evicted key must be re-emitted after the watermark passes it")
+  }
+
   test("sessionize emits gap-separated sessions via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
