@@ -171,6 +171,27 @@ object SparkEntry {
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_key"))),
 
+    // --- runtime filtering (DPP): no static key predicate on the fact
+    //     side — the broadcast dim's keys narrow the scan to point
+    //     lookups at runtime via SupportsRuntimeV2Filtering ---
+    "bt_dpp_join" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val fact = s.read.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "nation")
+        .option("columnFamily", "f")
+        .option("partitionCols", "n_key")
+        .option("qualifiers", "n_name:string,n_regionkey:long")
+        .option("allowFullScan", "true")
+        .load()
+      val dim = s.read.parquet(s"$dir/nation.parquet")
+        .where(col("n_nationkey") < 8)
+        .select(lpad(col("n_nationkey").cast("string"), 4, "0").as("k"))
+      fact.join(broadcast(dim), fact("n_key") === dim("k"))
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))
+    }),
+
     // --- OR of key predicates → range union (beyond the reference) ---
     "bt_or" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -664,6 +685,10 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE n_nationkey = 3 OR n_nationkey BETWEEN 10 AND 13
          ORDER BY n_key""",
+    "bt_dpp_join" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation WHERE n_nationkey < 8 ORDER BY n_key""",
     "bt_value_eq" ->
       """SELECT u_key, event_type FROM (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type,

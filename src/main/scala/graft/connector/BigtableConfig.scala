@@ -27,6 +27,12 @@ final case class BigtableConfig(
     onlyReadLatest: Boolean,
     allowFullScan: Boolean,
     maxPartitions: Int,
+    /** Plan-size budget: if the composer's range set (cartesian products
+      * of wide IN lists, OR-splitting) exceeds this, it collapses to one
+      * covering range — over-broad but safe under inexact pushdown, and
+      * bounds planning time/requests at any query width.
+      */
+    maxComposedRanges: Int = 4096,
     /** Micro-batch admission step for streaming reads: each batch
       * advances the cell-timestamp offset by at most this many µs
       * (None = take everything available in one batch).
@@ -104,6 +110,7 @@ object BigtableConfig {
       onlyReadLatest = opt("onlyReadLatest", "true").toBoolean,
       allowFullScan = opt("allowFullScan", "false").toBoolean,
       maxPartitions = opt("maxPartitions", "32").toInt,
+      maxComposedRanges = opt("maxComposedRanges", "4096").toInt,
       streamStepMicros = Option(opts.get("streamStepMicros")).filter(_.nonEmpty).map(_.toLong)
     )
   }

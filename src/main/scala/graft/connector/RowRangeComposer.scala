@@ -64,18 +64,24 @@ object RowRangeComposer {
     */
   def composeRanges(cfg: BigtableConfig, filters: Seq[Filter]): Vector[RowRange] = {
     val conjuncts = filters.flatMap(flattenAnd)
-    try composeConjuncts(cfg, conjuncts)
-    catch {
-      case e: MissingKeyFilterException =>
-        val orIdx = conjuncts.indexWhere(_.isInstanceOf[Or])
-        if (orIdx < 0) throw e
-        else {
-          val Or(lhs, rhs) = conjuncts(orIdx): @unchecked
-          val rest = conjuncts.patch(orIdx, Nil, 1)
-          RowRange.normalize(
-            composeRanges(cfg, rest :+ lhs) ++ composeRanges(cfg, rest :+ rhs))
-        }
-    }
+    val ranges =
+      try composeConjuncts(cfg, conjuncts)
+      catch {
+        case e: MissingKeyFilterException =>
+          val orIdx = conjuncts.indexWhere(_.isInstanceOf[Or])
+          if (orIdx < 0) throw e
+          else {
+            val Or(lhs, rhs) = conjuncts(orIdx): @unchecked
+            val rest = conjuncts.patch(orIdx, Nil, 1)
+            RowRange.normalize(
+              composeRanges(cfg, rest :+ lhs) ++ composeRanges(cfg, rest :+ rhs))
+          }
+      }
+    // plan-size budget: wide IN×IN cartesians / deep OR trees collapse to
+    // one covering range — over-broad is safe (residual filters), while
+    // an unbounded range list is a planning-time/request-count hazard
+    if (ranges.size > cfg.maxComposedRanges) Vector(RowRange.cover(ranges))
+    else ranges
   }
 
   private def composeConjuncts(cfg: BigtableConfig, conjuncts: Seq[Filter]): Vector[RowRange] = {

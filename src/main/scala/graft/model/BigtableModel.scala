@@ -114,6 +114,29 @@ object RowRange {
     out.result()
   }
 
+  /** Single range covering every input range: [min start, max end].
+    * Over-broad by construction (safe under inexact pushdown) — the
+    * collapse target when a composed range set exceeds the plan-size
+    * budget.
+    */
+  def cover(ranges: Seq[RowRange]): RowRange = {
+    require(ranges.nonEmpty, "cover of no ranges")
+    val start = ranges.minBy(_.startKey)(Ordering.comparatorToOrdering(
+      (a: String, b: String) => compareKeys(a, b))).startKey
+    val end = ranges.foldLeft(Option(ranges.head)) { (acc, r) =>
+      acc.flatMap { best =>
+        (best.endKey, r.endKey) match {
+          case (None, _) => Some(best)
+          case (_, None) => Some(r)
+          case (Some(x), Some(y)) =>
+            val c = compareKeys(x, y)
+            if (c > 0 || (c == 0 && best.endInclusive)) Some(best) else Some(r)
+        }
+      }
+    }.get
+    RowRange(start, end.endKey, end.endInclusive)
+  }
+
   /** Does `r` cover (or immediately touch) key `k` so a range starting at
     * `k` can be merged into it? For a closed end, start == end is overlap;
     * for an open end, start == end is adjacency — also mergeable.

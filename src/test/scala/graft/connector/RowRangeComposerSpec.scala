@@ -175,6 +175,19 @@ class RowRangeComposerSpec extends AnyFunSuite {
     assert(RowRangeComposer.composeTsRange(Seq(GreaterThan("_timestamp", "not-a-ts"))).isEmpty)
   }
 
+  test("plan-size budget: wide cartesians collapse to one covering range") {
+    val tight = composite.copy(maxComposedRanges = 8)
+    val filters = Seq(
+      In("region", Array("r1", "r2", "r3")),
+      In("balloon_id", Array("b1", "b2", "b3")),
+      In("event_minute", Array("m1", "m2", "m3"))) // 27 points > 8
+    val r = RowRangeComposer.composeRanges(tight, filters)
+    assert(r == Vector(RowRange.closed("r1#b1#m1", "r3#b3#m3")))
+    // under the budget the full cartesian is kept
+    val wide = composite.copy(maxComposedRanges = 64)
+    assert(RowRangeComposer.composeRanges(wide, filters).size == 27)
+  }
+
   // ---- value-predicate pushdown (reference roadmap README.md:46-47) ----
 
   test("value pushdown: string equality → closed point value range") {
