@@ -129,6 +129,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchesWithRows >= 2, s"expected stepped replay, got $batchesWithRows batches with rows")
   }
 
+  test("checkpoint restart resumes from the committed offset: no replays, only new cells") {
+    import graft.model.{BtCell, CellCodec}
+    def seed(extra: Boolean): Unit = {
+      val b = new graft.store.InMemoryBigtable.Builder
+      b.put("cp", "k1", BtCell("f", "v", 1000000L, CellCodec.encodeString("a")))
+      b.put("cp", "k1", BtCell("f", "v", 2000000L, CellCodec.encodeString("b")))
+      if (extra) {
+        b.put("cp", "k2", BtCell("f", "v", 3000000L, CellCodec.encodeString("c")))
+        b.put("cp", "k2", BtCell("f", "v", 4000000L, CellCodec.encodeString("d")))
+      }
+      graft.store.BigtableStores.register("cp-store", b.build())
+    }
+    // memory sink can't recover from a checkpoint — use a parquet sink
+    def run(outDir: String, checkpoint: String): Unit = {
+      val stream = spark.readStream.format("bigtable")
+        .option("store", "cp-store").option("table", "cp")
+        .option("columnFamily", "f").option("qualifiers", "v:string")
+        .option("onlyReadLatest", "false").option("allowFullScan", "true")
+        .load()
+      val q = stream.select(col("_row_key"), col("v"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cp-out").toString
+    seed(extra = false)
+    run(outDir, checkpoint)
+    assert(spark.read.parquet(outDir).count() == 2)
+    // new cells arrive; restart against the SAME checkpoint — the stream
+    // must resume past the committed TsOffset and deliver only k2's cells
+    seed(extra = true)
+    run(outDir, checkpoint)
+    val all = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(all.size == 4 && all.toSet == Set(("k1", "a"), ("k1", "b"), ("k2", "c"), ("k2", "d")),
+      s"restart must deliver only cells past the committed offset (no replays), got $all")
+  }
+
   test("streaming read with onlyReadLatest=true is rejected") {
     Fixtures.ensureSeeded()
     val e = intercept[Exception] {
