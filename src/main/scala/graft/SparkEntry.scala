@@ -284,6 +284,16 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // --- TPC-H Q6 shape: multi-predicate scan → FP-safe aggregation
+    //     (all three filters must reach the parquet scan) ---
+    "rel_q6" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"))),
+
     // --- join + distinct-agg across the two largest tables ---
     "rel_q3" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet").where(col("o_orderstatus") === "O")
@@ -747,6 +757,11 @@ object SparkEntry {
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "rel_q6" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_quantity < 24""",
     "rel_q3" ->
       """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders, sum(l_quantity) AS sum_qty
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -135,6 +135,38 @@ class DedupSpec extends AnyFunSuite {
     assert(found == docs.count(), "every doubled doc must pair with its copy")
   }
 
+  test("exact join matches brute force across 6 randomized corpora and thresholds (property)") {
+    // deterministic RNG: small random set corpora across thresholds,
+    // including empty sets, singletons, identical sets, and subsets —
+    // the shapes where prefix-length arithmetic is easiest to get wrong
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 6) {
+      val threshold = Seq(0.3, 0.5, 0.7, 0.8, 0.9, 1.0)(trial - 1)
+      val nDocs = 12 + rnd.nextInt(8)
+      val vocab = (1 to 12).map(i => s"tok$i")
+      val sets: Seq[(Long, Seq[String])] = (0 until nDocs).map { i =>
+        val sz = rnd.nextInt(8) // includes empty
+        val s = Seq.fill(sz)(vocab(rnd.nextInt(vocab.size))).distinct
+        (i.toLong, s)
+      } ++ Seq((100L, Seq("tok1", "tok2", "tok3")), (101L, Seq("tok1", "tok2", "tok3"))) // identical pair
+      val expected = (for {
+        i <- sets.indices.iterator
+        j <- (i + 1) until sets.length
+        (ida, a0) = sets(i)
+        (idb, b0) = sets(j)
+        a = a0.toSet; b = b0.toSet
+        jac = if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+        if jac >= threshold
+      } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+      val df = sets.toDF("id", "s")
+      val got = Dedup.exactJaccardJoin(df, "id", "s", threshold,
+        frequencyOrdered = trial % 2 == 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"trial=$trial threshold=$threshold: got ${got.diff(expected)} extra, missing ${expected.diff(got)}")
+    }
+  }
+
   test("exact join prefix filter is not vacuous (prefix rows < total tokens)") {
     // sanity on the bound itself: for t=0.7 the per-doc prefix keeps
     // |s| - ceil(0.7|s|) + 1 tokens, i.e. under ~1/3 of each set
