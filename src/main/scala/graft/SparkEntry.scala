@@ -464,6 +464,31 @@ object SparkEntry {
 
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
+    // --- deterministic sampling: k smallest md5(doc_id) — reproducible
+    //     across runs/engines, TakeOrdered plan (only k-lists shuffle) ---
+    "doc_sample_det" -> ((s, dir) =>
+      graft.operators.Sampling
+        .deterministicSample(s.read.parquet(s"$dir/documents.parquet"), "doc_id", 100)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // --- hash-gated train/eval/test split: per-row projection, no
+    //     shuffle, membership stable under corpus growth ---
+    "doc_split" -> ((s, dir) =>
+      graft.operators.Sampling
+        .hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          Seq(("eval", "28"), ("test", "50")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
+    // --- stratified deterministic sample: k per language stratum ---
+    "doc_stratified" -> ((s, dir) =>
+      graft.operators.Sampling
+        .stratifiedSample(s.read.parquet(s"$dir/documents.parquet"), Seq("lang"), "doc_id", 5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // --- text analysis: token / punctuation / length stats ---
     "doc_token_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -836,6 +861,24 @@ object SparkEntry {
                        ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
            FROM customer) t
          WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "doc_sample_det" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100)
+         ORDER BY doc_id""",
+    "doc_split" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
+           SELECT doc_id,
+                  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '28' THEN 'eval'
+                       WHEN md5(CAST(doc_id AS VARCHAR)) < '50' THEN 'test'
+                       ELSE 'train' END AS split
+           FROM documents) t
+         GROUP BY split ORDER BY split""",
+    "doc_stratified" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+           FROM documents) t
+         WHERE rn <= 5 ORDER BY lang, doc_id""",
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,

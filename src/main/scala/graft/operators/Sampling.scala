@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Everything here keys off a cryptographic hash of a stable identifier
+  * instead of `rand()`: the sample is reproducible across runs,
+  * clusters, and engines (no RNG state, no partitioning sensitivity),
+  * membership is stable under corpus growth (a doc's split never
+  * changes because other docs arrived), and results are verifiable
+  * against any SQL engine with `md5`. This is how production corpora
+  * carve train/eval: hash-gating, not random draws.
+  *
+  * Scale shapes: `deterministicSample` is a TakeOrdered (map-side
+  * partial top-k, only k-lists shuffle); `hashSplit` is a stateless
+  * per-row projection (no shuffle at all); `stratifiedSample` is one
+  * hash shuffle on the stratum key.
+  */
+object Sampling {
+
+  /** Lowercase hex md5 of the key column — the sampling axis. */
+  def samplingHash(key: Column): Column = md5(key.cast("string"))
+
+  /** k rows, chosen deterministically: the k smallest md5 hashes of
+    * `keyCol`. Equivalent to a uniform k-sample when keys are
+    * hash-uncorrelated with content.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("__h", samplingHash(col(keyCol)))
+      .orderBy(col("__h"))
+      .limit(k)
+      .drop("__h")
+
+  /** Assign each row a named split by hash-gating on hex prefixes.
+    * `bounds` are (name, upperHexBound) pairs in ascending bound order;
+    * a row lands in the first split whose bound its md5 precedes, the
+    * last split catching the rest. E.g.
+    * `Seq(("eval", "0a"), ("test", "14"))` + default "train" ≈
+    * 3.9% / 3.9% / 92.2% (hex-string prefix mass).
+    * No shuffle — a per-row projection, stable under corpus growth.
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      bounds: Seq[(String, String)],
+      defaultSplit: String = "train",
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(bounds.nonEmpty, "at least one (name, bound) pair required")
+    val h = samplingHash(col(keyCol))
+    val assigned = bounds.foldRight(lit(defaultSplit): Column) { case ((name, bound), rest) =>
+      when(h < lit(bound), lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** k rows per stratum, deterministically: per-group top-k by md5.
+    * One hash shuffle on the stratum columns.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(samplingHash(col(keyCol)))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("deterministicSample is reproducible and sized k") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 10).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.deterministicSample(docs, "doc_id", 10).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.size == 10)
+    // matches a driver-side reference of the same rule (k smallest md5)
+    val expected = docs.select($"doc_id").collect().map(_.getLong(0))
+      .sortBy(id => org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString))
+      .take(10).sorted.toSeq
+    assert(a == expected)
+  }
+
+  test("hashSplit assigns stable splits; membership unchanged by corpus growth") {
+    val bounds = Seq(("eval", "28"), ("test", "50"))
+    val split1 = Sampling.hashSplit(docs, "doc_id", bounds)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // hex prefix mass: eval ≈ 40/256? '28' => 2*16+8=40/256 ≈ 15.6%, test ≈ next 15.6%
+    val n = split1.size
+    val evalFrac = split1.values.count(_ == "eval").toDouble / n
+    assert(evalFrac > 0.05 && evalFrac < 0.30, s"evalFrac=$evalFrac")
+    // growth: doubling the corpus must not move any existing assignment
+    val grown = docs.select($"doc_id", $"text")
+      .union(docs.select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val split2 = Sampling.hashSplit(grown, "doc_id", bounds)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split1.forall { case (id, s) => split2(id) == s })
+  }
+
+  test("stratifiedSample takes at most k per stratum, deterministically") {
+    val s1 = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", 3)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.forall(_ <= 3))
+    val a = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", 3)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", 3)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+}
