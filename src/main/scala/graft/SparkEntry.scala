@@ -605,6 +605,34 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- int8 embedding quantization: per-vector scale + quantized
+    //     stats, exactly reproducible (round(x * (127/maxabs))) ---
+    "emb_quantize" -> ((s, dir) => {
+      val (q, scale) = graft.operators.Similarity.quantizeInt8(col("embedding"))
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(
+          col("vec_id"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(q).as("q_min"),
+          array_max(q).as("q_max"),
+          round(scale, 6).as("scale_r"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- running-window analytics: cumulative counts + lag per customer ---
+    "rel_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_n"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // --- text quality + language-ID, fully oracle-replicated in SQL ---
     "doc_quality_oracle" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -936,6 +964,29 @@ object SparkEntry {
               CAST(ceil(CAST(greatest(strlen(text),1) AS DOUBLE) / 4.0) AS INT)) AS INT) AS n_frames,
          CAST(strlen(text) AS BIGINT) AS payload_len
          FROM documents ORDER BY media_id""",
+    "emb_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  127.0 / greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, scale,
+                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qv
+           FROM s)
+         SELECT vec_id,
+                CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                list_min(qv) AS q_min, list_max(qv) AS q_max,
+                round(scale, 6) AS scale_r
+         FROM q ORDER BY vec_id""",
+    "rel_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER w AS INT) AS rn,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
+         lag(o_orderkey, 1) OVER w AS prev_key
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
     "emb_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          scored AS (

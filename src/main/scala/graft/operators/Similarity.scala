@@ -216,4 +216,29 @@ object Similarity {
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4x storage/bandwidth compression for ANN corpora: each vector is
+    * scaled by `127 / max|x_i|` and rounded (HALF_UP), so values span
+    * [-127, 127]. Returns (quantized int array, per-vector scale); the
+    * dequantized value is `q / scale`. Per-row projection, no shuffle.
+    * The scale is computed once per vector so quantization is exactly
+    * reproducible in any engine (`round(x * (127 / maxabs))`).
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val vd = transform(vec, x => x.cast("double"))
+    val maxAbs = greatest(array_max(transform(vd, x => abs(x))), lit(1e-12))
+    val scale = lit(127.0) / maxAbs
+    val q = transform(vd, x => round(x * scale).cast("int"))
+    (q, scale)
+  }
+
+  /** Cosine similarity of two int8-quantized vectors (integer dot
+    * products; the per-vector scales cancel in the normalization).
+    */
+  def cosineQuantized(qa: Column, qb: Column): Column = {
+    val da = transform(qa, x => x.cast("double"))
+    val db = transform(qb, x => x.cast("double"))
+    cosine(da, db)
+  }
 }

@@ -79,4 +79,31 @@ class SimilaritySpec extends AnyFunSuite {
     val meanRecall = recalls.sum / recalls.size
     withClue(s"mean recall=$meanRecall") { assert(meanRecall >= 0.5) }
   }
+
+  test("int8 quantization: values span [-127,127], dequantization error <= 0.5/scale") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (q, scale) = Similarity.quantizeInt8(col("embedding"))
+    val checked = emb.select(
+      array_min(q).as("mn"), array_max(q).as("mx"),
+      // max |x - q/scale| over the vector, scaled: must be <= 0.5 (rounding)
+      array_max(zip_with(
+        transform(col("embedding"), x => x.cast("double")), q,
+        (x, qi) => abs(x * scale - qi))).as("maxerr"))
+    val rows = checked.collect()
+    assert(rows.forall(r => r.getInt(0) >= -127 && r.getInt(1) <= 127))
+    assert(rows.forall(_.getDouble(2) <= 0.5 + 1e-9))
+    // quantized cosine tracks exact cosine
+    val a = emb.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val b = emb.where(col("vec_id") === 1).select(col("embedding")).head().getSeq[Float](0)
+    val two = spark.createDataFrame(Seq((a.toArray, b.toArray))).toDF("va", "vb")
+    val (qa, _) = Similarity.quantizeInt8(col("va"))
+    val (qb, _) = Similarity.quantizeInt8(col("vb"))
+    val r = two.select(
+      Similarity.cosine(transform(col("va"), x => x.cast("double")),
+        transform(col("vb"), x => x.cast("double"))).as("c"),
+      Similarity.cosineQuantized(qa, qb).as("cq")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+      s"quantized cosine ${r.getDouble(1)} drifted from ${r.getDouble(0)}")
+  }
 }

@@ -50,6 +50,19 @@ class StorePropertySpec extends AnyFunSuite {
     if (rnd.nextBoolean()) fs += RowFilter.ColumnQualifierRegex(
       Seq.fill(1 + rnd.nextInt(2))(quals(rnd.nextInt(quals.size))).distinct
         .map(java.util.regex.Pattern.quote).mkString("|"))
+    if (rnd.nextBoolean()) {
+      // per-qualifier value range with random optional bounds
+      val q = quals(rnd.nextInt(quals.size))
+      val lo = if (rnd.nextBoolean()) Some(CellCodec.encodeString(rnd.nextInt(100).toString)) else None
+      val hi = if (rnd.nextBoolean()) Some(CellCodec.encodeString(rnd.nextInt(100).toString)) else None
+      if (lo.isDefined || hi.isDefined)
+        fs += RowFilter.QualifierValueRange(q, lo, rnd.nextBoolean(), hi, rnd.nextBoolean())
+    }
+    if (rnd.nextBoolean()) {
+      val q = quals(rnd.nextInt(quals.size))
+      val vals = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(100).toString).distinct
+      fs += RowFilter.QualifierValueRegex(q, vals.map(java.util.regex.Pattern.quote).mkString("|"))
+    }
     fs.toSeq
   }
 
@@ -58,7 +71,7 @@ class StorePropertySpec extends AnyFunSuite {
       truth: Map[String, Vector[BtCell]],
       ranges: Seq[RowRange],
       filters: Seq[RowFilter]
-  ): Seq[(String, Seq[(String, String, Long)])] =
+  ): Seq[(String, Seq[(String, String, Long, String)])] =
     keys
       .filter(k => truth.contains(k) && ranges.exists(_.contains(k)))
       .sorted(InMemoryBigtable.keyOrdering)
@@ -70,10 +83,20 @@ class StorePropertySpec extends AnyFunSuite {
             case RowFilter.CellsPerColumnLimit(n) =>
               cs.groupBy(c => (c.family, c.qualifier)).valuesIterator
                 .flatMap(_.sortBy(-_.timestampMicros).take(n)).toVector
+            case RowFilter.QualifierValueRange(q, lo, loInc, hi, hiInc) =>
+              cs.filter { c =>
+                c.qualifier != q || {
+                  def cmp(b: Array[Byte]) = java.util.Arrays.compareUnsigned(c.value, b)
+                  lo.forall(b => if (loInc) cmp(b) >= 0 else cmp(b) > 0) &&
+                    hi.forall(b => if (hiInc) cmp(b) <= 0 else cmp(b) < 0)
+                }
+              }
+            case RowFilter.QualifierValueRegex(q, re) =>
+              cs.filter(c => c.qualifier != q || new String(c.value, "UTF-8").matches(re))
           }
         }
         k -> kept.sortBy(c => (c.family, c.qualifier, -c.timestampMicros))
-          .map(c => (c.family, c.qualifier, c.timestampMicros))
+          .map(c => (c.family, c.qualifier, c.timestampMicros, new String(c.value, "UTF-8")))
       }
       .filter(_._2.nonEmpty)
 
@@ -83,7 +106,8 @@ class StorePropertySpec extends AnyFunSuite {
       val ranges = randomRanges()
       val filters = randomFilters()
       val got = store.readRows("t", ranges, filters).toSeq
-        .map(r => r.rowKey -> r.cells.map(c => (c.family, c.qualifier, c.timestampMicros)))
+        .map(r => r.rowKey -> r.cells.map(c =>
+          (c.family, c.qualifier, c.timestampMicros, new String(c.value, "UTF-8"))))
       val want = bruteForce(truth, ranges, filters)
       // cell ordering within equal (family, qualifier, ts) groups can
       // differ when duplicate timestamps exist — compare sorted triples
