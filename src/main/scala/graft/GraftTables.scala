@@ -43,6 +43,9 @@ object GraftTables {
         val key = f"${r.getAs[Int]("n_nationkey")}%04d"
         b.put("nation", key, BtCell("f", "n_name", FixedTs, CellCodec.encodeString(r.getAs[String]("n_name"))))
         b.put("nation", key, BtCell("f", "n_regionkey", FixedTs, CellCodec.encodeLong(r.getAs[Int]("n_regionkey").toLong)))
+        // multi-family variant: same data, one family per qualifier
+        b.put("nation_mf", key, BtCell("meta", "n_name", FixedTs, CellCodec.encodeString(r.getAs[String]("n_name"))))
+        b.put("nation_mf", key, BtCell("stats", "n_regionkey", FixedTs, CellCodec.encodeLong(r.getAs[Int]("n_regionkey").toLong)))
       }
 
       spark.read.parquet(s"$sfDir/orders.parquet").collect().foreach { r =>
@@ -89,6 +92,17 @@ object GraftTables {
       .option("columnFamily", "f")
       .option("partitionCols", "n_key")
       .option("qualifiers", "n_name:string,n_regionkey:long")
+      .load()
+
+  /** nation split across two column families (multi-family extension):
+    * n_name in `meta`, n_regionkey in `stats`.
+    */
+  def nationMultiFamily(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir)
+      .option("table", "nation_mf")
+      .option("columnFamily", "meta")
+      .option("partitionCols", "n_key")
+      .option("qualifiers", "meta:n_name:string,stats:n_regionkey:long")
       .load()
 
   /** orders over the connector: composite (o_orderstatus, o_orderpriority, o_key). */

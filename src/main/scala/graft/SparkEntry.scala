@@ -171,6 +171,15 @@ object SparkEntry {
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_key"))),
 
+    // --- multi-family table (extension: the reference allows ONE family
+    //     per table): qualifiers live in different families; the value
+    //     filter on n_regionkey is scoped to its own family ---
+    "bt_multifamily" -> ((s, dir) =>
+      GraftTables.nationMultiFamily(s, dir)
+        .where(col("n_key").between("0000", "9999") && col("n_regionkey") === 2L)
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))),
+
     // --- runtime filtering (DPP): no static key predicate on the fact
     //     side — the broadcast dim's keys narrow the scan to point
     //     lookups at runtime via SupportsRuntimeV2Filtering ---
@@ -748,6 +757,10 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE n_nationkey = 3 OR n_nationkey BETWEEN 10 AND 13
          ORDER BY n_key""",
+    "bt_multifamily" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation WHERE n_regionkey = 2 ORDER BY n_key""",
     "bt_dpp_join" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey

@@ -24,6 +24,12 @@ final case class BigtableConfig(
     partitionCols: Seq[String],
     separator: String,
     qualifiers: Seq[(String, DataType)],
+    /** Column family per qualifier name, for qualifiers declared with an
+      * explicit `family:name:type` spec; everything else lives in
+      * `columnFamily`. Extension beyond the reference, which supports
+      * exactly one family per table (datasource.rs:28-38).
+      */
+    qualifierFamilies: Map[String, String] = Map.empty,
     onlyReadLatest: Boolean,
     allowFullScan: Boolean,
     maxPartitions: Int,
@@ -56,6 +62,15 @@ final case class BigtableConfig(
   /** Data-qualifier classification, reference datasource.rs:105-117. */
   def isQualifier(name: String): Boolean =
     name != BigtableConfig.TimestampCol && !isPartitionCol(name)
+
+  /** Column family a declared qualifier lives in (default family unless
+    * declared `family:name:type`).
+    */
+  def familyOf(name: String): String = qualifierFamilies.getOrElse(name, columnFamily)
+
+  /** Every family any declared qualifier lives in, default first. */
+  def families: Seq[String] =
+    (columnFamily +: qualifiers.map { case (n, _) => familyOf(n) }).distinct
 }
 
 object BigtableConfig {
@@ -84,22 +99,30 @@ object BigtableConfig {
       v
     }
     def opt(k: String, d: String): String = Option(opts.get(k)).filter(_.nonEmpty).getOrElse(d)
-    val quals = req("qualifiers").split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+    def parseType(t: String): DataType = t.trim.toLowerCase match {
+      case "long" | "int64" | "bigint" => LongType
+      case "string" | "utf8"           => StringType
+      // reference convention: floats stored as UTF-8 strings
+      // (datasource.rs:188-189 "Bigtable does not support float
+      // number, so store as string")
+      case "double" | "float64" => DoubleType
+      case other                => throw new IllegalArgumentException(s"unsupported qualifier type: $other")
+    }
+    // `name:type` (default family) or `family:name:type` (multi-family
+    // extension; the reference supports one family per table)
+    val parsed = req("qualifiers").split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
       s.split(':') match {
-        case Array(n, t) =>
-          val dt = t.trim.toLowerCase match {
-            case "long" | "int64" | "bigint" => LongType
-            case "string" | "utf8"           => StringType
-            // reference convention: floats stored as UTF-8 strings
-            // (datasource.rs:188-189 "Bigtable does not support float
-            // number, so store as string")
-            case "double" | "float64" => DoubleType
-            case other                => throw new IllegalArgumentException(s"unsupported qualifier type: $other")
-          }
-          (n.trim, dt)
-        case _ => throw new IllegalArgumentException(s"malformed qualifier spec: '$s' (want name:type)")
+        case Array(n, t)      => (None, n.trim, parseType(t))
+        case Array(f, n, t)   => (Some(f.trim), n.trim, parseType(t))
+        case _ => throw new IllegalArgumentException(
+          s"malformed qualifier spec: '$s' (want name:type or family:name:type)")
       }
     }
+    val names = parsed.map(_._2)
+    require(names.distinct.size == names.size,
+      s"qualifier column names must be unique across families: ${names.mkString(", ")}")
+    val quals = parsed.map { case (_, n, dt) => (n, dt) }
+    val qualFams = parsed.collect { case (Some(f), n, _) => n -> f }.toMap
     BigtableConfig(
       storeName = req("store"),
       table = req("table"),
@@ -107,6 +130,7 @@ object BigtableConfig {
       partitionCols = opt("partitionCols", RowKeyCol).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
       separator = opt("separator", "#"),
       qualifiers = quals,
+      qualifierFamilies = qualFams,
       onlyReadLatest = opt("onlyReadLatest", "true").toBoolean,
       allowFullScan = opt("allowFullScan", "false").toBoolean,
       maxPartitions = opt("maxPartitions", "32").toInt,

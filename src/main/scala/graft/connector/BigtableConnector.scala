@@ -391,12 +391,12 @@ final class BigtablePartitionReader(
   private sealed trait FieldSrc
   private case class KeyPart(i: Int) extends FieldSrc
   private case object Ts extends FieldSrc
-  private case class Qual(name: String, dt: DataType) extends FieldSrc
+  private case class Qual(family: String, name: String, dt: DataType) extends FieldSrc
   private val plan: Array[FieldSrc] = fields.map { f =>
     if (f.name == BigtableConfig.TimestampCol) Ts
     else {
       val ki = cfg.partitionCols.indexOf(f.name)
-      if (ki >= 0) KeyPart(ki) else Qual(f.name, f.dataType)
+      if (ki >= 0) KeyPart(ki) else Qual(cfg.familyOf(f.name), f.name, f.dataType)
     }
   }
 
@@ -442,15 +442,16 @@ final class BigtablePartitionReader(
     }
     val byTs = cellsInWindow.groupBy(_.timestampMicros).toArray.sortBy(_._1)
     byTs.iterator.map { case (ts, cells) =>
-      val byQual = cells.groupBy(_.qualifier) // first cell per qualifier wins (cells pre-sorted)
+      // first cell per (family, qualifier) wins (cells pre-sorted)
+      val byQual = cells.groupBy(c => (c.family, c.qualifier))
       val values = new Array[Any](fields.length)
       var i = 0
       while (i < fields.length) {
         values(i) = plan(i) match {
           case KeyPart(ki) => UTF8String.fromString(keyParts(ki))
           case Ts          => ts // TimestampType = micros since epoch
-          case Qual(name, dt) =>
-            byQual.get(name).map(_.head.value) match {
+          case Qual(fam, name, dt) =>
+            byQual.get((fam, name)).map(_.head.value) match {
               case None => null
               case Some(bytes) =>
                 dt match {

@@ -270,34 +270,34 @@ object RowRangeComposer {
       f match {
         case EqualTo(q, v: String) if qualType.get(q).contains(StringType) =>
           val b = CellCodec.encodeString(v)
-          out += RowFilter.QualifierValueRange(q, Some(b), loInclusive = true, Some(b), hiInclusive = true)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, Some(b), loInclusive = true, Some(b), hiInclusive = true)
           accepted += f
         case EqualTo(q, v: Long) if qualType.get(q).contains(LongType) =>
           val b = CellCodec.encodeLong(v)
-          out += RowFilter.QualifierValueRange(q, Some(b), loInclusive = true, Some(b), hiInclusive = true)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, Some(b), loInclusive = true, Some(b), hiInclusive = true)
           accepted += f
         case In(q, vs) if qualType.get(q).contains(StringType) &&
             vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
           out += RowFilter.QualifierValueRegex(
-            q, vs.map(v => Pattern.quote(v.asInstanceOf[String])).mkString("|"))
+            cfg.familyOf(q), q, vs.map(v => Pattern.quote(v.asInstanceOf[String])).mkString("|"))
           accepted += f
         case GreaterThan(q, v: String) if qualType.get(q).contains(StringType) =>
-          out += RowFilter.QualifierValueRange(q, Some(CellCodec.encodeString(v)), loInclusive = false, None, hiInclusive = false)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, Some(CellCodec.encodeString(v)), loInclusive = false, None, hiInclusive = false)
           accepted += f
         case GreaterThanOrEqual(q, v: String) if qualType.get(q).contains(StringType) =>
-          out += RowFilter.QualifierValueRange(q, Some(CellCodec.encodeString(v)), loInclusive = true, None, hiInclusive = false)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, Some(CellCodec.encodeString(v)), loInclusive = true, None, hiInclusive = false)
           accepted += f
         case LessThan(q, v: String) if qualType.get(q).contains(StringType) =>
-          out += RowFilter.QualifierValueRange(q, None, loInclusive = false, Some(CellCodec.encodeString(v)), hiInclusive = false)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, None, loInclusive = false, Some(CellCodec.encodeString(v)), hiInclusive = false)
           accepted += f
         case LessThanOrEqual(q, v: String) if qualType.get(q).contains(StringType) =>
-          out += RowFilter.QualifierValueRange(q, None, loInclusive = false, Some(CellCodec.encodeString(v)), hiInclusive = true)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, None, loInclusive = false, Some(CellCodec.encodeString(v)), hiInclusive = true)
           accepted += f
         case StringStartsWith(q, p) if qualType.get(q).contains(StringType) &&
             p.nonEmpty && p.forall(_ < 0x80) =>
           val lo = CellCodec.encodeString(p)
           val hi = prefixSuccessor(p).map(CellCodec.encodeString)
-          out += RowFilter.QualifierValueRange(q, Some(lo), loInclusive = true, hi, hiInclusive = false)
+          out += RowFilter.QualifierValueRange(cfg.familyOf(q), q, Some(lo), loInclusive = true, hi, hiInclusive = false)
           accepted += f
         case GreaterThan(q, v: Long) if qualType.get(q).contains(LongType) && v >= 0 =>
           tightenLo(q, v, inc = false, f)
@@ -318,7 +318,7 @@ object RowRangeComposer {
         case (Some((lo, loInc)), hiOpt) =>
           val hiBytes = hiOpt.collect { case (hi, hiInc) if hi >= 0 => (CellCodec.encodeLong(hi), hiInc) }
           out += RowFilter.QualifierValueRange(
-            q, Some(CellCodec.encodeLong(lo)), loInc,
+            cfg.familyOf(q), q, Some(CellCodec.encodeLong(lo)), loInc,
             hiBytes.map(_._1), hiBytes.exists(_._2))
           // report the hi-side sources only if the hi bound was usable
           accepted ++= longSrc(q).filter {
@@ -345,7 +345,15 @@ object RowRangeComposer {
     * one cell must survive for the row to be emitted.
     */
   def composeRowFilters(cfg: BigtableConfig, requiredQualifiers: Seq[String]): Vector[RowFilter] = {
-    val base = Vector[RowFilter](RowFilter.FamilyNameRegex(Pattern.quote(cfg.columnFamily)))
+    // multi-family extension: restrict to the families the projection
+    // touches (all declared families for a key-only projection)
+    val declaredQuals = cfg.qualifiers.map(_._1)
+    val neededQuals = if (requiredQualifiers.nonEmpty) requiredQualifiers else declaredQuals
+    val fams = neededQuals.filter(declaredQuals.contains).map(cfg.familyOf).distinct match {
+      case Seq() => cfg.families
+      case fs    => fs
+    }
+    val base = Vector[RowFilter](RowFilter.FamilyNameRegex(fams.map(Pattern.quote).mkString("|")))
     val withLatest =
       if (cfg.onlyReadLatest) base :+ RowFilter.CellsPerColumnLimit(1) else base
     val declared = cfg.qualifiers.map(_._1).toSet

@@ -198,6 +198,7 @@ object RowFilter {
     * passing version would surface as "latest").
     */
   final case class QualifierValueRange(
+      family: String,
       qualifier: String,
       lo: Option[Array[Byte]],
       loInclusive: Boolean,
@@ -210,7 +211,7 @@ object RowFilter {
     * Interleave shape as [[QualifierValueRange]]). The composer only
     * emits `Pattern.quote`d literals joined by `|`.
     */
-  final case class QualifierValueRegex(qualifier: String, regex: String) extends RowFilter
+  final case class QualifierValueRegex(family: String, qualifier: String, regex: String) extends RowFilter
 }
 
 /** Big-endian Int64 codec for cell values.

@@ -152,9 +152,9 @@ final class InMemoryBigtable private (
             .valuesIterator
             .flatMap(_.sortBy(-_.timestampMicros).take(n))
             .toVector
-        case RowFilter.QualifierValueRange(q, lo, loInc, hi, hiInc) =>
+        case RowFilter.QualifierValueRange(fam, q, lo, loInc, hi, hiInc) =>
           cs.filter { c =>
-            c.qualifier != q || {
+            c.family != fam || c.qualifier != q || {
               val loOk = lo.forall { b =>
                 val cmp = java.util.Arrays.compareUnsigned(c.value, b)
                 if (loInc) cmp >= 0 else cmp > 0
@@ -166,10 +166,10 @@ final class InMemoryBigtable private (
               loOk && hiOk
             }
           }
-        case RowFilter.QualifierValueRegex(q, re) =>
+        case RowFilter.QualifierValueRegex(fam, q, re) =>
           val p = re.r.pattern
           cs.filter { c =>
-            c.qualifier != q ||
+            c.family != fam || c.qualifier != q ||
               p.matcher(new String(c.value, java.nio.charset.StandardCharsets.UTF_8)).matches()
           }
       }

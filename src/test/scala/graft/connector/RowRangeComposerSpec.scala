@@ -195,7 +195,7 @@ class RowRangeComposerSpec extends AnyFunSuite {
     val b = CellCodec.encodeString("9.6")
     assert(acc == Vector(EqualTo("temperature", "9.6")))
     fs match {
-      case Vector(RowFilter.QualifierValueRange("temperature", Some(lo), true, Some(hi), true)) =>
+      case Vector(RowFilter.QualifierValueRange("f", "temperature", Some(lo), true, Some(hi), true)) =>
         assert(lo.sameElements(b) && hi.sameElements(b))
       case other => fail(s"unexpected: $other")
     }
@@ -207,7 +207,7 @@ class RowRangeComposerSpec extends AnyFunSuite {
     val (rangeF, rangeAcc) = RowRangeComposer.composeValueFilters(
       simple, Seq(GreaterThanOrEqual("pressure", 100L), LessThanOrEqual("pressure", 900L)))
     rangeF match {
-      case Vector(RowFilter.QualifierValueRange("pressure", Some(lo), true, Some(hi), true)) =>
+      case Vector(RowFilter.QualifierValueRange("f", "pressure", Some(lo), true, Some(hi), true)) =>
         assert(lo.sameElements(CellCodec.encodeLong(100L)))
         assert(hi.sameElements(CellCodec.encodeLong(900L)))
       case other => fail(s"unexpected: $other")
@@ -226,7 +226,7 @@ class RowRangeComposerSpec extends AnyFunSuite {
   test("value pushdown: long lower bound alone pushes (negatives merely over-fetched)") {
     val (fs, acc) = RowRangeComposer.composeValueFilters(simple, Seq(GreaterThan("pressure", 100L)))
     fs match {
-      case Vector(RowFilter.QualifierValueRange("pressure", Some(lo), false, None, _)) =>
+      case Vector(RowFilter.QualifierValueRange("f", "pressure", Some(lo), false, None, _)) =>
         assert(lo.sameElements(CellCodec.encodeLong(100L)))
       case other => fail(s"unexpected: $other")
     }
@@ -236,7 +236,7 @@ class RowRangeComposerSpec extends AnyFunSuite {
   test("value pushdown: string IN → quoted regex alternation; doubles never push") {
     val (fs, _) = RowRangeComposer.composeValueFilters(simple, Seq(In("temperature", Array("a", "b"))))
     fs match {
-      case Vector(RowFilter.QualifierValueRegex("temperature", re)) =>
+      case Vector(RowFilter.QualifierValueRegex("f", "temperature", re)) =>
         assert(re == java.util.regex.Pattern.quote("a") + "|" + java.util.regex.Pattern.quote("b"))
       case other => fail(s"unexpected: $other")
     }

@@ -117,8 +117,8 @@ class BigtableStoreSpec extends AnyFunSuite {
 
   test("QualifierValueRange drops only the target qualifier's failing cells") {
     val f = RowFilter.QualifierValueRange(
-      "q1", Some(CellCodec.encodeString("va")), loInclusive = true,
-      Some(CellCodec.encodeString("vb")), hiInclusive = true)
+      "f", "q1", Some(CellCodec.encodeString("va")), loInclusive = true,
+      hi = Some(CellCodec.encodeString("vb")), hiInclusive = true)
     val rows = store.readRows("t", Seq(RowRange.full), Seq(f)).toSeq
     // q1 survives only for rows a,b (values va, vb; "oldX" sorts below "va");
     // q2 cells keep every row alive
@@ -129,14 +129,14 @@ class BigtableStoreSpec extends AnyFunSuite {
 
   test("QualifierValueRange bounds are unsigned-byte, optional on each side") {
     val loOnly = RowFilter.QualifierValueRange(
-      "q1", Some(CellCodec.encodeString("vc")), loInclusive = false, None, hiInclusive = false)
+      "f", "q1", Some(CellCodec.encodeString("vc")), loInclusive = false, None, hiInclusive = false)
     val rows = store.readRows("t", Seq(RowRange.full), Seq(loOnly)).toSeq
     val q1 = rows.flatMap(_.cells.filter(_.qualifier == "q1")).map(c => new String(c.value))
     assert(q1.sorted == Seq("vd", "ve"))
   }
 
   test("QualifierValueRegex keeps other qualifiers, matches whole value") {
-    val f = RowFilter.QualifierValueRegex("q1", "\\Qva\\E|\\Qvd\\E")
+    val f = RowFilter.QualifierValueRegex("f", "q1", "\\Qva\\E|\\Qvd\\E")
     val rows = store.readRows("t", Seq(RowRange.full), Seq(f)).toSeq
     val q1Rows = rows.filter(_.cells.exists(_.qualifier == "q1")).map(_.rowKey)
     assert(q1Rows == Seq("a", "d"))
@@ -151,8 +151,8 @@ class BigtableStoreSpec extends AnyFunSuite {
     val chain = Seq(
       RowFilter.CellsPerColumnLimit(1),
       RowFilter.QualifierValueRange(
-        "q1", Some(CellCodec.encodeString("olda")), loInclusive = true,
-        Some(CellCodec.encodeString("olda")), hiInclusive = true))
+        "f", "q1", Some(CellCodec.encodeString("olda")), loInclusive = true,
+        hi = Some(CellCodec.encodeString("olda")), hiInclusive = true))
     val rows = store.readRows("t", Seq(RowRange.point("a")), chain).toSeq
     assert(rows.flatMap(_.cells.filter(_.qualifier == "q1")).isEmpty)
     // reversed chain (value first) would wrongly surface 'olda' as latest

@@ -56,12 +56,12 @@ class StorePropertySpec extends AnyFunSuite {
       val lo = if (rnd.nextBoolean()) Some(CellCodec.encodeString(rnd.nextInt(100).toString)) else None
       val hi = if (rnd.nextBoolean()) Some(CellCodec.encodeString(rnd.nextInt(100).toString)) else None
       if (lo.isDefined || hi.isDefined)
-        fs += RowFilter.QualifierValueRange(q, lo, rnd.nextBoolean(), hi, rnd.nextBoolean())
+        fs += RowFilter.QualifierValueRange(fams(rnd.nextInt(fams.size)), q, lo, rnd.nextBoolean(), hi, rnd.nextBoolean())
     }
     if (rnd.nextBoolean()) {
       val q = quals(rnd.nextInt(quals.size))
       val vals = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(100).toString).distinct
-      fs += RowFilter.QualifierValueRegex(q, vals.map(java.util.regex.Pattern.quote).mkString("|"))
+      fs += RowFilter.QualifierValueRegex(fams(rnd.nextInt(fams.size)), q, vals.map(java.util.regex.Pattern.quote).mkString("|"))
     }
     fs.toSeq
   }
@@ -83,16 +83,16 @@ class StorePropertySpec extends AnyFunSuite {
             case RowFilter.CellsPerColumnLimit(n) =>
               cs.groupBy(c => (c.family, c.qualifier)).valuesIterator
                 .flatMap(_.sortBy(-_.timestampMicros).take(n)).toVector
-            case RowFilter.QualifierValueRange(q, lo, loInc, hi, hiInc) =>
+            case RowFilter.QualifierValueRange(fam, q, lo, loInc, hi, hiInc) =>
               cs.filter { c =>
-                c.qualifier != q || {
+                c.family != fam || c.qualifier != q || {
                   def cmp(b: Array[Byte]) = java.util.Arrays.compareUnsigned(c.value, b)
                   lo.forall(b => if (loInc) cmp(b) >= 0 else cmp(b) > 0) &&
                     hi.forall(b => if (hiInc) cmp(b) <= 0 else cmp(b) < 0)
                 }
               }
-            case RowFilter.QualifierValueRegex(q, re) =>
-              cs.filter(c => c.qualifier != q || new String(c.value, "UTF-8").matches(re))
+            case RowFilter.QualifierValueRegex(fam, q, re) =>
+              cs.filter(c => c.family != fam || c.qualifier != q || new String(c.value, "UTF-8").matches(re))
           }
         }
         k -> kept.sortBy(c => (c.family, c.qualifier, -c.timestampMicros))
