@@ -391,7 +391,13 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      /** Band buckets larger than this are dropped (degenerate corpora:
+        * near-identical boilerplate collapses into one 16-bit bucket and
+        * would otherwise join quadratically) — same worst-case bound as
+        * the MinHash variant, trading recall on pathological buckets.
+        */
+      maxBucket: Int = 10000
   ): DataFrame = {
     val sigs = parallelize(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sim"))
     val banded = sigs.select(
@@ -401,8 +407,12 @@ object Dedup {
         array((0 until 4).map(b => shiftright(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)
       ).as(Seq("__band", "__bucket"))
     )
-    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id1"), col("__sim").as("__sim1"))
-    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id2"), col("__sim").as("__sim2"))
+    val bounded = banded
+      .withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bucket"))))
+      .where(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    val l = bounded.select(col("__band"), col("__bucket"), col("__id").as("id1"), col("__sim").as("__sim1"))
+    val r = bounded.select(col("__band"), col("__bucket"), col("__id").as("id2"), col("__sim").as("__sim2"))
     l.join(r, Seq("__band", "__bucket"))
       .where(col("id1") < col("id2"))
       .withColumn("hamming", bit_count(col("__sim1").bitwiseXOR(col("__sim2"))))
