@@ -405,6 +405,24 @@ object SparkEntry {
         .orderBy(col("u_key"), col("p_us"))
     }),
 
+    // --- range (interval) join via bin bucketing: purchases within
+    //     ±5 min of ANY error event (no equi key — the shape Spark
+    //     would otherwise plan as a nested-loop cartesian) ---
+    "rel_range_join" -> ((s, dir) => {
+      val events = GraftTables.eventsAllVersions(s, dir)
+        .where(col("u_key").between("000000", "999999"))
+      val errs = events.where(col("event_type") === "error")
+        .select((unix_micros(col("_timestamp")) - 300000000L).as("lo"),
+          (unix_micros(col("_timestamp")) + 300000000L).as("hi"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(unix_micros(col("_timestamp")).as("p_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(purchases, "p_us", errs, "lo", "hi", binWidth = 600000000L)
+        .groupBy(col("p_us"))
+        .agg(count(lit(1)).as("n_bursts"))
+        .orderBy(col("p_us"))
+    }),
+
     // --- window top-3 per segment on customer ---
     "rel_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -885,6 +903,12 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "rel_range_join" ->
+      """WITH e AS (SELECT epoch_us(ts) AS e_us FROM events WHERE event_type = 'error'),
+         p AS (SELECT epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+         SELECT p_us, count(*) AS n_bursts
+         FROM p JOIN e ON p.p_us BETWEEN e.e_us - 300000000 AND e.e_us + 300000000
+         GROUP BY p_us ORDER BY p_us""",
     "rel_asof" ->
       """WITH p AS (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us
