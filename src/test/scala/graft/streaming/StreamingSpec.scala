@@ -171,6 +171,32 @@ class StreamingSpec extends AnyFunSuite {
       s"restart must deliver only cells past the committed offset (no replays), got $all")
   }
 
+  test("multi-table change streams union with independent per-source offsets") {
+    import graft.model.{BtCell, CellCodec}
+    // two tables with DIFFERENT timestamp domains: each source must step
+    // by its own TsOffset, not a shared watermark
+    val b = new graft.store.InMemoryBigtable.Builder
+    b.put("t1", "a", BtCell("f", "v", 1000000L, CellCodec.encodeString("t1-a")))
+    b.put("t1", "b", BtCell("f", "v", 2000000L, CellCodec.encodeString("t1-b")))
+    b.put("t2", "c", BtCell("f", "v", 900000000L, CellCodec.encodeString("t2-c")))
+    b.put("t2", "d", BtCell("f", "v", 990000000L, CellCodec.encodeString("t2-d")))
+    graft.store.BigtableStores.register("union-store", b.build())
+    def src(table: String) = spark.readStream.format("bigtable")
+      .option("store", "union-store").option("table", table)
+      .option("columnFamily", "f").option("qualifiers", "v:string")
+      .option("onlyReadLatest", "false").option("allowFullScan", "true")
+      .option("streamStepMicros", "1000000")
+      .load().select(col("_row_key"), col("v"))
+    val q = src("t1").unionByName(src("t2"))
+      .writeStream.format("memory").queryName("mtu").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val rows = spark.table("mtu").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "t1-a"), ("b", "t1-b"), ("c", "t2-c"), ("d", "t2-d")),
+      s"both sources must replay fully despite disjoint ts domains, got $rows")
+  }
+
   test("streaming read with onlyReadLatest=true is rejected") {
     Fixtures.ensureSeeded()
     val e = intercept[Exception] {
