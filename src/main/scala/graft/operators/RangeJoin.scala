@@ -38,6 +38,9 @@ object RangeJoin {
     def bin(c: Column): Column = floor(c.cast("double") / lit(binWidth.toDouble)).cast("long")
     val p = points.withColumn("__bin", bin(col(ptCol)))
     val iv = intervals
+      // empty/inverted intervals match nothing — and sequence() would
+      // throw on a descending range
+      .where(col(loCol) <= col(hiCol))
       .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     p.join(iv, Seq("__bin") ++ keyCols)
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))

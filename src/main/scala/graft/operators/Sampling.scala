@@ -50,6 +50,8 @@ object Sampling {
       splitCol: String = "split"
   ): DataFrame = {
     require(bounds.nonEmpty, "at least one (name, bound) pair required")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"split bounds must ascend (later splits would be unreachable): ${bounds.map(_._2).mkString(", ")}")
     val h = samplingHash(col(keyCol))
     val assigned = bounds.foldRight(lit(defaultSplit): Column) { case ((name, bound), rest) =>
       when(h < lit(bound), lit(name)).otherwise(rest)

@@ -27,6 +27,14 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted intervals match nothing instead of crashing sequence()") {
+    val pts = Seq((1L, 50L)).toDF("pid", "p")
+    val ivs = Seq((10L, 100L, 0L), (11L, 40L, 60L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 10L)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L)))
+  }
+
   test("optional equi keys restrict matches per key") {
     val pts = Seq((1L, "a", 50L), (2L, "b", 50L)).toDF("pid", "k", "p")
     val ivs = Seq((10L, "a", 0L, 100L)).toDF("iid", "k", "lo", "hi")
