@@ -1,10 +1,26 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
 
 /** Benchmark main (driver contract): run every registered query against
   * SPARK_GRAFT_SF_DIR, print ONE JSON line
-  * {"metric","value","unit","queries","sf"(, "errors")}.
+  * {"metric","value","unit","queries","sf"(, "runs","errors")}.
+  *
+  * Measurement discipline (VERDICT.md round-3 item 1): a single cold run
+  * under a contended driver can read 10-21x slower than the same query on
+  * the same code (rel_q5 1.15s -> 24.2s with zero diff).  Each query is
+  * therefore run SPARK_GRAFT_REPEATS times (default 3) and the MIN is
+  * reported as its timing; the full per-run array is kept under "runs" so
+  * variance is visible evidence, not archaeology.
+  *
+  * Plan-regression tripwire (round-3 item 9): every query's
+  * EXPLAIN FORMATTED is persisted to SPARK_GRAFT_PLANS_DIR (default
+  * ./PLANS) so a plan flap between rounds shows up as a text diff, not a
+  * bench-number mystery.
   *
   * A failing query contributes an entry in "errors" (and -1 in
   * "queries"), never a bogus timing in "value" — so the bench number
@@ -16,6 +32,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "PLANS")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,36 +46,63 @@ object Bench {
     GraftTables.ensure(spark, sfDir) // fixture seeding, not query work
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    try Files.createDirectories(Paths.get(plansDir))
+    catch { case _: Throwable => () }
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (unset for the driver)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          timings(name) = -1.0
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200)
-      } finally {
-        // drop per-query persisted intermediates (LSH signature frames
-        // etc.) so queries don't interfere through cache pressure
-        spark.catalog.clearCache()
+        val perRun = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var planSaved = false
+        var failed = false
+        var rep = 0
+        while (rep < repeats && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, sfDir)
+            df.count()
+            perRun += (System.nanoTime() - t0) / 1e9
+            if (!planSaved) {
+              // after the first execution so AQE's final plan is available
+              try {
+                val txt = df.queryExecution.explainString(FormattedMode)
+                Files.write(
+                  Paths.get(plansDir, s"$name.txt"),
+                  txt.getBytes(StandardCharsets.UTF_8))
+              } catch { case _: Throwable => () }
+              planSaved = true
+            }
+          } catch {
+            case e: Throwable =>
+              failed = true
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.next().take(200)
+          } finally {
+            // drop per-query persisted intermediates (LSH signature frames
+            // etc.) so runs don't interfere through cache pressure
+            spark.catalog.clearCache()
+          }
+          rep += 1
+        }
+        timings(name) = if (failed || perRun.isEmpty) -1.0 else perRun.min
+        runs(name) = perRun.toSeq
       }
-    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val qs = timings.map { case (k, v) => s"${q(k)}:${"%.4f".format(v)}" }.mkString("{", ",", "}")
+    val runsJson = runs.map { case (k, vs) =>
+      s"${q(k)}:${vs.map(v => "%.4f".format(v)).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}""")
+    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)},"repeats":$repeats,"runs":$runsJson$errJson}""")
     spark.stop()
   }
 }
