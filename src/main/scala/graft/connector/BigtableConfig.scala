@@ -43,7 +43,17 @@ final case class BigtableConfig(
       * advances the cell-timestamp offset by at most this many µs
       * (None = take everything available in one batch).
       */
-    streamStepMicros: Option[Long] = None
+    streamStepMicros: Option[Long] = None,
+    /** Cluster deployment path: serialize the registered store handle
+      * into the scan so executor JVMs that never saw
+      * `BigtableStores.register` can still read. For the in-memory
+      * emulator this ships the immutable snapshot; a gRPC-backed store
+      * serializes as its connection config and reopens lazily on the
+      * executor — the reference's executor-side channel
+      * (datasource.rs:81-88). Default off: in local[*] the registry is
+      * shared and shipping the snapshot would bloat every task binary.
+      */
+    shipStore: Boolean = false
 ) extends Serializable {
 
   /** Fixed schema in the reference's column order (datasource.rs:68-79):
@@ -135,7 +145,8 @@ object BigtableConfig {
       allowFullScan = opt("allowFullScan", "false").toBoolean,
       maxPartitions = opt("maxPartitions", "32").toInt,
       maxComposedRanges = opt("maxComposedRanges", "4096").toInt,
-      streamStepMicros = Option(opts.get("streamStepMicros")).filter(_.nonEmpty).map(_.toLong)
+      streamStepMicros = Option(opts.get("streamStepMicros")).filter(_.nonEmpty).map(_.toLong),
+      shipStore = opt("shipStore", "false").toBoolean
     )
   }
 }

@@ -46,12 +46,23 @@ class BigtableTableProvider extends TableProvider with DataSourceRegister {
 }
 
 final class BigtableTable(cfg: BigtableConfig) extends Table with SupportsRead {
+  /** With `shipStore=true`, capture the registered store handle now —
+    * table creation happens on the driver, where the registry is
+    * populated — so scans built from this table carry it to executors
+    * that never saw `BigtableStores.register` (cluster deployment; the
+    * reference instead opens a fresh connection executor-side,
+    * datasource.rs:81-88).
+    */
+  private val shippedStore: Option[graft.store.BigtableStore] =
+    if (cfg.shipStore && BigtableStores.contains(cfg.storeName))
+      Some(BigtableStores.get(cfg.storeName))
+    else None
   override def name(): String = s"bigtable.${cfg.table}"
   override def schema(): StructType = cfg.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BigtableScanBuilder(cfg)
+    new BigtableScanBuilder(cfg, shippedStore)
 }
 
 /** Pushdown surface: equivalent of `TableProvider::scan` receiving
@@ -62,7 +73,7 @@ final class BigtableTable(cfg: BigtableConfig) extends Table with SupportsRead {
   * residual, so Spark retains its `FilterExec` above the scan and
   * over-broad lexicographic ranges can never produce wrong answers.
   */
-final class BigtableScanBuilder(cfg: BigtableConfig)
+final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.store.BigtableStore] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -150,7 +161,7 @@ final class BigtableScanBuilder(cfg: BigtableConfig)
     val requiredQualifiers = requiredSchema.fieldNames.toSeq.filter(cfg.isQualifier)
     val comp = RowRangeComposer.compose(cfg, filters.toSeq, requiredQualifiers)
     val tsRange = RowRangeComposer.composeTsRange(filters.toSeq)
-    new BigtableScan(cfg, requiredSchema, comp, tsRange, limit, pushedFilters())
+    new BigtableScan(cfg, requiredSchema, comp, tsRange, limit, pushedFilters(), shippedStore)
   }
 }
 
@@ -160,7 +171,8 @@ final class BigtableScan(
     comp: RowRangeComposer.Composition,
     tsRange: Option[(Long, Long)] = None,
     limit: Option[Int] = None,
-    pushed: Array[Filter] = Array.empty
+    pushed: Array[Filter] = Array.empty,
+    shippedStore: Option[graft.store.BigtableStore] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -209,7 +221,7 @@ final class BigtableScan(
     */
   override def estimateStatistics(): Statistics = {
     val est =
-      try BigtableStores.get(cfg.storeName).estimateSize(cfg.table, comp.ranges)
+      try BigtableStores.resolve(cfg.storeName, shippedStore).estimateSize(cfg.table, comp.ranges)
       catch { case _: IllegalStateException => None }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -246,7 +258,7 @@ final class BigtableScan(
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val samples =
-      try BigtableStores.get(cfg.storeName).sampleRowKeys(cfg.table)
+      try BigtableStores.resolve(cfg.storeName, shippedStore).sampleRowKeys(cfg.table)
       catch { case _: IllegalStateException => Nil } // planning on a driver without the store
     val split = BigtableScan.splitRanges(effectiveRanges, samples)
     val groups = BigtableScan.chunkContiguous(split, cfg.maxPartitions)
@@ -254,7 +266,7 @@ final class BigtableScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BigtablePartitionReaderFactory(cfg, requiredSchema, comp.rowFilters, limit)
+    new BigtablePartitionReaderFactory(cfg, requiredSchema, comp.rowFilters, limit, shippedStore)
 
   /** Streaming read: cell versions become a change stream ordered by
     * cell timestamp (micro-batch offsets = timestamp high-watermark).
@@ -265,7 +277,7 @@ final class BigtableScan(
       !cfg.onlyReadLatest,
       "streaming read requires onlyReadLatest=false (each cell version is one change event)"
     )
-    new BigtableMicroBatchStream(cfg, requiredSchema, comp)
+    new BigtableMicroBatchStream(cfg, requiredSchema, comp, shippedStore)
   }
 }
 
@@ -352,11 +364,18 @@ final class BigtablePartitionReaderFactory(
     cfg: BigtableConfig,
     readSchema: StructType,
     rowFilters: Seq[RowFilter],
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    /** Store handle serialized with this factory when `shipStore=true`:
+      * the executor-side fallback when the JVM registry misses (cluster
+      * deployment without a shared driver JVM). One copy per scan — the
+      * factory is serialized once into the task binary, not once per
+      * InputPartition.
+      */
+    shippedStore: Option[graft.store.BigtableStore] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
-    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit)
+    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore)
   }
 }
 
@@ -381,7 +400,8 @@ final class BigtablePartitionReader(
     rowFilters: Seq[RowFilter],
     ranges: Seq[RowRange],
     tsRange: Option[(Long, Long)],
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    shippedStore: Option[graft.store.BigtableStore] = None
 ) extends PartitionReader[InternalRow] {
 
   private val sepPattern = Pattern.quote(cfg.separator)
@@ -405,7 +425,7 @@ final class BigtablePartitionReader(
       if (ranges.isEmpty) Iterator.empty[InternalRow]
       else
         BigtableStores
-          .get(cfg.storeName)
+          .resolve(cfg.storeName, shippedStore)
           .readRows(cfg.table, ranges, rowFilters)
           .flatMap(pivot)
     limit.fold(base)(base.take) // pushed limit (per partition; Spark keeps the global one)

@@ -29,7 +29,8 @@ final case class TsOffset(ts: Long) extends Offset {
 final class BigtableMicroBatchStream(
     cfg: BigtableConfig,
     readSchema: StructType,
-    comp: RowRangeComposer.Composition
+    comp: RowRangeComposer.Composition,
+    shippedStore: Option[graft.store.BigtableStore] = None
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -42,7 +43,7 @@ final class BigtableMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit = ()
 
   private lazy val (minTs, maxTs): (Long, Long) = {
-    val store = BigtableStores.get(cfg.storeName)
+    val store = BigtableStores.resolve(cfg.storeName, shippedStore)
     store
       .readRows(cfg.table, comp.ranges, comp.rowFilters)
       .flatMap(_.cells.iterator.map(_.timestampMicros))
@@ -83,7 +84,7 @@ final class BigtableMicroBatchStream(
     val hi = end.asInstanceOf[TsOffset].ts
     if (hi <= lo) return Array.empty
     val samples =
-      try BigtableStores.get(cfg.storeName).sampleRowKeys(cfg.table)
+      try BigtableStores.resolve(cfg.storeName, shippedStore).sampleRowKeys(cfg.table)
       catch { case _: IllegalStateException => Nil }
     val split = BigtableScan.splitRanges(comp.ranges, samples)
     BigtableScan
@@ -93,7 +94,7 @@ final class BigtableMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BigtablePartitionReaderFactory(cfg, readSchema, comp.rowFilters)
+    new BigtablePartitionReaderFactory(cfg, readSchema, comp.rowFilters, None, shippedStore)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

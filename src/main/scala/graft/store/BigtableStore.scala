@@ -233,14 +233,36 @@ object BigtableStores {
 
   def register(name: String, store: BigtableStore): Unit = registry.put(name, store)
 
+  def unregister(name: String): Unit = registry.remove(name)
+
   def get(name: String): BigtableStore = {
     val s = registry.get(name)
     if (s == null)
       throw new IllegalStateException(
         s"bigtable store '$name' not registered in this JVM; " +
-          "register an emulator via BigtableStores.register or configure a gRPC-backed store"
+          "register an emulator via BigtableStores.register, configure a gRPC-backed store, " +
+          "or set reader option shipStore=true to serialize the store handle into the scan"
       )
     s
+  }
+
+  /** Executor-side resolution: the JVM registry first (shared-JVM fast
+    * path), else the store handle shipped inside the serialized scan
+    * (`shipStore=true`) — the Spark analogue of the reference's
+    * executor-side connection open (datasource.rs:81-88). A shipped
+    * handle is installed into the registry so sibling tasks in the same
+    * executor JVM share one instance rather than each deserialized copy.
+    */
+  def resolve(name: String, shipped: Option[BigtableStore]): BigtableStore = {
+    val s = registry.get(name)
+    if (s != null) s
+    else
+      shipped match {
+        case Some(store) =>
+          val prev = registry.putIfAbsent(name, store)
+          if (prev != null) prev else store
+        case None => get(name) // throws with the full remediation message
+      }
   }
 
   def contains(name: String): Boolean = registry.containsKey(name)
