@@ -619,6 +619,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // --- ANN: IVF recall gate — joins the approximate result against
+    //     the in-engine exact result and asserts mean recall@10 >= 0.5
+    //     (the bound SimilaritySpec verifies); the oracle grounds
+    //     n_queries/n_exact in the data and pins recall_ok = true ---
+    "emb_knn_ivf_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("qid"), col("nid"))
+      val approx = graft.operators.Similarity
+        .ivfTopK(emb, queries, "vec_id", "embedding", 10,
+          nCentroids = 16, nProbe = 6, kmeansIterations = 2)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact_q"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_exact_q")).as("n_exact"),
+          (avg(col("n_hit") / col("n_exact_q")) >= 0.5).as("recall_ok"))
+        .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
+    }),
+
     // --- embedding-cosine near-dup via hyperplane LSH ---
     // The raw synthetic embeddings have no pairs above 0.6 cosine, so a
     // near-dup query over them alone is vacuously empty; self-union with
@@ -644,6 +669,19 @@ object SparkEntry {
           array_max(q).as("q_max"),
           round(scale, 6).as("scale_r"))
         .orderBy(col("vec_id"))
+    }),
+
+    // --- KMV distinct sketch, gated in its exact-below-k regime: both
+    //     cardinalities (languages; (lang, source) pairs) sit far below
+    //     k=512, where the sketch provably returns the exact distinct
+    //     count — so DuckDB's count(DISTINCT ...) is a hash-exact oracle
+    //     (the estimate regime is covered by KmvSketchSpec) ---
+    "doc_distinct_sketch" -> ((s, dir) => {
+      val kmv = udaf(new graft.functions.KmvDistinct(512))
+      s.read.parquet(s"$dir/documents.parquet")
+        .agg(
+          kmv(xxhash64(col("lang"))).as("n_langs"),
+          kmv(xxhash64(col("lang"), col("source"))).as("n_lang_source"))
     }),
 
     // --- running-window analytics: cumulative counts + lag per customer ---
@@ -1034,6 +1072,20 @@ object SparkEntry {
            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
            FROM scored)
          SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
-         ORDER BY qid, rank"""
+         ORDER BY qid, rank""",
+    // KMV sketch in the exact-below-k regime: the sketch answer must
+    // equal the true distinct count for the hash to match.
+    "doc_distinct_sketch" ->
+      """SELECT count(DISTINCT lang) AS n_langs,
+                count(DISTINCT (lang, source)) AS n_lang_source
+         FROM documents""",
+    // IVF recall gate: DuckDB grounds the query-set size and exact-pair
+    // count in the data (brute-force k-NN is k rows per query) and pins
+    // recall_ok — the Spark side must have measured mean recall@10 >=
+    // 0.5 against its own exact top-k for the hash to match.
+    "emb_knn_ivf_recall" ->
+      """SELECT count(*) AS n_queries, 10 AS k,
+                10 * count(*) AS n_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5"""
   )
 }

@@ -70,6 +70,10 @@ final class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long] {
       math.round((k - 1) / math.max(x, Double.MinPositiveValue))
     }
 
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+  // ExpressionEncoder keeps the partial-merge buffer in Tungsten binary
+  // format (a primitive long-array column) — no java-serialization cost
+  // on every map-side partial
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
