@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON line out of a ~2000-char tail of the
+// sbt output.  Two things have silently defeated that parse every round:
+// sbt's logger prefixes forked-run stdout with "[info] " (so the line never
+// starts with '{'), and the "[success] Total time" summary trails it (so the
+// JSON is never the last line).  Pass the child's stdout through verbatim
+// and drop the success summary so the JSON line is bare and final.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

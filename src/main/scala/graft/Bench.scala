@@ -94,15 +94,26 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => s"${q(k)}:${"%.4f".format(v)}" }.mkString("{", ",", "}")
+    // Driver-contract line: the driver keeps only ~2000 trailing chars of the
+    // sbt output and parses the JSON line out of them, so this line must stay
+    // SHORT (3-decimal timings, no per-run arrays) and must be the LAST thing
+    // on stdout.  Full-precision per-run detail goes to BENCH_DETAIL.json.
+    val qs = timings.map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val runsJson = runs.map { case (k, vs) =>
       s"${q(k)}:${vs.map(v => "%.4f".format(v)).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
-      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)},"repeats":$repeats,"runs":$runsJson$errJson}""")
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}"""
+    try Files.write(
+      Paths.get("BENCH_DETAIL.json"),
+      s"""{"repeats":$repeats,"runs":$runsJson$errJson}\n""".getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    // after spark.stop() so no executor/log noise can print after it
+    println(line)
+    System.out.flush()
   }
 }
