@@ -307,10 +307,17 @@ object SparkEntry {
     "rel_q3" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet").where(col("o_orderstatus") === "O")
       val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      // distinct-agg rewritten two-phase (pre-agg per order, re-agg per
+      // priority) instead of countDistinct: avoids the Expand operator,
+      // which doubles the joined fact through the aggregate and made cold
+      // first-runs read 6x slower under driver contention. Sums re-associate
+      // exactly (integral-valued doubles).
       orders
         .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(col("o_orderpriority"), col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("__q"))
         .groupBy(col("o_orderpriority"))
-        .agg(countDistinct(col("o_orderkey")).as("n_orders"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("__q")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -326,11 +333,15 @@ object SparkEntry {
         .join(customer, nation("n_nationkey") === customer("c_nationkey"))
         .join(orders, customer("c_custkey") === orders("o_custkey"))
         .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        // two-phase distinct-agg (see rel_q3): pre-agg per (region, order),
+        // re-agg per region — no Expand, stable cold-run memory profile
+        .groupBy(col("r_name"), col("o_orderkey"))
+        .agg(count(lit(1)).as("__n"), sum(col("l_quantity")).as("__q"))
         .groupBy(col("r_name"))
         .agg(
-          count(lit(1)).as("n_lineitems"),
-          sum(col("l_quantity")).as("sum_qty"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("__n")).as("n_lineitems"),
+          sum(col("__q")).as("sum_qty"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("r_name"))
     }),
 
