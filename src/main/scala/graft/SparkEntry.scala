@@ -729,13 +729,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // --- multimodal plumbing: stub decode + resize over binary payloads ---
+    // --- multimodal decode: REAL container-header parse (PNG IHDR / GIF
+    //     logical screen / JPEG SOF0 via bounded segment walk) over valid
+    //     synthesized container bytes, + metadata resize. Pure codegen'd
+    //     byte arithmetic; the oracle recomputes the dimensions that were
+    //     encoded, so the gate verifies the encode→parse round trip. ---
     "mm_decode" -> ((s, dir) => {
-      val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      val media = graft.operators.Multimodal.synthesizeContainers(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
       graft.operators.Multimodal
-        .resizeMeta(graft.operators.Multimodal.decodeStub(s, media).toDF(), maxDim = 512)
-        .select(col("media_id"), col("width"), col("height"), col("channels"), col("size_bytes"),
-          col("resized_width"), col("resized_height"))
+        .resizeMeta(graft.operators.Multimodal.decodeHeaders(media), maxDim = 512)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("size_bytes"), col("resized_width"), col("resized_height"))
         .orderBy(col("media_id"))
     })
   )
@@ -1044,6 +1049,23 @@ object SparkEntry {
                  (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
                  least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
          FROM base ORDER BY doc_id""",
+    "mm_decode" ->
+      """WITH base AS (
+           SELECT doc_id AS media_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+                  CAST(64 + doc_id % 512 AS INT) AS width,
+                  CAST(64 + (doc_id * 7) % 512 AS INT) AS height,
+                  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+                  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 39 END + strlen(text) AS BIGINT) AS size_bytes
+           FROM documents),
+         r AS (
+           SELECT *, CASE WHEN greatest(width, height) > 512
+                          THEN 512.0 / greatest(width, height) ELSE 1.0 END AS scale
+           FROM base)
+         SELECT media_id, format, width, height, channels, size_bytes,
+                CAST(floor(width * scale) AS INT) AS resized_width,
+                CAST(floor(height * scale) AS INT) AS resized_height
+         FROM r ORDER BY media_id""",
     "mm_frames" ->
       """SELECT doc_id AS media_id,
          CAST(ceil(CAST(greatest(strlen(text),1) AS DOUBLE) /

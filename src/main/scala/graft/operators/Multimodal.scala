@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with a typed metadata struct, processed in
@@ -70,6 +70,126 @@ object Multimodal {
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(fakeDecode))
+  }
+
+  // ---------------------------------------------------------------------
+  // Real header decode: PNG IHDR / GIF logical screen / JPEG SOF0 parsed
+  // with pure byte arithmetic on the binary column (substr + hex + conv,
+  // all codegen'd built-ins — no UDF, no codec library). This is the part
+  // of image decode that needs no codec at all, and it is what a catalog
+  // pass over 100 TB of crawled media actually runs first: dimensions,
+  // channel count and container type straight from the leading bytes.
+  // ---------------------------------------------------------------------
+
+  private def u8(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def le16(c: Column): Column =
+    unhex(concat(lpad(hex(pmod(c, lit(256))), 2, "0"), lpad(hex((c / 256).cast("int")), 2, "0")))
+
+  /** Read `len` bytes at 1-based `pos` (literal or column) as a big-endian
+    * unsigned int. conv(hex(bytes), 16, 10) keeps the whole read inside
+    * whole-stage codegen.
+    */
+  private def beInt(p: Column, pos: Column, len: Int): Column =
+    conv(hex(p.substr(pos, lit(len))), 16, 10).cast("int")
+  private def leInt16(p: Column, pos: Int): Column =
+    (beInt(p, lit(pos), 1) + beInt(p, lit(pos + 1), 1) * 256).cast("int")
+
+  /** Synthesize VALID container bytes (PNG / GIF89a / baseline JPEG) so the
+    * decoder has real headers to parse: fixture stand-in for binary ingest,
+    * with dimensions derived deterministically from the id so an external
+    * oracle can verify the encode→parse round trip exactly.
+    * PNG: 8-byte signature + IHDR chunk (len, type, 13-byte data, CRC).
+    * GIF: "GIF89a" + little-endian logical-screen width/height + packed.
+    * JPEG: SOI + 16-byte APP0/JFIF + SOF0 (precision, BE height/width, 3
+    * components) — the SOF0 sits after a variable-length APP0 so the
+    * decoder must genuinely walk segments to find it.
+    */
+  def synthesizeContainers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val w = (lit(64) + pmod(id, lit(512))).cast("int")
+    val h = (lit(64) + pmod(id * 7, lit(512))).cast("int")
+    val body = col(textCol).cast("binary")
+    val pngColorType = when(pmod(id, lit(2)) === 0, lit(2)).otherwise(lit(0)) // truecolor | greyscale
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")),              // signature
+      unhex(lit("0000000D")), unhex(lit("49484452")), // IHDR length + type
+      be32(w), be32(h),
+      unhex(lit("08")), u8(pngColorType),           // bit depth, color type
+      unhex(lit("000000")),                          // compression, filter, interlace
+      unhex(lit("00000000")),                        // CRC (not validated here)
+      body)
+    val gif = concat(
+      unhex(lit("474946383961")),                    // "GIF89a"
+      le16(w), le16(h),
+      unhex(lit("F70000")),                          // packed fields, bg color, aspect
+      body)
+    val jpeg = concat(
+      unhex(lit("FFD8")),                            // SOI
+      unhex(lit("FFE000104A46494600010100004800480000")), // APP0/JFIF, len 0x10
+      unhex(lit("FFC0001108")),                      // SOF0, len 0x11, precision 8
+      be16(h), be16(w),
+      unhex(lit("03012200021101031101")),            // 3 components
+      body)
+    df.select(
+      id.as("media_id"),
+      when(pmod(id, lit(3)) === 0, png).when(pmod(id, lit(3)) === 1, gif).otherwise(jpeg).as("payload"))
+  }
+
+  /** Number of segment-walk steps the JPEG branch unrolls: enough for SOI +
+    * APPn/COM runs before SOF0 in typical files; headers further in resolve
+    * to NULL (exactly what a bounded production scanner does).
+    */
+  private val JpegWalkDepth = 6
+
+  /** Decode container headers from the leading bytes of `payload`:
+    * format sniffed from the magic number, dimensions/channels parsed
+    * per-format, JPEG via a real bounded segment walk to SOF0/SOF2.
+    * Pure codegen'd column arithmetic — scales as a projection.
+    */
+  def decodeHeaders(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val fmt = when(hex(p.substr(lit(1), lit(8))) === "89504E470D0A1A0A", "png")
+      .when(hex(p.substr(lit(1), lit(6))).isin("474946383961", "474946383761"), "gif")
+      .when(hex(p.substr(lit(1), lit(2))) === "FFD8", "jpeg")
+      .otherwise("unknown")
+
+    // PNG IHDR: width/height BE at 17/21, bit depth 25, color type 26
+    val pngW = beInt(p, lit(17), 4)
+    val pngH = beInt(p, lit(21), 4)
+    val pngChannels = {
+      val ct = beInt(p, lit(26), 1)
+      when(ct === 0, 1).when(ct === 2, 3).when(ct === 3, 1)
+        .when(ct === 4, 2).when(ct === 6, 4)
+    }
+
+    // GIF logical screen: LE u16 at 7/9
+    val gifW = leInt16(p, 7)
+    val gifH = leInt16(p, 9)
+
+    // JPEG: walk segments from offset 3 (after SOI) until an SOF marker.
+    // Each non-SOF segment is FF <marker> <len BE16 incl itself>; the next
+    // segment starts at pos + 2 + len. Unrolled JpegWalkDepth times with
+    // column-valued offsets — stays in codegen, handles any APPn/COM run.
+    val sofMarkers = Seq("FFC0", "FFC1", "FFC2") // baseline, ext. sequential, progressive
+    def isSof(pos: Column): Column = hex(p.substr(pos, lit(2))).isin(sofMarkers: _*)
+    def next(pos: Column): Column = pos + lit(2) + beInt(p, pos + 2, 2)
+    val offsets = Iterator.iterate(lit(3): Column)(next).take(JpegWalkDepth).toSeq
+    val sofPos = offsets.reverse.foldLeft(lit(null).cast("int")) { (acc, pos) =>
+      when(isSof(pos), pos.cast("int")).otherwise(acc)
+    }
+    val jpegH = beInt(p, sofPos + 5, 2)
+    val jpegW = beInt(p, sofPos + 7, 2)
+    val jpegChannels = beInt(p, sofPos + 9, 1)
+
+    media.select(
+      col("media_id"),
+      fmt.as("format"),
+      when(fmt === "png", pngW).when(fmt === "gif", gifW).when(fmt === "jpeg", jpegW).as("width"),
+      when(fmt === "png", pngH).when(fmt === "gif", gifH).when(fmt === "jpeg", jpegH).as("height"),
+      when(fmt === "png", pngChannels).when(fmt === "gif", 3).when(fmt === "jpeg", jpegChannels).as("channels"),
+      length(p).cast("long").as("size_bytes"))
   }
 
   /** "Resize": scale decoded dimensions so the longer side is at most

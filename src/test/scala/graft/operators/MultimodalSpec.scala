@@ -42,6 +42,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("decodeHeaders round-trips synthesized PNG/GIF/JPEG containers") {
+    val synth = Multimodal.synthesizeContainers(docs, "doc_id", "text")
+    val got = Multimodal.decodeHeaders(synth)
+      .select($"media_id", $"format", $"width", $"height", $"channels")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    docs.select($"doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val fmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "jpeg" }
+      val ch = if (id % 3 == 0 && id % 2 == 1) 1 else 3
+      assert(got(id) == ((fmt, 64 + (id % 512).toInt, 64 + ((id * 7) % 512).toInt, ch)), s"id=$id")
+    }
+  }
+
+  test("decodeHeaders JPEG segment walk skips APPn/COM runs before SOF0") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI, APP1 (len 8), COM (len 4), SOF0 1024x768, 3 components
+    val jpeg = hexBytes(
+      "FFD8" + "FFE10008AABBCCDDEEFF" + "FFFE0004AAAA" +
+        "FFC0001108" + "0300" + "0400" + "03012200021101031101")
+    // bare GIF87a 10x20 and a non-image payload
+    val gif87 = hexBytes("474946383761" + "0A00" + "1400" + "F70000")
+    val junk = "not an image".getBytes("UTF-8")
+    val df = spark.createDataFrame(Seq((1L, jpeg), (2L, gif87), (3L, junk)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeHeaders(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "jpeg" && out(1L).getInt(2) == 1024 &&
+      out(1L).getInt(3) == 768 && out(1L).getInt(4) == 3)
+    assert(out(2L).getString(1) == "gif" && out(2L).getInt(2) == 10 && out(2L).getInt(3) == 20)
+    assert(out(3L).getString(1) == "unknown" && out(3L).isNullAt(2))
+  }
+
   test("frameSample chunks reassemble the payload") {
     val framed = Multimodal.frameSample(media, 4)
       .select($"media_id", $"payload", concat($"frames"(0), $"frames"(1), $"frames"(2), $"frames"(3)).as("reassembled"))
