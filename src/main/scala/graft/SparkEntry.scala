@@ -587,28 +587,37 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // --- SimHash near-dup (rows-only: no 64-bit simhash in DuckDB) ---
+    // --- SimHash near-dup, EXACT gate: md5-derived token hashes (DuckDB
+    //     replicates the full SimHash bit-for-bit) and maxHamming=3, where
+    //     4x16-bit pigeonhole banding has recall exactly 1 — so the banded
+    //     LSH output equals the exhaustive all-pairs oracle. ---
     "doc_simhash_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
-        .simhashNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 6)
+        .simhashNearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          maxHamming = 3, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
-    // --- text quality / language-ID / fingerprints (rows-only) ---
+    // --- text quality / language-ID / fingerprints, fully oracled: the
+    //     md5-derived fingerprint + winnowing variants are replicated
+    //     bit-for-bit by the DuckDB oracle (window minima over positional
+    //     shingle hashes included). ---
     "doc_quality" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
           graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
-          graft.functions.TextFunctions.fingerprint64(col("text")).as("fingerprint"),
-          size(graft.functions.TextFunctions.winnowFingerprints(col("text"))).as("n_winnow_fp"))
+          graft.functions.TextFunctions.fingerprint60Md5(col("text")).as("fingerprint"),
+          size(graft.functions.TextFunctions.winnowFingerprintsMd5(col("text"))).as("n_winnow_fp"))
         .orderBy(col("doc_id"))),
 
-    // --- partial-overlap (containment) via winnowing fingerprints ---
+    // --- partial-overlap (containment) via winnowing fingerprints; md5
+    //     shingle hashes so the oracle rebuilds the fingerprint sets,
+    //     the rare-bucket discovery cap, and the full intersect count ---
     "doc_containment" -> ((s, dir) =>
       graft.operators.Dedup
         .containmentCandidates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          minShared = 50, maxBucket = 200, persistIntermediate = true)
+          minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
@@ -1049,6 +1058,99 @@ object SparkEntry {
                  (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
                  least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
          FROM base ORDER BY doc_id""",
+    "doc_quality" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ntoks,
+             regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, i,
+                  ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(strlen(text) - 4, 1) + 1)) AS i
+                 FROM documents)),
+         wm AS (
+           SELECT doc_id, i,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+                  count(*) OVER (PARTITION BY doc_id) AS nh
+           FROM hs),
+         nf AS (
+           SELECT doc_id, count(DISTINCT m) AS n_winnow_fp
+           FROM wm WHERE i <= greatest(nh - 7, 1) GROUP BY doc_id)
+         SELECT b.doc_id,
+           CASE
+             WHEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) / nchars > 0.05 THEN 'zh'
+             ELSE (
+               WITH h AS (SELECT
+                 len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','on','at','by','this'], t))) AS en,
+                 len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','auf','im','sich','des'], t))) AS de,
+                 len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','sur','avec','au','pas'], t))) AS fr,
+                 len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para','del','se'], t))) AS es)
+               SELECT CASE WHEN en=0 AND de=0 AND fr=0 AND es=0 THEN 'und'
+                           WHEN en>=de AND en>=fr AND en>=es THEN 'en'
+                           WHEN de>=fr AND de>=es THEN 'de'
+                           WHEN fr>=es THEN 'fr' ELSE 'es' END FROM h)
+           END AS lang_guess,
+           round(least(nchars/200.0, 1.0)*0.25 +
+                 (CASE WHEN nchars/ntoks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+                 (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
+                 least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality,
+           ('0x' || substr(md5(b.text), 1, 15))::BIGINT AS fingerprint,
+           CAST(nf.n_winnow_fp AS INT) AS n_winnow_fp
+         FROM base b JOIN nf ON b.doc_id = nf.doc_id ORDER BY b.doc_id""",
+    "doc_containment" ->
+      """WITH hs AS (
+           SELECT doc_id, i,
+                  ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, greatest(strlen(text) - 4, 1) + 1)) AS i
+                 FROM documents)),
+         wm AS (
+           SELECT doc_id, i,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+                  count(*) OVER (PARTITION BY doc_id) AS nh
+           FROM hs),
+         fps AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= greatest(nh - 7, 1)),
+         rare AS (SELECT m FROM fps GROUP BY m HAVING count(*) <= 200),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+           WHERE a.m IN (SELECT m FROM rare)),
+         shared AS (
+           SELECT c.id1, c.id2, count(*) AS shared_fingerprints
+           FROM cand c
+           JOIN fps f1 ON f1.doc_id = c.id1
+           JOIN fps f2 ON f2.doc_id = c.id2 AND f2.m = f1.m
+           GROUP BY c.id1, c.id2 HAVING count(*) >= 50)
+         SELECT id1, id2, CAST(shared_fingerprints AS BIGINT) AS shared_fingerprints
+         FROM shared ORDER BY id1, id2""",
+    "doc_simhash_near_dup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, b.b AS b,
+                  sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, (SELECT unnest(range(64)) AS b) b
+           GROUP BY doc_id, b.b),
+         sig AS (
+           SELECT doc_id,
+                  bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(b AS INT)) ELSE 0::UBIGINT END) AS sim
+           FROM bits GROUP BY doc_id),
+         sigall AS (
+           SELECT d.doc_id, coalesce(g.sim, 0::UBIGINT) AS sim
+           FROM documents d LEFT JOIN sig g USING (doc_id))
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         ORDER BY id1, id2""",
     "mm_decode" ->
       """WITH base AS (
            SELECT doc_id AS media_id,

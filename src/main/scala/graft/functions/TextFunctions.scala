@@ -53,6 +53,20 @@ object TextFunctions {
   /** 64-bit document fingerprint (xxhash64 of the raw text). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** 60-bit MD5-derived hash of a string column: first 15 hex chars of
+    * the digest as a (always non-negative) long. Pure built-ins
+    * (md5+conv stay in codegen) and replicable in any SQL engine as
+    * `('0x' || substr(md5(s),1,15))::BIGINT` — 60 bits so signed and
+    * unsigned interpretations agree (min/sort-safe cross-engine).
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MD5-derived document fingerprint — the verifiability variant of
+    * [[fingerprint64]].
+    */
+  def fingerprint60Md5(text: Column): Column = md5Hash60(text)
+
   /** Winnowing fingerprints (rolling-window minima over positional
     * char-shingle hashes, MOSS-style): any shared substring of length
     * >= windowW + shingleK - 1 between two documents yields at least
@@ -67,9 +81,30 @@ object TextFunctions {
     ColumnBridge.column(Winnow(ColumnBridge.expression(shingled), windowW))
   }
 
+  /** Winnowing fingerprints over MD5-derived 60-bit shingle hashes: the
+    * verifiability variant of [[winnowFingerprints]] (identical window
+    * semantics; only the shingle hash differs, so an external SQL engine
+    * can rebuild the positional hashes and window minima exactly).
+    */
+  def winnowFingerprintsMd5(text: Column, shingleK: Int = 5, windowW: Int = 8): Column = {
+    val shingled = transform(
+      sequence(lit(1), greatest(length(text) - (shingleK - 1), lit(1))),
+      i => md5Hash60(text.substr(i, lit(shingleK)))
+    )
+    ColumnBridge.column(Winnow(ColumnBridge.expression(shingled), windowW))
+  }
+
   /** SimHash over word tokens — native Catalyst expression with codegen. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens(text))))
+
+  /** SimHash over word tokens with MD5-derived per-token hashes: slower
+    * than the xxh64 default but bit-for-bit replicable by any engine with
+    * a standard MD5 (`('0x'||substr(md5(t),1,16))::UBIGINT`) — the
+    * verifiability path.
+    */
+  def simhash64Md5(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens(text)), md5 = true))
 
   /** Fraction of CJK (Han) characters. */
   def cjkRatio(text: Column): Column =

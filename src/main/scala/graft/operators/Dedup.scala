@@ -346,11 +346,18 @@ object Dedup {
         * explode branch and both verification-join branches). Callers
         * own unpersisting, consistent with the sibling operators.
         */
-      persistIntermediate: Boolean = false
+      persistIntermediate: Boolean = false,
+      /** MD5-derived shingle hashes instead of xxh64 (slower, externally
+        * replicable — the oracle path); discovery/verify identical.
+        */
+      md5Hash: Boolean = false
   ): DataFrame = {
+    val fps: Column =
+      if (md5Hash) winnowFingerprintsMd5(col(textCol), shingleK, windowW)
+      else winnowFingerprints(col(textCol), shingleK, windowW)
     val fpArrays0 = parallelize(df).select(
       col(idCol).as("__id"),
-      array_sort(winnowFingerprints(col(textCol), shingleK, windowW)).as("__fps")
+      array_sort(fps).as("__fps")
     )
     val fpArrays =
       if (persistIntermediate) fpArrays0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -397,9 +404,15 @@ object Dedup {
         * would otherwise join quadratically) — same worst-case bound as
         * the MinHash variant, trading recall on pathological buckets.
         */
-      maxBucket: Int = 10000
+      maxBucket: Int = 10000,
+      /** MD5-derived token hashes instead of xxh64: slower, but the whole
+        * SimHash is then replicable bit-for-bit by an external SQL engine
+        * (the oracle path). Banding/verify logic is identical.
+        */
+      md5Hash: Boolean = false
   ): DataFrame = {
-    val sigs = parallelize(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sim"))
+    val sig: Column => Column = if (md5Hash) simhash64Md5 else simhash64
+    val sigs = parallelize(df).select(col(idCol).as("__id"), sig(col(textCol)).as("__sim"))
     val banded = sigs.select(
       col("__id"),
       col("__sim"),
