@@ -194,21 +194,38 @@ final class BigtableScan(
     * with the delivered IN-set. Over-inclusion is safe (the join still
     * filters), so anything untranslatable is ignored.
     *
-    * Single-component keys only: for composite keys an IN-set on one
-    * component does not factor into lexicographic ranges without the
-    * other components' values.
+    * Composite keys narrow when EVERY key component arrives with an
+    * IN/=-set (joins on all components, the common star-schema shape):
+    * the per-component sets' cartesian product — same composition as the
+    * planning-time composer — yields point keys, budgeted by
+    * `maxComposedRanges` like planned compositions. A partially-pinned
+    * composite key is left unnarrowed: an IN-set on one component does
+    * not factor into lexicographic ranges without the others.
     */
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    if (cfg.partitionCols.size != 1) return
-    val keyCol = cfg.partitionCols.head
-    val sets = predicates.flatMap(BigtableScan.inSetValues(_, keyCol))
-    if (sets.nonEmpty) {
-      val keySet = sets.map(_.toSet).reduce(_ intersect _)
-      // an empty intersection legitimately yields zero partitions
-      effectiveRanges = RowRange.normalize(
-        keySet.toVector.collect {
-          case k if comp.ranges.exists(_.contains(k)) => RowRange.point(k)
-        })
+    // per-component IN-sets, intersected when a component appears in
+    // several predicates; None if any component never arrives
+    val componentSets: Option[Vector[Set[String]]] =
+      cfg.partitionCols.foldLeft(Option(Vector.empty[Set[String]])) { (acc, c) =>
+        acc.flatMap { v =>
+          val sets = predicates.flatMap(BigtableScan.inSetValues(_, c))
+          if (sets.isEmpty) None else Some(v :+ sets.map(_.toSet).reduce(_ intersect _))
+        }
+      }
+    componentSets.foreach { sets =>
+      val product = sets.map(_.size.toLong).product
+      if (product <= cfg.maxComposedRanges) {
+        val keys = sets
+          .map(_.toVector.sorted)
+          .foldLeft(Vector("")) { (acc, vs) =>
+            for (p <- acc; v <- vs) yield if (p.isEmpty) v else p + cfg.separator + v
+          }
+        // an empty intersection legitimately yields zero partitions
+        effectiveRanges = RowRange.normalize(
+          keys.collect {
+            case k if comp.ranges.exists(_.contains(k)) => RowRange.point(k)
+          })
+      }
     }
   }
 

@@ -49,12 +49,73 @@ class RuntimeFilteringSpec extends AnyFunSuite {
     assert(scan2.currentRanges == comp.ranges, "non-key predicate must not narrow")
   }
 
-  test("composite keys never narrow (IN on one component cannot factor into ranges)") {
+  test("partially-pinned composite keys never narrow (IN on one component cannot factor into ranges)") {
     val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"))
     val comp = RowRangeComposer.Composition(Vector(RowRange.full), Vector.empty)
     val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
     scan.filter(Array(v2In("a", "x")))
     assert(scan.currentRanges == comp.ranges)
+  }
+
+  test("composite keys narrow to the cartesian of point keys when every component is pinned") {
+    val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"))
+    val comp = RowRangeComposer.Composition(
+      Vector(RowRange.closed("1#a", "2#z")), Vector.empty)
+    val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
+    scan.filter(Array(v2In("a", "1", "2", "9"), v2In("b", "p", "q")))
+    // 9#p / 9#q fall outside [1#a, 2#z] and must be dropped
+    assert(scan.currentRanges == Vector(
+      RowRange.point("1#p"), RowRange.point("1#q"),
+      RowRange.point("2#p"), RowRange.point("2#q")))
+  }
+
+  test("composite runtime narrowing respects the maxComposedRanges budget") {
+    val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"), maxComposedRanges = 3)
+    val comp = RowRangeComposer.Composition(Vector(RowRange.full), Vector.empty)
+    val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
+    scan.filter(Array(v2In("a", "1", "2"), v2In("b", "p", "q")))
+    assert(scan.currentRanges == comp.ranges, "4 > budget 3: scan must stay unnarrowed")
+  }
+
+  test("e2e composite probe: join on both key components narrows the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val b = new graft.store.InMemoryBigtable.Builder
+    for (a <- Seq("1", "2", "3"); k <- Seq("x", "y")) {
+      b.put("t2", s"$a#$k", BtCell("f", "q", 1L, CellCodec.encodeString(s"v$a$k")))
+    }
+    graft.store.BigtableStores.register("rf-store2", b.build())
+    val fact = spark.read.format("bigtable")
+      .option("store", "rf-store2").option("table", "t2")
+      .option("columnFamily", "f").option("partitionCols", "a,k")
+      .option("qualifiers", "q:string")
+      .option("allowFullScan", "true")
+      .load()
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("rf-dim2").toString
+    Seq(("2", "x"), ("3", "y"), ("9", "x")).toDF("da", "dk")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where($"da" < "9")
+    val joined = fact.join(broadcast(dim), fact("a") === dim("da") && fact("k") === dim("dk"))
+      .select(col("a"), col("k"), col("q"))
+    val rows = joined.collect()
+    assert(rows.map(_.getString(2)).sorted.toSeq == Seq("v2x", "v3y"))
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BigtableScan] =
+      p.collect {
+        case bse: BatchScanExec => bse.scan match {
+          case s: BigtableScan => Seq(s)
+          case _               => Nil
+        }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => allScans(q.plan)
+      }.flatten
+    val scans = allScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a BigtableScan in the plan")
+    // cartesian {2,3} x {x,y} = 4 point keys (over-inclusive on purpose:
+    // 2#y and 3#x are pruned by the join itself, not the scan)
+    assert(scans.head.currentRanges == Vector(
+      RowRange.point("2#x"), RowRange.point("2#y"),
+      RowRange.point("3#x"), RowRange.point("3#y")),
+      s"got ${scans.head.currentRanges}")
   }
 
   test("e2e probe: broadcast join on the row key delivers a runtime filter") {
