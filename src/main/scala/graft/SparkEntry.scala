@@ -500,6 +500,40 @@ object SparkEntry {
       s.table(qname).orderBy(col("u_key"), col("event_type"))
     }),
 
+    // --- multi-table change streams unioned into one aggregation: the
+    //     events and orders tables live in DIFFERENT timestamp domains
+    //     (event-time µs vs a fixed seed ts), so each source must step by
+    //     its own committed offset — the union would under-deliver if the
+    //     sources shared a watermark. Gated: counts match DuckDB over the
+    //     same two parquet tables. ---
+    "stream_union_counts" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      def src(table: String, partitionCols: String, quals: String) =
+        s.readStream.format("bigtable")
+          .option("store", GraftTables.storeName(dir))
+          .option("table", table)
+          .option("columnFamily", "f")
+          .option("partitionCols", partitionCols)
+          .option("separator", "#")
+          .option("qualifiers", quals)
+          .option("onlyReadLatest", "false")
+          .option("allowFullScan", "true")
+          .option("streamStepMicros", "8000000000000")
+          .load()
+      val ev = src("events", "u_key", "event_type:string,value:double")
+        .select(lit("events").as("src"), col("event_type").as("k"))
+      val ord = src("orders", "o_orderstatus,o_orderpriority,o_key", "o_custkey:long,o_totalprice:double")
+        .select(lit("orders").as("src"), col("o_orderstatus").as("k"))
+      val counts = ev.unionByName(ord).groupBy(col("src"), col("k")).agg(count(lit(1)).as("n"))
+      val qname = s"stream_un_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy(col("src"), col("k"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- deterministic sampling: k smallest md5(doc_id) — reproducible
@@ -922,6 +956,11 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",
+    "stream_union_counts" ->
+      """SELECT 'events' AS src, event_type AS k, count(*) AS n FROM events GROUP BY 2
+         UNION ALL
+         SELECT 'orders' AS src, o_orderstatus AS k, count(*) AS n FROM orders GROUP BY 2
+         ORDER BY src, k""",
     "emb_near_dup" ->
       """WITH c AS (
            SELECT vec_id, embedding FROM embeddings
