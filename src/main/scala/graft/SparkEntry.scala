@@ -621,6 +621,43 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- salted equi-join: events carry ~5 distinct event_types (the
+    //     extreme-skew join shape — every key is a Zipf head); the right
+    //     side is replicated x16 and the join runs on (key, salt) so each
+    //     hot key spreads across 16 reducers. Result provably equals the
+    //     unsalted join (the oracle IS the plain join). ---
+    "rel_skew_join" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val events = s.read.schema(schema).parquet(s"$dir/events.parquet")
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")).cast("long"))
+      graft.operators.Skew
+        .saltedJoin(events, dim, Seq("event_type"), saltBuckets = 16)
+        .groupBy(col("event_type"), col("type_len"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("event_type"), col("type_len"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- partitioned parquet sink round trip: layout-controlled write
+    //     (repartition by lang -> partitionBy(lang), sorted by doc_id
+    //     within files) then read back and aggregate; the oracle runs on
+    //     the ORIGINAL table, so the gate proves write/read fidelity. ---
+    "doc_sink_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+      graft.operators.Sink.writePartitioned(
+        s.read.parquet(s"$dir/documents.parquet"),
+        out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"))
+      graft.operators.Sink.readPartitioned(s, out, "lang" -> "string")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // --- SimHash near-dup, EXACT gate: md5-derived token hashes (DuckDB
     //     replicates the full SimHash bit-for-bit) and maxHamming=3, where
     //     4x16-bit pigeonhole banding has recall exactly 1 — so the banded
@@ -953,6 +990,16 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
     "doc_salted_count" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "rel_skew_join" ->
+      """SELECT e.event_type, CAST(strlen(e.event_type) AS BIGINT) AS type_len,
+                count(*) AS n, round(sum(e.value), 4) AS sum_value
+         FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
+           ON e.event_type = d.event_type
+         GROUP BY 1, 2 ORDER BY e.event_type""",
+    "doc_sink_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang""",
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",

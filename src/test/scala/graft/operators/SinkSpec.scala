@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("writePartitioned lays out partition directories and round-trips exactly") {
+    val out = java.nio.file.Files.createTempDirectory("sink-spec").toString
+    Sink.writePartitioned(docs, out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang=")), s"got ${dirs.toSeq}")
+    val back = Sink.readPartitioned(spark, out, "lang" -> "string")
+    assert(back.count() == docs.count())
+    val orig = docs.select($"doc_id", $"lang", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val round = back.select($"doc_id", $"lang", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(round == orig)
+  }
+
+  test("files are sorted by the sortBy key within each file") {
+    val out = java.nio.file.Files.createTempDirectory("sink-sorted").toString
+    Sink.writePartitioned(docs, out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"))
+    val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath).select($"doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"${f.getName} not sorted by doc_id")
+    }
+  }
+
+  test("maxRecordsPerFile rolls hot partitions into multiple bounded files") {
+    val out = java.nio.file.Files.createTempDirectory("sink-rolled").toString
+    Sink.writePartitioned(docs, out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"),
+      maxRecordsPerFile = 10L)
+    val counts = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getAbsolutePath).count())
+    assert(counts.length > 5, "hot partitions must roll into multiple files")
+    assert(counts.forall(_ <= 10L), s"every file must respect the cap, got ${counts.max}")
+  }
+}
