@@ -434,6 +434,21 @@ object SparkEntry {
         .orderBy(col("p_us"))
     }),
 
+    // --- batch sessionization (gaps-and-islands): 30-min inactivity gap
+    //     over each user's event timeline from the connector; one
+    //     shuffle + per-partition lag/cumsum, no state store. ---
+    "rel_sessionize" -> ((s, dir) => {
+      val events = GraftTables.eventsAllVersions(s, dir)
+        .where(col("u_key").between("000000", "999999"))
+        .select(col("u_key"), unix_micros(col("_timestamp")).as("ts_us"), col("value"))
+      graft.operators.Sessionize
+        .assign(events, "u_key", "ts_us", "value", gapMicros = 30L * 60 * 1000000)
+        .select(col("u_key"), col("session_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("u_key"), col("session_id"))
+    }),
+
     // --- window top-3 per segment on customer ---
     "rel_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -990,6 +1005,23 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
     "doc_salted_count" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "rel_sessionize" ->
+      """WITH e AS (
+           SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS ts_us, value
+           FROM events),
+         lagd AS (
+           SELECT *, lag(ts_us) OVER (PARTITION BY u_key ORDER BY ts_us) AS prev FROM e),
+         marks AS (
+           SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM lagd),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY u_key ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marks)
+         SELECT u_key, CAST(session_id AS BIGINT) AS session_id,
+                min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM sess GROUP BY u_key, session_id ORDER BY u_key, session_id""",
     "rel_skew_join" ->
       """SELECT e.event_type, CAST(strlen(e.event_type) AS BIGINT) AS type_len,
                 count(*) AS n, round(sum(e.value), 4) AS sum_value
