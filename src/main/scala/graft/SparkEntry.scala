@@ -646,8 +646,13 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
       val events = s.read.schema(schema).parquet(s"$dir/events.parquet")
+      // shuffle_hash hint: the fixture dim is tiny so Catalyst would
+      // broadcast it and the salting would be moot — in production the
+      // salted join is used exactly when the right side is too large to
+      // broadcast, which is the plan shape this hint reproduces
       val dim = events.select(col("event_type")).distinct()
         .withColumn("type_len", length(col("event_type")).cast("long"))
+        .hint("shuffle_hash")
       graft.operators.Skew
         .saltedJoin(events, dim, Seq("event_type"), saltBuckets = 16)
         .groupBy(col("event_type"), col("type_len"))
