@@ -37,6 +37,25 @@ object SparkEntry {
         .where(col("n_key") === "0007")
         .select(col("n_key"), col("n_name"), col("n_regionkey"))),
 
+    // --- cluster-deployable reader resolution through the gate: the
+    //     shipStore reader option serializes the store handle into the
+    //     scan, so executors that never saw BigtableStores.register still
+    //     resolve it (registry-first, shipped-handle second) ---
+    "bt_shipstore" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      s.read.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "nation")
+        .option("columnFamily", "f")
+        .option("partitionCols", "n_key")
+        .option("qualifiers", "n_name:string,n_regionkey:long")
+        .option("shipStore", "true")
+        .load()
+        .where(col("n_key").between("0003", "0015"))
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))
+    }),
+
     // --- §2A A5: partition pruning, IN list (composer.rs:194-222) ---
     "bt_key_in" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -857,6 +876,10 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation WHERE n_nationkey IN (2, 11, 19, 23) ORDER BY n_key""",
+    "bt_shipstore" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation WHERE n_nationkey BETWEEN 3 AND 15 ORDER BY n_key""",
     "bt_key_between" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
