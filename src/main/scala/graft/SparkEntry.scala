@@ -483,6 +483,35 @@ object SparkEntry {
         .orderBy(col("u_key"), col("session_id"))
     }),
 
+    // --- bucketed co-located join: orders and lineitem written bucketed
+    //     by order key (the persisted-partitioning strategy for
+    //     repeatedly-joined fact tables), then joined WITHOUT a shuffle —
+    //     the plan has no Exchange above either scan (asserted in
+    //     SinkSpec); at 100 TB this deletes the dominant fact-fact
+    //     exchange from every downstream join on the same key. ---
+    "rel_bucketed_join" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_") // per-sf table names
+      if (!s.catalog.tableExists(s"graft_orders_b$sfx")) {
+        graft.operators.Sink.writeBucketed(
+          s.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"), col("o_orderstatus")),
+          s"graft_orders_b$sfx", Seq("o_orderkey"), nBuckets = 8, sortCols = Seq("o_orderkey"))
+        graft.operators.Sink.writeBucketed(
+          s.read.parquet(s"$dir/lineitem.parquet").select(col("l_orderkey"), col("l_quantity")),
+          s"graft_lineitem_b$sfx", Seq("l_orderkey"), nBuckets = 8, sortCols = Seq("l_orderkey"))
+      }
+      val o = s.table(s"graft_orders_b$sfx")
+      val l = s.table(s"graft_lineitem_b$sfx")
+      // merge hint: at fixture scale Catalyst would broadcast the small
+      // side and bypass the buckets; a real fact-fact join is too big to
+      // broadcast, and THAT is the plan the buckets exist for — SMJ with
+      // zero shuffle exchanges (bucket partitioning + in-bucket sort
+      // satisfy the join's requirements straight off disk)
+      o.join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- window top-3 per segment on customer ---
     "rel_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1048,6 +1077,10 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
     "doc_salted_count" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "rel_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "rel_sessionize" ->
       """WITH e AS (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS ts_us, value

@@ -47,4 +47,39 @@ object Sink {
     partitionTypes.foldLeft(spark.read.parquet(path)) { case (d, (c, t)) =>
       d.withColumn(c, col(c).cast(t))
     }
+
+  /** Write `df` as a BUCKETED catalog table: rows hash-distribute into
+    * `nBuckets` files per write task by `bucketCols`, sorted inside each
+    * bucket. Two tables bucketed the same way join WITHOUT a shuffle —
+    * the exchange that dominates a fact-fact join at 100 TB disappears
+    * because the partitioning is persisted with the data and reused
+    * across every downstream stage (the strategy Hive/Iceberg pipelines
+    * use for repeatedly-joined fact tables).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    require(bucketCols.nonEmpty && nBuckets >= 1)
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the default (in-memory) catalog forgets tables across sessions but
+    // their files persist in the warehouse; a stale location fails
+    // saveAsTable with LOCATION_ALREADY_EXISTS — clear it first
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(new java.io.File(wh, table.toLowerCase))
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.saveAsTable(table)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

@@ -37,6 +37,34 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join without a shuffle (no Exchange above the scans)") {
+    val a = docs.select($"doc_id", $"lang")
+    val b = docs.select($"doc_id", $"n_chars")
+    Sink.writeBucketed(a, "sinkspec_a", Seq("doc_id"), nBuckets = 4, sortCols = Seq("doc_id"))
+    Sink.writeBucketed(b, "sinkspec_b", Seq("doc_id"), nBuckets = 4, sortCols = Seq("doc_id"))
+    val ta = spark.table("sinkspec_a")
+    val tb = spark.table("sinkspec_b")
+    // merge hint: without it the 500-row side broadcasts and the bucket
+    // layout is never exercised — the fact-fact SMJ is what buckets are for
+    val joined = ta.join(tb.hint("merge"), "doc_id")
+    assert(joined.count() == docs.count())
+    def collectPlan[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+      p.collect {
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectPlan(ad.executedPlan)(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectPlan(q.plan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    val plan = joined.queryExecution.executedPlan
+    val smj = collectPlan(plan) { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+    val shuffles = collectPlan(plan) { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"bucketed SMJ must read co-located buckets with zero shuffles:\n$plan")
+  }
+
   test("maxRecordsPerFile rolls hot partitions into multiple bounded files") {
     val out = java.nio.file.Files.createTempDirectory("sink-rolled").toString
     Sink.writePartitioned(docs, out, partitionBy = Seq("lang"), sortBy = Seq("doc_id"),
