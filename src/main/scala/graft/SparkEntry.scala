@@ -612,6 +612,47 @@ object SparkEntry {
       s.table(qname).orderBy(col("src"), col("k"))
     }),
 
+    // --- stream-stream inner join: purchases joined to views of the
+    //     same user within the preceding hour, both sides live change
+    //     streams. Inner joins emit on match (state outlives the finite
+    //     replay, so results are deterministic without a watermark; a
+    //     production unbounded run adds watermarks purely for state
+    //     eviction). ---
+    "stream_join" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      def src() = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "8000000000000")
+        .load()
+      val p = src().where(col("event_type") === "purchase")
+        .select(col("u_key"), unix_micros(col("_timestamp")).as("p_us"))
+      val v = src().where(col("event_type") === "view")
+        .select(col("u_key").as("v_key"), unix_micros(col("_timestamp")).as("v_us"))
+      val joined = p.join(
+        v,
+        col("u_key") === col("v_key") &&
+          col("v_us") <= col("p_us") && col("v_us") > col("p_us") - expr("3600000000"),
+        "inner")
+      // stream-stream joins emit in APPEND mode only: the stream emits
+      // matched pairs; the count-per-user aggregation runs in batch on
+      // the sink table after the replay terminates
+      val qname = s"stream_j_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("u_key")).agg(count(lit(1)).as("n_view_purchase_pairs"))
+        .orderBy(col("u_key"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- deterministic sampling: k smallest md5(doc_id) — reproducible
@@ -1111,6 +1152,17 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",
+    "stream_join" ->
+      """WITH p AS (
+           SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         v AS (
+           SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS v_us
+           FROM events WHERE event_type = 'view')
+         SELECT p.u_key, count(*) AS n_view_purchase_pairs
+         FROM p JOIN v ON p.u_key = v.u_key
+           AND v.v_us <= p.p_us AND v.v_us > p.p_us - 3600000000
+         GROUP BY p.u_key ORDER BY p.u_key""",
     "stream_union_counts" ->
       """SELECT 'events' AS src, event_type AS k, count(*) AS n FROM events GROUP BY 2
          UNION ALL
