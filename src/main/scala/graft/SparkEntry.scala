@@ -715,6 +715,20 @@ object SparkEntry {
           numHashes = 120, bands = 20, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- near-dup CLUSTER formation: connected components over the
+    //     near-dup pair graph (a≈b, b≈c ⇒ one cluster {a,b,c}) — the
+    //     step that turns pairwise detections into one-survivor-per-
+    //     cluster dedup. Iterative min-label propagation, O(diameter)
+    //     rounds of join+aggregate. ---
+    "doc_near_dup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup
+        .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9,
+          numHashes = 120, bands = 20, persistIntermediate = true)
+      graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- word-ngram Jaccard near-dup: EXACT prefix-filtered set-
     //     similarity join (AllPairs/PPJoin family) — recall 1 by
     //     construction, so the exhaustive-oracle equality gate can't
@@ -1064,6 +1078,27 @@ object SparkEntry {
          count(*) AS cnt
          FROM nation GROUP BY CUBE(n_regionkey, substr(n_name, 1, 1))
          ORDER BY n_regionkey NULLS FIRST, initial NULLS FIRST""",
+    "doc_near_dup_clusters" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents),
+         prs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
+         und AS (
+           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a)
+         SELECT doc_id, component FROM comp ORDER BY doc_id""",
     "doc_ngram_near_dup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS t FROM documents),

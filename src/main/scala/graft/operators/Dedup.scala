@@ -45,6 +45,61 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over a near-duplicate pair graph: the step
+    * after ANY pairwise near-dup detector — duplicates form clusters
+    * (a≈b, b≈c ⇒ {a,b,c}), and the pipeline keeps one survivor per
+    * cluster, not per pair.
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its label and its
+    * neighbors' labels. Converges in O(graph diameter) rounds — near-dup
+    * clusters are shallow (stars/cliques around a template), so a handful
+    * of rounds; each round is one join + one aggregate, all distributed.
+    * Each iteration is checkpoint-persisted so lineage stays flat.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = the minimum id in the node's component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      col1: String,
+      col2: String,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    // localCheckpoint (not persist): persisting does NOT truncate the
+    // logical plan, and an iterative loop otherwise nests each round's
+    // plan inside the next — exponential plan trees that OOM the driver
+    // on explain/codegen by ~iteration 10. Checkpointing materializes
+    // the rows AND cuts lineage, keeping every round's plan flat.
+    val edges = pairs
+      .select(col(col1).as("a"), col(col2).as("b"))
+      .union(pairs.select(col(col2).as("a"), col(col1).as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid"))
+        .agg(min(col("component")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(
+          col("id"),
+          col("component").as("__old"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = updated.where(col("component") < col("__old")).count()
+      labels = updated.select(col("id"), col("component"))
+      i += 1
+    }
+    labels
+  }
+
   /** Jaccard similarity of two array columns (as distinct sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

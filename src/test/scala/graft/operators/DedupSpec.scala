@@ -179,4 +179,39 @@ class DedupSpec extends AnyFunSuite {
     // |∩|=9, |∪|=11 → j=9/11≈0.818 ≥ 0.7
     assert(out.toSeq == Seq((1L, 2L, math.rint(9.0 / 11 * 1e6) / 1e6)))
   }
+
+  test("connectedComponents labels path, star, and pair graphs with the min id") {
+    // path 1-2-3-4-5 (diameter 4: exercises multiple propagation rounds),
+    // star 10-{11,12,13}, isolated pair 20-21
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (21L, 20L)
+    ).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got == expected)
+  }
+
+  test("connectedComponents matches union-find ground truth on random graphs") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(got == expected)
+  }
 }
