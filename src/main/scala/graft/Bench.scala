@@ -98,7 +98,11 @@ object Bench {
     // sbt output and parses the JSON line out of them, so this line must stay
     // SHORT (3-decimal timings, no per-run arrays) and must be the LAST thing
     // on stdout.  Full-precision per-run detail goes to BENCH_DETAIL.json.
-    val qs = timings.map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    def qsAt(prec: Int) =
+      timings.map { case (k, v) => s"${q(k)}:${s"%.${prec}f".format(v)}" }.mkString("{", ",", "}")
+    // the line must fit the harness's ~2000-char tail window with room for
+    // preceding noise: degrade timing precision before overflowing it
+    val qs = Seq(3, 2, 1).map(qsAt).find(_.length <= 1700).getOrElse(qsAt(1))
     val runsJson = runs.map { case (k, vs) =>
       s"${q(k)}:${vs.map(v => "%.4f".format(v)).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
