@@ -100,20 +100,27 @@ object Bench {
     // on stdout.  Full-precision per-run detail goes to BENCH_DETAIL.json.
     def qsAt(prec: Int) =
       timings.map { case (k, v) => s"${q(k)}:${s"%.${prec}f".format(v)}" }.mkString("{", ",", "}")
-    // the line must fit the harness's ~2000-char tail window with room for
-    // preceding noise: degrade timing precision before overflowing it
-    val qs = Seq(3, 2, 1).map(qsAt).find(_.length <= 1700).getOrElse(qsAt(1))
     val runsJson = runs.map { case (k, vs) =>
       s"${q(k)}:${vs.map(v => "%.4f".format(v)).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    // errors share the line's budget: cap each message so a run with many
+    // failures can't push the JSON past the driver's tail window either
     val errJson =
       if (errors.isEmpty) ""
-      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v.take(80))}" }.mkString("{", ",", "}")
+    // the line must fit the harness's ~2000-char tail window with room for
+    // preceding noise: degrade timing precision before overflowing it
+    val qsBudget = (1700 - errJson.length).max(600)
+    val qs = Seq(3, 2, 1).map(qsAt).find(_.length <= qsBudget).getOrElse(qsAt(1))
     val total = timings.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}"""
+    // detail file keeps full-length error messages (no tail-window budget)
+    val errJsonFull =
+      if (errors.isEmpty) ""
+      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     try Files.write(
       Paths.get("BENCH_DETAIL.json"),
-      s"""{"repeats":$repeats,"runs":$runsJson$errJson}\n""".getBytes(StandardCharsets.UTF_8))
+      s"""{"repeats":$repeats,"queries":${qsAt(3)},"runs":$runsJson$errJsonFull}\n""".getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
     // after spark.stop() so no executor/log noise can print after it

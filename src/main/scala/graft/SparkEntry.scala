@@ -614,10 +614,13 @@ object SparkEntry {
 
     // --- stream-stream inner join: purchases joined to views of the
     //     same user within the preceding hour, both sides live change
-    //     streams. Inner joins emit on match (state outlives the finite
-    //     replay, so results are deterministic without a watermark; a
-    //     production unbounded run adds watermarks purely for state
-    //     eviction). ---
+    //     streams. Both sides carry watermarks and the time bound is on
+    //     the watermarked event-time columns, so Spark derives state
+    //     eviction: view state is dropped once the watermark passes
+    //     v_ts + 1h, purchase state once it passes p_ts — bounded state
+    //     on an unbounded stream. The replay steps event time forward
+    //     monotonically between batches, so no on-time row is dropped
+    //     and results are identical to the unwatermarked join. ---
     "stream_join" -> ((s, dir) => {
       GraftTables.ensure(s, dir)
       def src() = s.readStream.format("bigtable")
@@ -631,13 +634,16 @@ object SparkEntry {
         .option("streamStepMicros", "8000000000000")
         .load()
       val p = src().where(col("event_type") === "purchase")
-        .select(col("u_key"), unix_micros(col("_timestamp")).as("p_us"))
+        .select(col("u_key"), col("_timestamp").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
       val v = src().where(col("event_type") === "view")
-        .select(col("u_key").as("v_key"), unix_micros(col("_timestamp")).as("v_us"))
+        .select(col("u_key").as("v_key"), col("_timestamp").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
       val joined = p.join(
         v,
         col("u_key") === col("v_key") &&
-          col("v_us") <= col("p_us") && col("v_us") > col("p_us") - expr("3600000000"),
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"),
         "inner")
       // stream-stream joins emit in APPEND mode only: the stream emits
       // matched pairs; the count-per-user aggregation runs in batch on
@@ -1175,7 +1181,7 @@ object SparkEntry {
                 count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM sess GROUP BY u_key, session_id ORDER BY u_key, session_id""",
     "rel_skew_join" ->
-      """SELECT e.event_type, CAST(strlen(e.event_type) AS BIGINT) AS type_len,
+      """SELECT e.event_type, CAST(length(e.event_type) AS BIGINT) AS type_len,
                 count(*) AS n, round(sum(e.value), 4) AS sum_value
          FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
            ON e.event_type = d.event_type
@@ -1350,7 +1356,7 @@ object SparkEntry {
            SELECT doc_id, i,
                   ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT AS h
            FROM (SELECT doc_id, text,
-                        unnest(range(1, greatest(strlen(text) - 4, 1) + 1)) AS i
+                        unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
                  FROM documents)),
          wm AS (
            SELECT doc_id, i,
@@ -1387,7 +1393,7 @@ object SparkEntry {
            SELECT doc_id, i,
                   ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT AS h
            FROM (SELECT doc_id, text,
-                        unnest(range(1, greatest(strlen(text) - 4, 1) + 1)) AS i
+                        unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
                  FROM documents)),
          wm AS (
            SELECT doc_id, i,

@@ -137,7 +137,14 @@ object BigtableConfig {
       storeName = req("store"),
       table = req("table"),
       columnFamily = req("columnFamily"),
-      partitionCols = opt("partitionCols", RowKeyCol).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+      partitionCols = {
+        val cols = opt("partitionCols", RowKeyCol).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        // an empty list would make every per-component composition vacuously
+        // succeed (product over zero sets = 1) and silently narrow scans to
+        // the single point key "" — reject it at the door instead
+        require(cols.nonEmpty, "partitionCols must name at least one row-key column")
+        cols
+      },
       separator = opt("separator", "#"),
       qualifiers = quals,
       qualifierFamilies = qualFams,

@@ -203,6 +203,9 @@ final class BigtableScan(
     * not factor into lexicographic ranges without the others.
     */
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // no key columns → nothing to narrow on; without this guard the fold
+    // below would vacuously succeed and pin the scan to the point key ""
+    if (cfg.partitionCols.isEmpty) return
     // per-component IN-sets, intersected when a component appears in
     // several predicates; None if any component never arrives
     val componentSets: Option[Vector[Set[String]]] =

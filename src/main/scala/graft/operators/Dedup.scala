@@ -59,26 +59,35 @@ object Dedup {
     *
     * Returns (id, component) for every node appearing in `pairs`, where
     * component = the minimum id in the node's component.
+    *
+    * `checkpointDir`: None (default) uses `localCheckpoint` — blocks live
+    * on executors, fastest, but an executor loss mid-iteration kills the
+    * job. For long runs at real scale pass a reliable directory (HDFS/
+    * object store): each round then checkpoints to stable storage via
+    * `checkpoint()`, so iteration survives executor churn.
     */
   def connectedComponents(
       pairs: DataFrame,
       col1: String,
       col2: String,
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
-    // localCheckpoint (not persist): persisting does NOT truncate the
+    // Checkpoint (not persist): persisting does NOT truncate the
     // logical plan, and an iterative loop otherwise nests each round's
     // plan inside the next — exponential plan trees that OOM the driver
     // on explain/codegen by ~iteration 10. Checkpointing materializes
     // the rows AND cuts lineage, keeping every round's plan flat.
-    val edges = pairs
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(pairs
       .select(col(col1).as("a"), col(col2).as("b"))
       .union(pairs.select(col(col2).as("a"), col(col1).as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
@@ -86,17 +95,20 @@ object Dedup {
         .join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid"))
         .agg(min(col("component")).as("ncomp"))
-      val updated = labels
+      val updated = cut(labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(
           col("id"),
           col("component").as("__old"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint()
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component")))
       changed = updated.where(col("component") < col("__old")).count()
       labels = updated.select(col("id"), col("component"))
       i += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents stopped at maxIterations=$maxIterations with $changed labels " +
+          "still propagating — components may be split; raise maxIterations (graph diameter exceeded)")
     labels
   }
 

@@ -64,13 +64,21 @@ object Sink {
       sortCols: Seq[String] = Nil
   ): Unit = {
     require(bucketCols.nonEmpty && nBuckets >= 1)
+    // the stale-location cleanup below assumes <warehouse>/<table> in the
+    // default database; a qualified name (db.tbl) would both break the
+    // backticked DROP and point the delete at the wrong path — reject it
+    require(!table.contains('.'),
+      s"writeBucketed requires an unqualified table name in the default database, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // the default (in-memory) catalog forgets tables across sessions but
     // their files persist in the warehouse; a stale location fails
-    // saveAsTable with LOCATION_ALREADY_EXISTS — clear it first
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    deleteRecursively(new java.io.File(wh, table.toLowerCase))
+    // saveAsTable with LOCATION_ALREADY_EXISTS — clear it first. Only a
+    // LOCAL warehouse can hold such orphans across JVMs; never touch a
+    // remote (hdfs/s3) warehouse with java.io.File semantics.
+    val whRaw = spark.conf.get("spark.sql.warehouse.dir")
+    if (!whRaw.contains(":/") || whRaw.startsWith("file:"))
+      deleteRecursively(new java.io.File(whRaw.stripPrefix("file:"), table.toLowerCase))
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
