@@ -30,6 +30,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftTables {
   private val seeded = scala.collection.mutable.Set.empty[String]
   val FixedTs = 1600000000000000L // 2020-09-13T12:26:40Z, µs
+  /** Stream step used by the gated streaming queries; the second flush
+    * sentinel sits exactly one step after the first so it forms its own
+    * final micro-batch.
+    */
+  val FlushStepMicros = 8000000000000L
 
   def storeName(sfDir: String): String = s"graft-store-$sfDir"
 
@@ -62,12 +67,28 @@ object GraftTables {
       val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       try {
+        var maxMicros = 0L
         spark.read.parquet(s"$sfDir/events.parquet").collect().foreach { r =>
           val key = f"${r.getAs[Long]("user_id")}%06d"
           val micros = math.floorDiv(r.getAs[Long]("ts"), 1000L)
+          maxMicros = math.max(maxMicros, micros)
           b.put("events", key, BtCell("f", "event_type", micros, CellCodec.encodeString(r.getAs[String]("event_type"))))
           b.put("events", key, BtCell("f", "value", micros, CellCodec.encodeString(r.getAs[Double]("value").toString)))
+          // flush variant: same data + two watermark-advancing sentinels,
+          // for streaming operators that must drain event-time state at
+          // end-of-replay (stream_sessionize)
+          b.put("events_flush", key, BtCell("f", "event_type", micros, CellCodec.encodeString(r.getAs[String]("event_type"))))
+          b.put("events_flush", key, BtCell("f", "value", micros, CellCodec.encodeString(r.getAs[Double]("value").toString)))
         }
+        // Sentinels (user keys >= 999990, filtered out of results): the
+        // first advances the watermark past every real session's timeout
+        // (end + gap); the second lands one stream step later so one more
+        // batch runs and the event-time timers actually fire.
+        Seq(("999991", maxMicros + 3600000000L), ("999992", maxMicros + 3600000000L + FlushStepMicros))
+          .foreach { case (key, ts) =>
+            b.put("events_flush", key, BtCell("f", "event_type", ts, CellCodec.encodeString("flush")))
+            b.put("events_flush", key, BtCell("f", "value", ts, CellCodec.encodeString("0.0")))
+          }
       } finally {
         prevNanos match {
           case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

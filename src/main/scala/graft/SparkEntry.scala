@@ -659,6 +659,51 @@ object SparkEntry {
         .orderBy(col("u_key"))
     }),
 
+    // --- streaming sessionization: the change stream replayed through
+    //     the stateful sessionizer (flatMapGroupsWithState, event-time
+    //     timeout). The events_flush table carries two end-of-stream
+    //     sentinels (user keys >= 999990, filtered out below): the first
+    //     advances the watermark past every real session's end + gap, the
+    //     second forms one more batch so the timers fire — every real
+    //     session is flushed, and the result matches the SAME
+    //     gaps-and-islands oracle as the batch operator. ---
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events_flush")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", GraftTables.FlushStepMicros.toString)
+        .load()
+      val evs = stream.select(
+        lit(0L).as("event_id"),
+        col("_timestamp").as("ts"),
+        col("u_key").cast("long").as("user_id"),
+        col("event_type"),
+        col("value")).as[graft.streaming.EventStreams.Event]
+      val sessions = graft.streaming.EventStreams
+        .sessionize(s, evs, gapMinutes = 30, watermarkDelay = "10 minutes")
+      val qname = s"stream_se_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .where(col("user_id") < 999990L) // drop flush sentinels
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- deterministic sampling: k smallest md5(doc_id) — reproducible
@@ -1209,6 +1254,22 @@ object SparkEntry {
          UNION ALL
          SELECT 'orders' AS src, o_orderstatus AS k, count(*) AS n FROM orders GROUP BY 2
          ORDER BY src, k""",
+    "stream_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         lagd AS (
+           SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+         marks AS (
+           SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM lagd),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marks)
+         SELECT CAST(user_id AS BIGINT) AS user_id,
+                min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_start_us""",
     "emb_near_dup" ->
       """WITH c AS (
            SELECT vec_id, embedding FROM embeddings

@@ -55,7 +55,8 @@ object EventStreams {
   /** Gap-based sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user, event-time timeout at
     * watermark + gap. Emits a session row when the gap elapses.
-    * State per key is O(1) (running aggregates only).
+    * State per key is O(1) (running aggregates only). Session bounds
+    * keep full microsecond precision.
     */
   def sessionize(
       spark: SparkSession,
@@ -70,22 +71,31 @@ object EventStreams {
         rows: Iterator[Event],
         state: GroupState[SessionState]
     ): Iterator[Session] = {
-      val gapMs = gapMinutes * 60L * 1000L
+      // local so the task closure stays self-contained (no object capture).
+      // getTime alone truncates to ms — the sub-ms fraction lives in nanos.
+      def tsMicros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      def microsTs(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      }
+      val gapUs = gapMinutes * 60L * 1000000L
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       if (state.hasTimedOut) {
         val s = state.get
-        out += Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total)
+        out += Session(userId, microsTs(s.start), microsTs(s.end), s.n, s.total)
         state.remove()
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
         var cur = state.getOption
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = tsMicros(e.ts)
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
+            case Some(s) if t - s.end <= gapUs =>
               cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
             case Some(s) =>
-              out += Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total)
+              out += Session(userId, microsTs(s.start), microsTs(s.end), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
@@ -93,7 +103,9 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // GroupState timeouts are millisecond-granular: round UP so the
+          // timer never fires before the true µs gap boundary
+          state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
         }
       }
       out.iterator

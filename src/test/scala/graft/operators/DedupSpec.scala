@@ -197,6 +197,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("connectedComponents with reliable checkpointing produces identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable checkpoints actually landed on stable storage
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("connectedComponents matches union-find ground truth on random graphs") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
