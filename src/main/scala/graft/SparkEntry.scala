@@ -30,6 +30,21 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** Persist a completed streaming query's physical plan next to the
+    * batch plan snapshots (Bench snapshots only the post-replay batch
+    * plan of the returned DataFrame — the streaming plan, watermarks and
+    * state operators included, lives in the StreamingQuery itself).
+    */
+  private def snapshotStreamingPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit =
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+      val dir = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "PLANS"))
+      if (java.nio.file.Files.isDirectory(dir))
+        java.nio.file.Files.write(dir.resolve(s"$name.stream.txt"), buf.toByteArray)
+    } catch { case _: Throwable => () }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2A A4: partition pruning, equality (composer.rs:163-192) ---
     "bt_key_eq" -> ((s, dir) =>
@@ -647,13 +662,27 @@ object SparkEntry {
         "inner")
       // stream-stream joins emit in APPEND mode only: the stream emits
       // matched pairs; the count-per-user aggregation runs in batch on
-      // the sink table after the replay terminates
+      // the sink table after the replay terminates.
+      // no-data micro-batches exist purely to run state eviction between
+      // data batches; on a finite replay the inner join's output is
+      // identical without them, so skip the ~2× batch overhead here (an
+      // unbounded production run keeps the default true)
       val qname = s"stream_j_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        snapshotStreamingPlan(q, "stream_join")
+      } finally {
+        prevNoData match {
+          case Some(prev) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+          case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
       s.table(qname)
         .groupBy(col("u_key")).agg(count(lit(1)).as("n_view_purchase_pairs"))
         .orderBy(col("u_key"))
@@ -694,6 +723,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      snapshotStreamingPlan(q, "stream_sessionize")
       s.table(qname)
         .where(col("user_id") < 999990L) // drop flush sentinels
         .select(col("user_id"),
@@ -1010,6 +1040,18 @@ object SparkEntry {
         .resizeMeta(graft.operators.Multimodal.decodeHeaders(media), maxDim = 512)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"), col("size_bytes"), col("resized_width"), col("resized_height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- audio/video header decode: WAV via a real RIFF chunk walk
+    //     (channels / sample rate / bit depth / duration from byte rate),
+    //     MP4 via a box walk to moov/mvhd (duration from timescale) —
+    //     synthesized valid containers, exact encode→parse round-trip
+    //     oracle, pure codegen'd byte arithmetic like mm_decode ---
+    "mm_av_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.synthesizeAvContainers(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      graft.operators.Multimodal.decodeAvHeaders(media)
         .orderBy(col("media_id"))
     })
   )
@@ -1516,6 +1558,30 @@ object SparkEntry {
                 CAST(floor(width * scale) AS INT) AS resized_width,
                 CAST(floor(height * scale) AS INT) AS resized_height
          FROM r ORDER BY media_id""",
+    "mm_av_decode" ->
+      """WITH base AS (
+           SELECT doc_id AS media_id, strlen(text) AS body_len,
+                  doc_id % 2 = 0 AS is_wav,
+                  CAST(1 + (doc_id % 4) // 2 AS INT) AS ch,
+                  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                       WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+                  CAST(16 - 8 * ((doc_id % 8) // 4) AS INT) AS bits,
+                  CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 1400 END AS timescale,
+                  (doc_id * 37) % 100000 AS mp4_dur
+           FROM documents)
+         SELECT media_id,
+                CASE WHEN is_wav THEN 'wav' ELSE 'mp4' END AS format,
+                CAST(CASE WHEN is_wav THEN ch END AS INT) AS channels,
+                CAST(CASE WHEN is_wav THEN rate END AS INT) AS sample_rate,
+                CAST(CASE WHEN is_wav THEN bits END AS INT) AS bits_per_sample,
+                CAST(CASE WHEN is_wav
+                     THEN body_len * 1000 // (rate * ch * bits // 8)
+                     ELSE mp4_dur * 1000 // timescale END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN is_wav
+                     THEN 44 + body_len + CASE WHEN media_id % 4 = 0 THEN 12 ELSE 0 END
+                     ELSE 132 + body_len + CASE WHEN media_id % 3 = 0 THEN 16 ELSE 0 END
+                     END AS BIGINT) AS size_bytes
+         FROM base ORDER BY media_id""",
     "mm_frames" ->
       """SELECT doc_id AS media_id,
          CAST(ceil(CAST(greatest(strlen(text),1) AS DOUBLE) /

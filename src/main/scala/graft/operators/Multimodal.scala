@@ -192,6 +192,143 @@ object Multimodal {
       length(p).cast("long").as("size_bytes"))
   }
 
+  // ---------------------------------------------------------------------
+  // Audio/video containers: WAV (RIFF chunk walk to `fmt `/`data`) and
+  // MP4 (box walk to moov/mvhd) — the same no-codec header pass, extended
+  // to the audio/video side of a crawled-media catalog: channel count,
+  // sample rate, bit depth and duration straight from the leading bytes.
+  // ---------------------------------------------------------------------
+
+  private def le32(c: Column): Column =
+    unhex(concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex(pmod((c / 256).cast("long"), lit(256))), 2, "0"),
+      lpad(hex(pmod((c / 65536).cast("long"), lit(256))), 2, "0"),
+      lpad(hex(pmod((c / 16777216).cast("long"), lit(256))), 2, "0")))
+
+  /** Little-endian reads at a column-valued 1-based position. */
+  private def leIntC(p: Column, pos: Column, len: Int): Column =
+    (0 until len).map(i => beInt(p, pos + lit(i), 1).cast("long") * (1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** Synthesize VALID audio/video container bytes: WAV (RIFF/WAVE with a
+    * genuine chunk list — ids divisible by 4 carry a LIST chunk BEFORE
+    * `fmt `, so the decoder must really walk) and MP4 (ftyp + optional
+    * free box + moov/mvhd, version 0). All parameters derive
+    * deterministically from the id so an external oracle can verify the
+    * encode→parse round trip exactly.
+    */
+  def synthesizeAvContainers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val body = col(textCol).cast("binary")
+    val bodyLen = length(body).cast("long")
+
+    // WAV parameters from the id (WAV ids are even, so derive channel and
+    // bit-depth variety from id%4 / id%8, not id%2)
+    val ch = (lit(1) + (pmod(id, lit(4)) / 2).cast("int")).cast("int")
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (pmod(id, lit(5)) + 1).cast("int")).cast("int")
+    val bits = (lit(16) - lit(8) * (pmod(id, lit(8)) / 4).cast("int")).cast("int")
+    val blockAlign = (ch * bits / lit(8)).cast("int")
+    val byteRate = (rate.cast("long") * blockAlign).cast("long")
+    val listChunk = concat(unhex(lit("4C495354")), le32(lit(4)), unhex(lit("494E464F"))) // LIST size=4 "INFO"
+    val hasList = pmod(id, lit(4)) === 0
+    val fmtChunk = concat(
+      unhex(lit("666D7420")), le32(lit(16)),          // "fmt " size 16 (PCM)
+      le16(lit(1)), le16(ch),                          // audio format, channels
+      le32(rate), le32(byteRate),
+      le16(blockAlign), le16(bits))
+    val dataChunk = concat(unhex(lit("64617461")), le32(bodyLen), body)
+    val riffSize = lit(4) + when(hasList, 12).otherwise(0) + lit(24) + lit(8) + bodyLen
+    val wav = concat(
+      unhex(lit("52494646")), le32(riffSize), unhex(lit("57415645")), // RIFF size WAVE
+      when(hasList, listChunk).otherwise(lit(Array.emptyByteArray)),
+      fmtChunk, dataChunk)
+
+    // MP4 parameters from the id
+    val timescale = element_at(
+      array(lit(600), lit(1000), lit(1400)),
+      (pmod(id, lit(3)) + 1).cast("int")).cast("long")
+    val duration = pmod(id * 37, lit(100000)).cast("long")
+    val ftyp = concat(be32(lit(16)), unhex(lit("66747970")), unhex(lit("69736F6D")), be32(lit(0)))
+    val freeBox = concat(be32(lit(16)), unhex(lit("66726565")), unhex(lit("0000000000000000")))
+    val mvhd = concat(
+      be32(lit(108)), unhex(lit("6D766864")),          // size, "mvhd"
+      unhex(lit("00000000")),                           // version 0 + flags
+      be32(lit(0)), be32(lit(0)),                       // creation, modification
+      be32(timescale.cast("int")), be32(duration.cast("int")),
+      unhex(lit("0" * 160)))                            // rate..next_track_id (80 zero bytes)
+    val moov = concat(be32(lit(116)), unhex(lit("6D6F6F76")), mvhd)
+    val mp4 = concat(ftyp, when(pmod(id, lit(3)) === 0, freeBox).otherwise(lit(Array.emptyByteArray)), moov, body)
+
+    df.select(
+      id.as("media_id"),
+      when(pmod(id, lit(2)) === 0, wav).otherwise(mp4).as("payload"))
+  }
+
+  /** Chunk/box-walk steps unrolled for the WAV and MP4 header scans. */
+  private val AvWalkDepth = 4
+
+  /** Decode audio/video container headers: WAV via a real RIFF chunk walk
+    * to `fmt ` (channels / sample rate / bit depth) and `data` (duration
+    * from byte rate), MP4 via a box walk to moov then mvhd (duration from
+    * timescale). Pure codegen'd column arithmetic — scales as a
+    * projection, like [[decodeHeaders]].
+    */
+  def decodeAvHeaders(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val fmt = when(
+      hex(p.substr(lit(1), lit(4))) === "52494646" &&
+        hex(p.substr(lit(9), lit(4))) === "57415645", "wav")
+      .when(hex(p.substr(lit(5), lit(4))) === "66747970", "mp4")
+      .otherwise("unknown")
+
+    // WAV: chunks from byte 13; each is id(4) + LE32 size + data,
+    // padded to even length (RIFF rule — honored even though the
+    // synthesized chunks are all even-sized)
+    def nextChunk(pos: Column): Column = {
+      val sz = leIntC(p, pos + 4, 4)
+      pos + lit(8) + sz + pmod(sz, lit(2))
+    }
+    val chunkOffsets = Iterator.iterate(lit(13L).cast("long"): Column)(nextChunk).take(AvWalkDepth).toSeq
+    def findChunk(idHex: String): Column =
+      chunkOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
+        when(hex(p.substr(pos, lit(4))) === idHex, pos.cast("long")).otherwise(acc)
+      }
+    val fmtPos = findChunk("666D7420")
+    val dataPos = findChunk("64617461")
+    val wavCh = leIntC(p, fmtPos + 10, 2).cast("int")
+    val wavRate = leIntC(p, fmtPos + 12, 4).cast("int")
+    val wavByteRate = leIntC(p, fmtPos + 16, 4)
+    val wavBits = leIntC(p, fmtPos + 22, 2).cast("int")
+    val wavDurMs = (leIntC(p, dataPos + 4, 4) * 1000L / wavByteRate).cast("long")
+
+    // MP4: top-level boxes are BE32 size + type; walk to moov, then its
+    // first children to mvhd (bounded, like the JPEG segment walk)
+    def nextBox(pos: Column): Column = pos + beInt(p, pos, 4).cast("long")
+    val boxOffsets = Iterator.iterate(lit(1L).cast("long"): Column)(nextBox).take(AvWalkDepth).toSeq
+    val moovPos = boxOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
+      when(hex(p.substr(pos + 4, lit(4))) === "6D6F6F76", pos.cast("long")).otherwise(acc)
+    }
+    val childOffsets = Iterator.iterate(moovPos + 8: Column)(nextBox).take(AvWalkDepth).toSeq
+    val mvhdPos = childOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
+      when(hex(p.substr(pos + 4, lit(4))) === "6D766864", pos.cast("long")).otherwise(acc)
+    }
+    val timescale = beInt(p, mvhdPos + 20, 4).cast("long")
+    val mp4Duration = beInt(p, mvhdPos + 24, 4).cast("long")
+    val mp4DurMs = (mp4Duration * 1000L / timescale).cast("long")
+
+    media.select(
+      col("media_id"),
+      fmt.as("format"),
+      when(fmt === "wav", wavCh).as("channels"),
+      when(fmt === "wav", wavRate).as("sample_rate"),
+      when(fmt === "wav", wavBits).as("bits_per_sample"),
+      when(fmt === "wav", wavDurMs).when(fmt === "mp4", mp4DurMs).as("duration_ms"),
+      length(p).cast("long").as("size_bytes"))
+  }
+
   /** "Resize": scale decoded dimensions so the longer side is at most
     * `maxDim`, preserving aspect ratio — metadata-only here (the stub
     * has no pixels), but the column math and schema are exactly what a

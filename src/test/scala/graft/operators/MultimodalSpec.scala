@@ -74,6 +74,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).getString(1) == "unknown" && out(3L).isNullAt(2))
   }
 
+  test("decodeAvHeaders round-trips synthesized WAV/MP4 containers") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal
+      .decodeAvHeaders(Multimodal.synthesizeAvContainers(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val rates = Seq(8000, 16000, 22050, 44100, 48000)
+    out.foreach { case (id, r) =>
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "wav")
+        assert(r.getInt(2) == 1 + ((id % 4) / 2).toInt, s"channels for $id")
+        assert(r.getInt(3) == rates((id % 5).toInt), s"rate for $id")
+        assert(r.getInt(4) == (16 - 8 * ((id % 8) / 4)).toInt, s"bits for $id")
+      } else {
+        assert(r.getString(1) == "mp4" && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+        val timescale = Seq(600L, 1000L, 1400L)((id % 3).toInt)
+        assert(r.getLong(5) == (id * 37 % 100000) * 1000 / timescale, s"duration for $id")
+      }
+    }
+    // a WAV whose fmt chunk sits behind a LIST chunk exercises the walk
+    assert(out.keys.exists(id => id % 4 == 0))
+  }
+
+  test("decodeAvHeaders flags non-AV payloads as unknown") {
+    val junk = spark.createDataFrame(Seq((1L, "just text".getBytes("UTF-8"))))
+      .toDF("media_id", "payload")
+    val r = Multimodal.decodeAvHeaders(junk).collect().head
+    assert(r.getString(1) == "unknown" && r.isNullAt(2) && r.isNullAt(5))
+  }
+
   test("frameSample chunks reassemble the payload") {
     val framed = Multimodal.frameSample(media, 4)
       .select($"media_id", $"payload", concat($"frames"(0), $"frames"(1), $"frames"(2), $"frames"(3)).as("reassembled"))
