@@ -96,6 +96,16 @@ object GraftTables {
         }
       }
 
+      // documents as a change stream: one cell per doc, timestamps spread
+      // over 8 one-second slots so the micro-batch replay steps through 8
+      // arrival batches at any scale factor (stream_doc_near_dup)
+      spark.read.parquet(s"$sfDir/documents.parquet").collect().foreach { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val key = f"$docId%08d"
+        val ts = FixedTs + (docId % 8) * 1000000L
+        b.put("documents", key, BtCell("f", "text", ts, CellCodec.encodeString(r.getAs[String]("text"))))
+      }
+
       BigtableStores.register(name, b.build())
     }
     seeded += sfDir

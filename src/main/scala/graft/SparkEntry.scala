@@ -734,6 +734,34 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // --- incremental streaming near-dup: documents arrive on the change
+    //     stream in 8 timestamp-stepped batches; each batch's MinHash-LSH
+    //     buckets probe the accumulated signature index (new-vs-corpus)
+    //     and self-join (new-vs-batch), candidates exact-verified with
+    //     true Jaccard. Same banding as the batch operator, so the
+    //     accumulated pairs match the SAME exhaustive oracle as
+    //     doc_near_dup — incremental result == batch result. ---
+    "stream_doc_near_dup" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "documents")
+        .option("columnFamily", "f")
+        .option("partitionCols", "d_key")
+        .option("qualifiers", "text:string")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "1000000") // 1s = one arrival slot per batch
+        .load()
+      val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      val q = graft.streaming.StreamingDedup.incrementalNearDuplicates(
+        docs, "doc_id", "text", work, threshold = 0.9, numHashes = 120, bands = 20)
+      q.awaitTermination()
+      graft.streaming.StreamingDedup.pairs(s, work)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- deterministic sampling: k smallest md5(doc_id) — reproducible
@@ -1296,6 +1324,19 @@ object SparkEntry {
          UNION ALL
          SELECT 'orders' AS src, o_orderstatus AS k, count(*) AS n FROM orders GROUP BY 2
          ORDER BY src, k""",
+    "stream_doc_near_dup" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      greatest(length(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
+         ORDER BY id1, id2""",
     "stream_sessionize" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),

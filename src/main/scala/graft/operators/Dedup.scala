@@ -120,10 +120,10 @@ object Dedup {
   /** Sorted distinct 64-bit hashes of a document's shingle set — the
     * verification-side representation (native merge-walk jaccard).
     */
-  private def sortedShingleHashes(text: Column, shingleK: Int): Column =
+  private[graft] def sortedShingleHashes(text: Column, shingleK: Int): Column =
     array_sort(transform(charShingles(text, shingleK), s => xxhash64(s)))
 
-  private def jaccardSortedCol(a: Column, b: Column): Column = {
+  private[graft] def jaccardSortedCol(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
       graft.functions.JaccardSortedLongs(ColumnBridge.expression(a), ColumnBridge.expression(b)))
