@@ -958,7 +958,7 @@ object SparkEntry {
     }),
 
     // --- ANN: IVF recall gate — joins the approximate result against
-    //     the in-engine exact result and asserts mean recall@10 >= 0.5
+    //     the in-engine exact result and asserts mean recall@10 >= 0.75
     //     (the bound SimilaritySpec verifies); the oracle grounds
     //     n_queries/n_exact in the data and pins recall_ok = true ---
     "emb_knn_ivf_recall" -> ((s, dir) => {
@@ -978,7 +978,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_queries"),
           sum(col("n_exact_q")).as("n_exact"),
-          (avg(col("n_hit") / col("n_exact_q")) >= 0.5).as("recall_ok"))
+          (avg(col("n_hit") / col("n_exact_q")) >= 0.75).as("recall_ok"))
         .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
     }),
 
@@ -1672,7 +1672,9 @@ object SparkEntry {
     // IVF recall gate: DuckDB grounds the query-set size and exact-pair
     // count in the data (brute-force k-NN is k rows per query) and pins
     // recall_ok — the Spark side must have measured mean recall@10 >=
-    // 0.5 against its own exact top-k for the hash to match.
+    // 0.75 against its own exact top-k for the hash to match (measured
+    // 0.90-1.00 across sf0.001-0.1; SimilaritySpec also sweeps nProbe
+    // and pins recall >= 0.9 at nProbe = nCentroids).
     "emb_knn_ivf_recall" ->
       """SELECT count(*) AS n_queries, 10 AS k,
                 10 * count(*) AS n_exact, true AS recall_ok

@@ -80,6 +80,28 @@ class SimilaritySpec extends AnyFunSuite {
     withClue(s"mean recall=$meanRecall") { assert(meanRecall >= 0.5) }
   }
 
+  test("ivfTopK recall rises with nProbe and reaches >= 0.9 when probing every centroid") {
+    val queries = emb.where($"vec_id" < 5)
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity
+        .ivfTopK(emb, queries, "vec_id", "embedding", K, nCentroids = 16, nProbe = nProbe,
+          kmeansIterations = 2)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val rs = expected.map { case (q, exp) => exp.count(got.getOrElse(q, Set.empty)).toDouble / exp.size }
+      rs.sum / rs.size
+    }
+    val r2 = recallAt(2); val r6 = recallAt(6); val r16 = recallAt(16)
+    withClue(s"recall@nProbe 2=$r2 6=$r6 16=$r16") {
+      // more probes may only add candidates — recall must not degrade
+      // (small tolerance: k-means assignment is recomputed per run)
+      assert(r6 >= r2 - 0.05 && r16 >= r6 - 0.05)
+      // probing every centroid degenerates to a full scan: the gate
+      // cannot be satisfied by a trivially low bar
+      assert(r16 >= 0.9)
+    }
+  }
+
   test("int8 quantization: values span [-127,127], dequantization error <= 0.5/scale") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
