@@ -122,6 +122,13 @@ object Bench {
       Paths.get("BENCH_DETAIL.json"),
       s"""{"repeats":$repeats,"queries":${qsAt(3)},"runs":$runsJson$errJsonFull}\n""".getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // full-precision contract line as a file: immune to the stdout
+    // tail-window budget, so precision degradation never loses data
+    try Files.write(
+      Paths.get("BENCH_LINE.json"),
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${qsAt(3)},"sf":${q(sfDir)}$errJsonFull}\n"""
+        .getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
     // after spark.stop() so no executor/log noise can print after it
     println(line)

@@ -275,6 +275,14 @@ object Multimodal {
     * from byte rate), MP4 via a box walk to moov then mvhd (duration from
     * timescale). Pure codegen'd column arithmetic — scales as a
     * projection, like [[decodeHeaders]].
+    *
+    * Each walk offset is materialized as an intermediate COLUMN, not
+    * chained expressions: the LE chunk-size read references its offset
+    * several times, so expression-chaining the walk (as the single-read
+    * JPEG walk safely does) would copy each step's tree ~9× into the
+    * next — exponential in walk depth. Named columns keep the tree
+    * linear; CollapseProject leaves multiply-referenced non-cheap
+    * aliases in place.
     */
   def decodeAvHeaders(media: DataFrame): DataFrame = {
     val p = col("payload")
@@ -287,39 +295,48 @@ object Multimodal {
     // WAV: chunks from byte 13; each is id(4) + LE32 size + data,
     // padded to even length (RIFF rule — honored even though the
     // synthesized chunks are all even-sized)
-    def nextChunk(pos: Column): Column = {
-      val sz = leIntC(p, pos + 4, 4)
-      pos + lit(8) + sz + pmod(sz, lit(2))
+    var df = media.withColumn("__wp0", lit(13L))
+    (0 until AvWalkDepth - 1).foreach { i =>
+      val sz = leIntC(p, col(s"__wp$i") + 4, 4)
+      df = df.withColumn(s"__wsz$i", sz)
+      df = df.withColumn(s"__wp${i + 1}",
+        col(s"__wp$i") + lit(8L) + col(s"__wsz$i") + pmod(col(s"__wsz$i"), lit(2L)))
     }
-    val chunkOffsets = Iterator.iterate(lit(13L).cast("long"): Column)(nextChunk).take(AvWalkDepth).toSeq
+    val wavOffsets = (0 until AvWalkDepth).map(i => col(s"__wp$i"))
     def findChunk(idHex: String): Column =
-      chunkOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
+      wavOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
         when(hex(p.substr(pos, lit(4))) === idHex, pos.cast("long")).otherwise(acc)
       }
-    val fmtPos = findChunk("666D7420")
-    val dataPos = findChunk("64617461")
+    df = df.withColumn("__fmtPos", findChunk("666D7420"))
+    df = df.withColumn("__dataPos", findChunk("64617461"))
+    val fmtPos = col("__fmtPos")
     val wavCh = leIntC(p, fmtPos + 10, 2).cast("int")
     val wavRate = leIntC(p, fmtPos + 12, 4).cast("int")
     val wavByteRate = leIntC(p, fmtPos + 16, 4)
     val wavBits = leIntC(p, fmtPos + 22, 2).cast("int")
-    val wavDurMs = (leIntC(p, dataPos + 4, 4) * 1000L / wavByteRate).cast("long")
+    val wavDurMs = (leIntC(p, col("__dataPos") + 4, 4) * 1000L / wavByteRate).cast("long")
 
     // MP4: top-level boxes are BE32 size + type; walk to moov, then its
     // first children to mvhd (bounded, like the JPEG segment walk)
-    def nextBox(pos: Column): Column = pos + beInt(p, pos, 4).cast("long")
-    val boxOffsets = Iterator.iterate(lit(1L).cast("long"): Column)(nextBox).take(AvWalkDepth).toSeq
-    val moovPos = boxOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
-      when(hex(p.substr(pos + 4, lit(4))) === "6D6F6F76", pos.cast("long")).otherwise(acc)
+    df = df.withColumn("__bp0", lit(1L))
+    (0 until AvWalkDepth - 1).foreach { i =>
+      df = df.withColumn(s"__bp${i + 1}", col(s"__bp$i") + beInt(p, col(s"__bp$i"), 4).cast("long"))
     }
-    val childOffsets = Iterator.iterate(moovPos + 8: Column)(nextBox).take(AvWalkDepth).toSeq
-    val mvhdPos = childOffsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
-      when(hex(p.substr(pos + 4, lit(4))) === "6D766864", pos.cast("long")).otherwise(acc)
+    def findBox(offsets: Seq[Column], typeHex: String): Column =
+      offsets.reverse.foldLeft(lit(null).cast("long")) { (acc, pos) =>
+        when(hex(p.substr(pos + 4, lit(4))) === typeHex, pos.cast("long")).otherwise(acc)
+      }
+    df = df.withColumn("__moov", findBox((0 until AvWalkDepth).map(i => col(s"__bp$i")), "6D6F6F76"))
+    df = df.withColumn("__cp0", col("__moov") + 8L)
+    (0 until AvWalkDepth - 1).foreach { i =>
+      df = df.withColumn(s"__cp${i + 1}", col(s"__cp$i") + beInt(p, col(s"__cp$i"), 4).cast("long"))
     }
-    val timescale = beInt(p, mvhdPos + 20, 4).cast("long")
-    val mp4Duration = beInt(p, mvhdPos + 24, 4).cast("long")
+    df = df.withColumn("__mvhd", findBox((0 until AvWalkDepth).map(i => col(s"__cp$i")), "6D766864"))
+    val timescale = beInt(p, col("__mvhd") + 20, 4).cast("long")
+    val mp4Duration = beInt(p, col("__mvhd") + 24, 4).cast("long")
     val mp4DurMs = (mp4Duration * 1000L / timescale).cast("long")
 
-    media.select(
+    df.select(
       col("media_id"),
       fmt.as("format"),
       when(fmt === "wav", wavCh).as("channels"),
