@@ -100,6 +100,33 @@ object SparkEntry {
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_key"))),
 
+    // --- transport-fault tolerance: the same scan through a store whose
+    //     first streams break mid-read (injected transient faults); the
+    //     RetryingStore decorator resumes each broken stream past the
+    //     last delivered key, so results are identical to the healthy
+    //     scan — the behavior a real gRPC transport needs ---
+    "bt_retry_scan" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val flaky = s"${GraftTables.storeName(dir)}-flaky"
+      if (!graft.store.BigtableStores.contains(flaky))
+        graft.store.BigtableStores.register(flaky,
+          new graft.store.RetryingStore(
+            new graft.store.FaultInjectingStore(
+              graft.store.BigtableStores.get(GraftTables.storeName(dir)),
+              failAfterRows = 1, maxFaults = 8),
+            sleep = _ => ()))
+      s.read.format("bigtable")
+        .option("store", flaky)
+        .option("table", "nation")
+        .option("columnFamily", "f")
+        .option("partitionCols", "n_key")
+        .option("qualifiers", "n_name:string,n_regionkey:long")
+        .option("allowFullScan", "true")
+        .load()
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))
+    }),
+
     // --- §2A A7: composite key, = + IN + tail BETWEEN cartesian merge ---
     "bt_composite" -> ((s, dir) =>
       GraftTables.orders(s, dir)
@@ -1104,6 +1131,13 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation WHERE n_nationkey BETWEEN 5 AND 12 ORDER BY n_key""",
+    // bt_retry_scan reads through injected transient stream faults; the
+    // oracle is the PLAIN full table — retries must not lose or
+    // duplicate rows
+    "bt_retry_scan" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_key""",
     "bt_composite" ->
       """SELECT o_orderstatus, o_orderpriority,
          lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS o_key, o_custkey, o_totalprice
