@@ -554,6 +554,47 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // --- runtime Bloom-filter semi-join reduction: a selective filter on
+    //     the small join side is turned into a bloom filter evaluated on
+    //     the FACT side before its shuffle (Catalyst InjectRuntimeFilter)
+    //     — at 100 TB this deletes most of the probe side's shuffled
+    //     bytes. The size thresholds exist for real clusters (creation
+    //     side < 10 MB, application side > 10 GB scanned), so at fixture
+    //     scale the application-side floor is lowered and auto-broadcast
+    //     is off during planning — InjectRuntimeFilter only fires on a
+    //     probable SHUFFLE join (canBroadcastBySize on either side vetoes
+    //     it, since a broadcast join prunes via its own runtime filter),
+    //     and at sf0.001 the filtered orders side broadcasts by size.
+    //     The shuffle hint keeps the physical pick a shuffle join too.
+    //     BloomJoinSpec asserts might_contain sits in the fact side's
+    //     plan and the join stayed a ShuffledHashJoin. ---
+    "rel_bloom_join" -> ((s, dir) => {
+      val overrides = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+      overrides.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        val joined = l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 4).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+        // force planning (and therefore bloom injection) under the
+        // overridden confs before they are restored below
+        joined.queryExecution.executedPlan
+        joined
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      }
+    }),
+
     // --- window top-3 per segment on customer ---
     "rel_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1335,6 +1376,12 @@ object SparkEntry {
          FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
            ON e.event_type = d.event_type
          GROUP BY 1, 2 ORDER BY e.event_type""",
+    "rel_bloom_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+                round(sum(l.l_quantity), 4) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY 1""",
     "doc_sink_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
