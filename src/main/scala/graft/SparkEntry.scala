@@ -973,6 +973,26 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- range-clustered layout: documents rewritten range-laid-out on
+    //     doc_id (disjoint per-file ranges + in-file sort), then a
+    //     doc_id range read back through the layout — the gate proves
+    //     write/read fidelity (oracle runs on the ORIGINAL table);
+    //     RangeLayoutSpec proves the pruning (disjoint file ranges; the
+    //     filtered scan outputs a fraction of the rows an unclustered
+    //     layout reads). ---
+    "doc_range_layout" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-range").toString
+      graft.operators.Sink.writeRangeLayout(
+        s.read.parquet(s"$dir/documents.parquet"), out,
+        rangeBy = Seq("doc_id"), nRanges = 8)
+      s.read.parquet(out)
+        .where(col("doc_id").between(100, 199))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // --- SimHash near-dup, EXACT gate: md5-derived token hashes (DuckDB
     //     replicates the full SimHash bit-for-bit) and maxHamming=3, where
     //     4x16-bit pigeonhole banding has recall exactly 1 — so the banded
@@ -1088,6 +1108,29 @@ object SparkEntry {
         .agg(
           kmv(xxhash64(col("lang"))).as("n_langs"),
           kmv(xxhash64(col("lang"), col("source"))).as("n_lang_source"))
+    }),
+
+    // --- theta-style SET EXPRESSIONS over KMV sketches: |A|, |B|,
+    //     |A∪B|, |A∩B|, |A∖B| for A = custkeys with an 'F' order and
+    //     B = custkeys with an 'O' order, computed from two ≤k-long
+    //     sketches (one map-side-combinable agg per side; the driver
+    //     combines two tiny arrays — no distinct-join shuffle). Gated
+    //     in the exact-below-k regime (custkey cardinality ≪ k=32768
+    //     at every fixture SF), where each estimate provably equals
+    //     DuckDB's exact count(DISTINCT)/INTERSECT/EXCEPT; the
+    //     estimate regime is covered by ThetaSetsSpec. ---
+    "rel_theta_sets" -> ((s, dir) => {
+      val k = 32768
+      val sk = udaf(new graft.functions.KmvSketchAgg(k))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      def sketch(status: String): Array[Long] =
+        o.where(col("o_orderstatus") === status)
+          .agg(sk(xxhash64(col("o_custkey"))).as("s"))
+          .head().getSeq[Long](0).toArray
+      val e = graft.functions.ThetaSets.estimates(k, sketch("F"), sketch("O"))
+      import s.implicits._
+      Seq((e.nA, e.nB, e.nUnion, e.nIntersect, e.nAnotB))
+        .toDF("n_f", "n_o", "n_union", "n_intersect", "n_f_only")
     }),
 
     // --- running-window analytics: cumulative counts + lag per customer ---
@@ -1386,6 +1429,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang ORDER BY lang""",
+    "doc_range_layout" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents WHERE doc_id BETWEEN 100 AND 199
+         GROUP BY lang ORDER BY lang""",
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",
@@ -1750,6 +1798,20 @@ object SparkEntry {
       """SELECT count(DISTINCT lang) AS n_langs,
                 count(DISTINCT (lang, source)) AS n_lang_source
          FROM documents""",
+    // Theta-sketch set expressions in the exact-below-k regime: every
+    // estimate must equal the true cardinality of the set expression
+    // (union / intersect / difference via INTERSECT / EXCEPT).
+    "rel_theta_sets" ->
+      """SELECT
+           (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'F') AS n_f,
+           (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'O') AS n_o,
+           (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderstatus IN ('F','O')) AS n_union,
+           (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                                  INTERSECT
+                                  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_intersect,
+           (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                                  EXCEPT
+                                  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t) AS n_f_only""",
     // IVF recall gate: DuckDB grounds the query-set size and exact-pair
     // count in the data (brute-force k-NN is k rows per query) and pins
     // recall_ok — the Spark side must have measured mean recall@10 >=

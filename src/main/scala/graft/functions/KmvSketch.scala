@@ -18,16 +18,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * sketch is deterministic for a given column. Standard error ≈
   * `1/sqrt(k-2)` (~4.5% at k=512).
   */
-final class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long] {
-  require(k >= 16, s"k=$k too small for a stable estimate")
+/** Shared buffer algebra for KMV-family sketches: a sketch is the k
+  * smallest distinct hash values, stored sorted in UNSIGNED order via a
+  * sign-bit flip. Used by both the scalar estimator ([[KmvDistinct]])
+  * and the sketch-returning aggregator ([[KmvSketchAgg]]) whose outputs
+  * feed set-expression estimation ([[ThetaSets]]).
+  */
+object KmvOps {
+  def flip(h: Long): Long = h ^ Long.MinValue
 
-  // hashes stored in UNSIGNED order via sign-bit flip; buffer is a
-  // sorted array of at most k flipped hashes
-  private def flip(h: Long): Long = h ^ Long.MinValue
+  /** k-th smallest flipped hash as a fraction of the 64-bit hash space. */
+  def normalize(flipped: Long): Double =
+    (flipped.toDouble + 9.223372036854776e18) / 1.8446744073709552e19
 
-  override def zero: Array[Long] = Array.emptyLongArray
-
-  override def reduce(buf: Array[Long], hash: Long): Array[Long] = {
+  def reduce(k: Int, buf: Array[Long], hash: Long): Array[Long] = {
     val f = flip(hash)
     val pos = java.util.Arrays.binarySearch(buf, f)
     if (pos >= 0) buf // duplicate
@@ -45,7 +49,7 @@ final class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long] {
     }
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  def merge(k: Int, a: Array[Long], b: Array[Long]): Array[Long] = {
     // sorted-merge, dedup, cap at k
     val out = new Array[Long](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var n = 0
@@ -60,13 +64,24 @@ final class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long] {
     }
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
+}
+
+final class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long] {
+  require(k >= 16, s"k=$k too small for a stable estimate")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], hash: Long): Array[Long] =
+    KmvOps.reduce(k, buf, hash)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvOps.merge(k, a, b)
 
   override def finish(buf: Array[Long]): Long =
     if (buf.length < k) buf.length.toLong
     else {
       // k-th smallest as a fraction of the unsigned 64-bit space
-      val kth = buf(k - 1)
-      val x = (kth.toDouble + 9.223372036854776e18) / 1.8446744073709552e19
+      val x = KmvOps.normalize(buf(k - 1))
       math.round((k - 1) / math.max(x, Double.MinPositiveValue))
     }
 

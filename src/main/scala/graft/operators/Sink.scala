@@ -48,6 +48,40 @@ object Sink {
       d.withColumn(c, col(c).cast(t))
     }
 
+  /** Write `df` RANGE-laid-out on `rangeBy`: `repartitionByRange`
+    * (sampled range boundaries, one shuffle) puts each output file in
+    * charge of a narrow DISJOINT key range, and the in-partition sort
+    * orders rows inside every row group. A later range predicate on the
+    * layout key then touches only the few files whose range overlaps,
+    * and parquet's footer min/max statistics skip every other row group
+    * at scan time — on a 100 TB corpus a `doc_id BETWEEN …` or
+    * time-range read becomes proportional to the SELECTED data, not the
+    * table (the same reason time-series tables are stored
+    * time-clustered). `rowGroupBytes` bounds row-group size so skipping
+    * stays fine-grained even inside large files.
+    *
+    * Range layout vs [[writePartitioned]]: partition directories prune
+    * on LOW-cardinality columns (lang, date); range layout clusters on
+    * HIGH-cardinality orderable keys where one-directory-per-value
+    * would explode the file count.
+    */
+  def writeRangeLayout(
+      df: DataFrame,
+      path: String,
+      rangeBy: Seq[String],
+      nRanges: Int,
+      rowGroupBytes: Long = 128L * 1024 * 1024
+  ): Unit = {
+    require(rangeBy.nonEmpty, "rangeBy must name at least one column")
+    require(nRanges >= 1)
+    df.repartitionByRange(nRanges, rangeBy.map(col): _*)
+      .sortWithinPartitions(rangeBy.map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows hash-distribute into
     * `nBuckets` files per write task by `bucketCols`, sorted inside each
     * bucket. Two tables bucketed the same way join WITHOUT a shuffle —
