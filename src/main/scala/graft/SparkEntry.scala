@@ -636,6 +636,39 @@ object SparkEntry {
       s.table(qname).orderBy(col("ws_us"), col("event_type"))
     }),
 
+    // --- streaming distinct-count SKETCH over the change stream: per
+    //     event_type distinct users via the KMV aggregator inside a
+    //     streaming aggregation. The state per group is ONE <=k-long
+    //     buffer (k=4096 → 32 KB) instead of the full user set — the
+    //     bounded-state way to run COUNT(DISTINCT) on an unbounded
+    //     stream. Gated in the exact-below-k regime (<=1500 distinct
+    //     users per type at every fixture SF), where the final sketch
+    //     answer equals DuckDB's exact count(DISTINCT). ---
+    "stream_distinct_sketch" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "8000000000000")
+        .load()
+      val kmv = udaf(new graft.functions.KmvDistinct(4096))
+      val counts = stream
+        .groupBy(col("event_type"))
+        .agg(kmv(xxhash64(col("u_key"))).as("n_users"))
+      val qname = s"stream_ds_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy(col("event_type"))
+    }),
+
     // --- streaming exact dedup over the change stream: each distinct
     //     (user, event_type) emitted once at first sight (append mode) ---
     "stream_dedup" -> ((s, dir) => {
@@ -1437,6 +1470,11 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",
+    // Streaming KMV sketch in the exact-below-k regime: the final
+    // streamed sketch answer must equal the exact distinct-user count.
+    "stream_distinct_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     "stream_join" ->
       """WITH p AS (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us

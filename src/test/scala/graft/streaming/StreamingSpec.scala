@@ -197,6 +197,32 @@ class StreamingSpec extends AnyFunSuite {
       s"both sources must replay fully despite disjoint ts domains, got $rows")
   }
 
+  test("streaming KMV sketch matches exact distinct users per event type") {
+    // the gated stream_distinct_sketch path: a KMV aggregator inside a
+    // streaming aggregation keeps <=k longs of state per group; below k
+    // the final answer is the exact distinct count
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("stream_distinct_sketch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // events.parquet is TIMESTAMP(NANOS) — unreadable by Spark's parquet
+    // reader, so the exact comparison reads through the connector
+    graft.GraftTables.ensure(spark, dir)
+    val want = spark.read.format("bigtable")
+      .option("store", graft.GraftTables.storeName(dir))
+      .option("table", "events")
+      .option("columnFamily", "f")
+      .option("partitionCols", "u_key")
+      .option("qualifiers", "event_type:string,value:double")
+      .option("onlyReadLatest", "false")
+      .option("allowFullScan", "true")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("u_key")).as("n_users"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want), s"got=${got.mkString(",")} want=${want.mkString(",")}")
+  }
+
   test("streaming read with onlyReadLatest=true is rejected") {
     Fixtures.ensureSeeded()
     val e = intercept[Exception] {
