@@ -852,7 +852,7 @@ object SparkEntry {
         .option("qualifiers", "text:string")
         .option("onlyReadLatest", "false")
         .option("allowFullScan", "true")
-        .option("streamStepMicros", "1000000") // 1s = one arrival slot per batch
+        .option("streamStepMicros", "2000000") // 2s = two arrival slots per batch
         .load()
       val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
       val work = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
