@@ -1059,6 +1059,17 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- benchmark decontamination: training docs sharing any 13-token
+    //     n-gram with the benchmark split are flagged; the benchmark's
+    //     gram set is BROADCAST so the training corpus never shuffles ---
+    "doc_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Decontaminate.contaminated(
+        docs.where(col("doc_id") % 11 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 11 === 0), "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
     "emb_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1726,6 +1737,23 @@ object SparkEntry {
            GROUP BY c.id1, c.id2 HAVING count(*) >= 50)
          SELECT id1, id2, CAST(shared_fingerprints AS BIGINT) AS shared_fingerprints
          FROM shared ORDER BY id1, id2""",
+    "doc_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(ts) - 13 + 1, 0) + 1),
+                                               i -> array_to_string(ts[i:i+12], ' '))) AS gs
+           FROM tok),
+         g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 11 = 0)
+         SELECT t.doc_id, count(*) AS n_matched
+         FROM (SELECT doc_id, g FROM g WHERE doc_id % 11 <> 0) t
+         JOIN bench USING (g)
+         GROUP BY t.doc_id
+         ORDER BY t.doc_id""",
     "doc_simhash_near_dup" ->
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Benchmark decontamination: flag (or drop) training documents that share
+  * token n-grams with an evaluation/benchmark set — the standard guard
+  * against test-set leakage when assembling a training corpus (13-gram
+  * overlap is the published convention).
+  *
+  * Shape for 100 TB: the benchmark side is an eval suite — thousands of
+  * documents, millions of n-grams at most — so its DISTINCT gram set is
+  * BROADCAST and the training corpus is probed map-side: no shuffle of
+  * corpus bytes, one scan, partial counts per doc. The train side's grams
+  * are generated and matched inside a single projection+join stage; only
+  * (doc_id, n_matched) for flagged docs ever leaves the scan stage. With
+  * `broadcastBenchmark = false` the same plan degrades to a shuffle join
+  * for benchmark sets too large to broadcast.
+  *
+  * Tokenization is deliberately minimal and engine-replicable (lowercase,
+  * split on runs of non-alphanumerics, drop empties) so an external system
+  * can reproduce membership decisions bit-for-bit.
+  */
+object Decontaminate {
+
+  /** Lowercased alphanumeric tokens of `text`, in order, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** DISTINCT space-joined token `n`-grams of `text` (empty array when the
+    * document has fewer than `n` tokens). Distinct because contamination
+    * counts shared grams, not shared occurrences.
+    */
+  def ngramSet(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - n + 1),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Training documents sharing at least `minMatches` distinct token
+    * `n`-grams with any benchmark document: (idCol, n_matched), where
+    * n_matched counts the DISTINCT shared grams.
+    */
+  def contaminated(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minMatches: Int = 1,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val benchGrams0 = benchmark
+      .select(explode(ngramSet(col(benchTextCol), n)).as("__gram"))
+      .distinct()
+    val benchGrams = if (broadcastBenchmark) broadcast(benchGrams0) else benchGrams0
+    train
+      .select(col(idCol), explode(ngramSet(col(textCol), n)).as("__gram"))
+      .join(benchGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minMatches)
+  }
+
+  /** The training corpus with contaminated documents removed (left-anti
+    * join against [[contaminated]] — at scale the anti join re-probes the
+    * broadcast gram set, so the corpus still never shuffles).
+    */
+  def decontaminate(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minMatches: Int = 1,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val flagged =
+      contaminated(train, idCol, textCol, benchmark, benchTextCol, n, minMatches, broadcastBenchmark)
+    train.join(broadcast(flagged.select(col(idCol))), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.{SparkPlan, adaptive}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a 13-token benchmark sentence planted verbatim into some train docs
+  private val leak = "the quick brown fox jumps over the lazy dog near the old barn"
+  private val bench = Seq(
+    (100L, s"Benchmark question: $leak?"),
+    (101L, "Totally unrelated benchmark prompt about astronomy and telescopes and more")
+  ).toDF("doc_id", "text")
+  private val train = Seq(
+    (1L, s"Some crawl page. $leak. And trailing junk tokens here."), // contaminated
+    (2L, "the quick brown fox jumps over the lazy dog"),             // only 9 tokens shared — no 13-gram
+    (3L, s"prefix words $leak suffix words"),                        // contaminated
+    (4L, "completely clean document with no overlap whatsoever in any window of thirteen tokens")
+  ).toDF("doc_id", "text")
+
+  test("flags exactly the documents sharing a 13-gram, counting distinct shared grams") {
+    val out = Decontaminate.contaminated(train, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    // doc 1: "$leak" inside a longer sentence shares every 13-window that
+    // stays within the planted sentence; bench doc has "benchmark question
+    // the ... barn" so shared grams are windows fully inside `leak`= exactly 1
+    assert(out(1L) >= 1L && out(3L) >= 1L)
+  }
+
+  test("ngram counting matches a hand computation") {
+    // bench text "a b c d e f g h i j k l m n" has 14 tokens -> two 13-grams
+    val b2 = Seq((1L, "a b c d e f g h i j k l m n")).toDF("doc_id", "text")
+    val t2 = Seq((2L, "x a b c d e f g h i j k l m n y")).toDF("doc_id", "text")
+    val out = Decontaminate.contaminated(t2, "doc_id", "text", b2, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L)) // both of the bench's 13-grams appear
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest") {
+    val kept = Decontaminate.decontaminate(train, "doc_id", "text", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("documents shorter than n tokens produce no grams and never match") {
+    val tiny = Seq((7L, "short doc")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(tiny, "doc_id", "text", bench, "text").count() == 0)
+    val grams = tiny.select(Decontaminate.ngramSet(col("text"), 13).as("g"))
+      .selectExpr("size(g)").as[Int].head()
+    assert(grams == 0)
+  }
+
+  test("benchmark gram set is broadcast: the corpus side is never shuffled before the join") {
+    val df = Decontaminate.contaminated(train, "doc_id", "text", bench, "text")
+    df.collect()
+    def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => a.executedPlan +: collectPlan(a.executedPlan)
+      case q: adaptive.QueryStageExec => q.plan +: collectPlan(q.plan)
+      case other => other +: other.children.flatMap(collectPlan)
+    }
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected the gram join to be a BroadcastHashJoin")
+    // the only exchange allowed below the join is the broadcast build side;
+    // the probe (corpus) side must reach the join shuffle-free
+    val joinShuffles = bhj.head.collect { case s: ShuffleExchangeExec => s }
+    assert(joinShuffles.isEmpty, "corpus side must not shuffle before the gram join")
+  }
+}
