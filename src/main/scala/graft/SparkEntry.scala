@@ -1059,6 +1059,28 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- sequence packing, concat-and-chunk: global token offsets via a
+    //     DISTRIBUTED prefix sum (per-partition totals to the driver, one
+    //     row per partition — never a global single-partition window) ---
+    "doc_pack_chunks" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.operators.Pack.concatChunks(docs, "doc_id", "n_tokens", 512)
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          col("first_chunk"), col("last_chunk"), col("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- sequence packing, atomic docs: greedy bin walk inside
+    //     deterministic id-blocks (bounded per-block Catalyst aggregate,
+    //     embarrassingly parallel, no UDF / driver loop) ---
+    "doc_pack_greedy" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.operators.Pack.greedyPack(docs, "doc_id", "n_tokens", 512, 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- benchmark decontamination: training docs sharing any 13-token
     //     n-gram with the benchmark split are flagged; the benchmark's
     //     gram set is BROADCAST so the training corpus never shuffles ---
@@ -1737,6 +1759,37 @@ object SparkEntry {
            GROUP BY c.id1, c.id2 HAVING count(*) >= 50)
          SELECT id1, id2, CAST(shared_fingerprints AS BIGINT) AS shared_fingerprints
          FROM shared ORDER BY id1, id2""",
+    "doc_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+           FROM t)
+         SELECT doc_id, n_tokens, token_offset,
+                token_offset // 512 AS first_chunk,
+                (token_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
+                (token_offset + greatest(n_tokens, 1) - 1) // 512 - token_offset // 512 + 1 AS n_chunks
+         FROM o ORDER BY doc_id""",
+    "doc_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, doc_id // 100 AS block,
+                  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+           FROM documents),
+         walk AS (
+           SELECT block, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.block, t.doc_id, t.n_tokens, t.rn,
+                  CASE WHEN w.fill + t.n_tokens > 512 THEN w.bin + 1 ELSE w.bin END AS bin,
+                  CASE WHEN w.fill + t.n_tokens > 512 THEN t.n_tokens ELSE w.fill + t.n_tokens END AS fill
+           FROM walk w JOIN t ON t.block = w.block AND t.rn = w.rn + 1)
+         SELECT doc_id, CAST(block AS BIGINT) AS block, CAST(bin AS INT) AS bin
+         FROM walk ORDER BY doc_id""",
     "doc_decontaminate" ->
       """WITH tok AS (
            SELECT doc_id,
