@@ -1059,6 +1059,20 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- heavy hitters: Misra-Gries mergeable sketch, k=64 over 20
+    //     distinct sources -> exact regime (err=0), bounded map-side
+    //     state instead of a full GROUP BY shuffle ---
+    "doc_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.FrequentItems.MisraGries(64).toColumn
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source")).as[String]
+        .select(agg).toDF("hh")
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.count_lb").as("cnt"))
+        .orderBy(desc("cnt"), col("item"))
+    }),
+
     // --- sequence packing, concat-and-chunk: global token offsets via a
     //     DISTRIBUTED prefix sum (per-partition totals to the driver, one
     //     row per partition — never a global single-partition window) ---
@@ -1759,6 +1773,9 @@ object SparkEntry {
            GROUP BY c.id1, c.id2 HAVING count(*) >= 50)
          SELECT id1, id2, CAST(shared_fingerprints AS BIGINT) AS shared_fingerprints
          FROM shared ORDER BY id1, id2""",
+    "doc_heavy_hitters" ->
+      """SELECT source AS item, count(*) AS cnt
+         FROM documents GROUP BY source ORDER BY cnt DESC, item""",
     "doc_pack_chunks" ->
       """WITH t AS (
            SELECT doc_id,
