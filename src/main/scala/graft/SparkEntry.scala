@@ -1026,6 +1026,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- Z-order layout: Morton-interleaved (doc_id, n_chars) clustering;
+    //     row groups cover hyper-rectangles so min/max stats prune on
+    //     EITHER column; gate proves write/read fidelity under a combined
+    //     filter (oracle runs on the ORIGINAL table) ---
+    "doc_zorder_layout" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      graft.operators.Sink.writeZOrder(
+        s.read.parquet(s"$dir/documents.parquet"), out,
+        zBy = Seq("doc_id", "n_chars"), nRanges = 8, rowGroupBytes = 64 * 1024)
+      s.read.parquet(out)
+        .where(col("doc_id").between(50, 449) && col("n_chars") > 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- SimHash near-dup, EXACT gate: md5-derived token hashes (DuckDB
     //     replicates the full SimHash bit-for-bit) and maxHamming=3, where
     //     4x16-bit pigeonhole banding has recall exactly 1 — so the banded
@@ -1514,6 +1529,10 @@ object SparkEntry {
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents WHERE doc_id BETWEEN 100 AND 199
          GROUP BY lang ORDER BY lang""",
+    "doc_zorder_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id BETWEEN 50 AND 449 AND n_chars > 200
+         ORDER BY doc_id""",
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",

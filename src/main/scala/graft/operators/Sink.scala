@@ -82,6 +82,70 @@ object Sink {
       .parquet(path)
   }
 
+  /** Morton (Z-order) value: bit-interleave the `bits`-bit ranks of the
+    * given columns (rank = position of the value inside [min, max],
+    * scaled to 2^bits buckets). Interleaving makes points close in ALL
+    * dimensions close in z — the multi-column generalization of range
+    * clustering. Pure codegen'd bit arithmetic: `bits * cols.size` OR
+    * terms, linear expression tree.
+    */
+  def zOrderValue(cols: Seq[org.apache.spark.sql.Column], mins: Seq[Long], maxs: Seq[Long], bits: Int): org.apache.spark.sql.Column = {
+    val k = cols.size
+    require(k >= 2, "z-order needs at least two columns (use writeRangeLayout for one)")
+    require(bits * k <= 63, s"bits=$bits x ${k} columns exceeds a 64-bit z-value")
+    val buckets = 1L << bits
+    val ranks = cols.zip(mins.zip(maxs)).map { case (c, (mn, mx)) =>
+      val span = (mx - mn + 1).toDouble
+      least(
+        greatest(floor((c.cast("double") - mn) / span * buckets).cast("long"), lit(0L)),
+        lit(buckets - 1))
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      ranks.zipWithIndex.foldLeft(acc) { case (a, (r, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j))
+      }
+    }
+  }
+
+  /** Write `df` Z-ORDER-clustered on `zBy` (2+ numeric columns): rows are
+    * range-partitioned and sorted by their interleaved-bit Morton value,
+    * so every file and row group covers a small HYPER-RECTANGLE of the
+    * key space — parquet footer min/max statistics then skip row groups
+    * for selective predicates on ANY of the z columns, not just a single
+    * sort key. The multi-dimensional analogue of [[writeRangeLayout]]:
+    * range layout makes one column's reads proportional to selection;
+    * z-order splits that power across the column set (each dimension
+    * prunes with ~bits/k of the resolution), the standard layout for
+    * "filter by time AND tenant AND key" fact tables at 100 TB.
+    *
+    * One pass computes per-column min/max (two longs per column to the
+    * driver), one shuffle lays the data out; the z column itself is
+    * dropped from the files — readers filter on the natural columns and
+    * pruning falls out of the footer stats.
+    */
+  def writeZOrder(
+      df: DataFrame,
+      path: String,
+      zBy: Seq[String],
+      nRanges: Int,
+      bits: Int = 16,
+      rowGroupBytes: Long = 128L * 1024 * 1024
+  ): Unit = {
+    require(nRanges >= 1)
+    val statExprs = zBy.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val statsRow = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val mins = zBy.indices.map(i => statsRow.getLong(2 * i))
+    val maxs = zBy.indices.map(i => statsRow.getLong(2 * i + 1))
+    df.withColumn("__z", zOrderValue(zBy.map(col), mins, maxs, bits))
+      .repartitionByRange(nRanges, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows hash-distribute into
     * `nBuckets` files per write task by `bucketCols`, sorted inside each
     * bucket. Two tables bucketed the same way join WITHOUT a shuffle —
