@@ -27,19 +27,33 @@ object Decontaminate {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
 
-  /** DISTINCT space-joined token `n`-grams of `text` (empty array when the
-    * document has fewer than `n` tokens). Distinct because contamination
-    * counts shared grams, not shared occurrences.
+  /** DISTINCT space-joined `n`-grams over an ALREADY-MATERIALIZED token
+    * array column (empty when fewer than `n` tokens). Distinct because
+    * contamination counts shared grams, not shared occurrences.
+    *
+    * Callers must stage [[tokens]] into its own projection first (as
+    * [[contaminated]] does): inlining the tokenizer here would place it
+    * inside the transform lambda, and Catalyst re-evaluates a lambda-body
+    * subexpression per element — re-splitting the document once per gram
+    * position, an O(len x positions) blowup.
     */
-  def ngramSet(text: Column, n: Int): Column = {
+  def ngramsOfTokens(ts: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val ts = tokens(text)
     array_distinct(
       when(size(ts) >= n,
         transform(sequence(lit(1), size(ts) - n + 1),
           i => concat_ws(" ", slice(ts, i, lit(n)))))
         .otherwise(array().cast("array<string>")))
   }
+
+  /** One-shot [[tokens]] + [[ngramsOfTokens]] for ad-hoc use. Prefer the
+    * staged pair in anything performance-sensitive (see ngramsOfTokens).
+    */
+  def ngramSet(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  private def explodedGrams(df: DataFrame, textCol: String, n: Int, keep: Seq[Column]): DataFrame =
+    df.select(keep :+ tokens(col(textCol)).as("__ts"): _*)
+      .select(keep :+ explode(ngramsOfTokens(col("__ts"), n)).as("__gram"): _*)
 
   /** Training documents sharing at least `minMatches` distinct token
     * `n`-grams with any benchmark document: (idCol, n_matched), where
@@ -55,12 +69,9 @@ object Decontaminate {
       minMatches: Int = 1,
       broadcastBenchmark: Boolean = true
   ): DataFrame = {
-    val benchGrams0 = benchmark
-      .select(explode(ngramSet(col(benchTextCol), n)).as("__gram"))
-      .distinct()
+    val benchGrams0 = explodedGrams(benchmark, benchTextCol, n, Nil).distinct()
     val benchGrams = if (broadcastBenchmark) broadcast(benchGrams0) else benchGrams0
-    train
-      .select(col(idCol), explode(ngramSet(col(textCol), n)).as("__gram"))
+    explodedGrams(train, textCol, n, Seq(col(idCol)))
       .join(benchGrams, "__gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched"))
