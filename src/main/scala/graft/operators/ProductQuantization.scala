@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Product quantization (PQ) for embedding corpora — the standard
+  * compression path for similarity search at 100 TB: split each d-dim
+  * vector into `m` subvectors, learn a small codebook per subspace
+  * (Lloyd k-means under L2), and store each vector as `m` small codes.
+  * 64 float32 dims (256 B) become 8 codes (8 B) at m=8 — a 32x corpus
+  * shrink, which is the difference between an embedding index that fits
+  * in cluster memory and one that doesn't.
+  *
+  * Scoring is asymmetric distance computation (ADC) expressed
+  * Spark-natively: corpus rows are RECONSTRUCTED once per row from the
+  * broadcast codebooks (a per-row projection — codes index into a
+  * `typedlit` literal; no shuffle, no UDF), and the exact query-side
+  * vector scores against the reconstruction. Training collects only
+  * k x d doubles per iteration (centroid sums), never the corpus.
+  *
+  * Reference scope: the reference engine has no vector search at all;
+  * this extends the LLM-pipeline tier's brute-force/IVF ANN
+  * ([[Similarity]]) with the compressed-corpus path, composable with it
+  * (IVF-PQ = bucket by [[Similarity.kmeansCentroids]], score with PQ).
+  */
+object ProductQuantization {
+
+  /** Learn per-subspace codebooks: `m` subspaces of d/m dims, `k`
+    * centroids each, `iterations` Lloyd rounds under L2 distance.
+    * Initialization is deterministic (the k lowest-id subvectors).
+    * Returns codebooks(j)(c) = centroid c of subspace j.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      k: Int = 16,
+      iterations: Int = 2
+  ): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val ds = dim / m
+    val c = corpus.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // deterministic init: subvectors of the k lowest-id vectors
+    val seed = c.orderBy(col("__id")).limit(k).collect().map(_.getSeq[Double](1))
+    var codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seed.map(v => v.slice(j * ds, (j + 1) * ds): Seq[Double]).toSeq)
+    var iter = 0
+    while (iter < iterations) {
+      // ALL subspaces assigned and re-estimated in ONE aggregation pass:
+      // per row compute the m codes, explode the vector once, key every
+      // dimension by (subspace, that subspace's code, dim-in-subspace).
+      // The collect is m x k x ds doubles — the codebooks, never the data.
+      val codesCol = array(codebooks.zipWithIndex.map { case (cb, j) =>
+        nearestCodeIdx(slice(col("__v"), j * ds + 1, ds), typedlit(cb), cb.size)
+      }: _*)
+      // codes staged into their own projection: a generator (posexplode)
+      // sharing a select with a lambda-struct expression re-derives it and
+      // drops the struct's field names (FIELD_NOT_FOUND on getField)
+      val sums = c
+        .select(col("__v"), codesCol.as("__codes"))
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .select(
+          (col("__dim") / ds).cast("int").as("__sub"),
+          element_at(col("__codes"), (col("__dim") / ds).cast("int") + 1).as("__bucket"),
+          (col("__dim") % ds).cast("int").as("__sd"),
+          col("__x"))
+        .groupBy(col("__sub"), col("__bucket"), col("__sd"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val bySub = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebooks = codebooks.zipWithIndex.map { case (cb, j) =>
+        cb.indices.map { b =>
+          bySub.get((j, b)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4)).toSeq
+            case None => cb(b)
+          }
+        }
+      }
+      iter += 1
+    }
+    codebooks
+  }
+
+  /** Index of the L2-nearest centroid: argmin ||v-c||^2 = argmin
+    * (c.c - 2 v.c), evaluated with the native [[Similarity.dot]] loop;
+    * deterministic ties (lowest index wins).
+    */
+  private def nearestCodeIdx(vec: Column, centLit: Column, nCentroids: Int): Column =
+    slice(
+      transform(
+        array_sort(
+          zip_with(
+            transform(centLit, cv => Similarity.dot(cv, cv) - lit(2.0) * Similarity.dot(vec, cv)),
+            sequence(lit(0), lit(nCentroids - 1)),
+            (d, idx) => struct(d.cast("double").as("dist"), idx.cast("int").as("idx")))),
+        s => s.getField("idx")),
+      1, 1).getItem(0)
+
+  /** PQ codes for a vector column: array of `m` centroid indices, one per
+    * subspace. Per-row projection against the broadcast codebook literal.
+    */
+  def encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val ds = codebooks.head.head.size
+    val subCodes = codebooks.zipWithIndex.map { case (cb, j) =>
+      nearestCodeIdx(
+        transform(slice(vec, j * ds + 1, ds), x => x.cast("double")),
+        typedlit(cb), cb.size)
+    }
+    array(subCodes: _*)
+  }
+
+  /** Reconstruct the quantized vector from its codes: concatenation of
+    * the selected centroids — the corpus-side half of ADC scoring.
+    */
+  def decode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val cbLit = typedlit(codebooks)
+    flatten(
+      zip_with(codes, sequence(lit(0), lit(codebooks.size - 1)),
+        (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+  }
+
+  /** Compressed-corpus cosine top-k (ADC): train codebooks, encode the
+    * corpus to m codes per vector, reconstruct per row, and score the
+    * EXACT query vectors against the reconstructions with the bounded
+    * top-k aggregate. Output: (qid, nid, rank, sim), rank 1..k — the
+    * [[Similarity.bruteForceTopK]] contract over a corpus that is m
+    * codes wide instead of d floats.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2
+  ): DataFrame = {
+    val codebooks = train(corpus, idCol, vecCol, dim, m, codebookSize, iterations)
+    val encoded = corpus.select(
+      col(idCol).as("nid"),
+      encode(col(vecCol), codebooks).as("__codes"))
+    val reconstructed = encoded.select(
+      col("nid"),
+      decode(col("__codes"), codebooks).as("cvec"))
+    val q = queries.select(
+      col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+    val scored = reconstructed
+      .crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  /** PQ shortlist + exact rerank — the production ANN shape: ADC over the
+    * compressed corpus retrieves a `shortlist`-sized candidate set per
+    * query (cheap: m-code rows), then ONLY those candidates' full vectors
+    * are fetched (broadcast semi-join on the shortlist — the corpus never
+    * shuffles) and exactly re-scored for the final top-k. Quantization
+    * error then only costs recall when a true neighbor falls outside the
+    * whole shortlist, not outside the top-k.
+    */
+  def pqTopKRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2,
+      shortlist: Int = 0
+  ): DataFrame = {
+    val c = if (shortlist > 0) shortlist else 10 * k
+    val cand = pqTopK(corpus, queries, idCol, vecCol, c, dim, m, codebookSize, iterations)
+      .select(col("qid"), col("nid"))
+    val full = corpus.select(
+      col(idCol).as("nid"),
+      transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    val q = queries.select(
+      col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+    val scored = broadcast(cand)
+      .join(full, "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"), Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}
