@@ -1074,6 +1074,22 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- intra-document repetition signals (Gopher/C4-style quality
+    //     filters): top-bigram fraction + duplicate-trigram fraction as
+    //     PURE PROJECTIONS (token array staged once; no per-gram shuffle) ---
+    "doc_repetition" -> ((s, dir) => {
+      val tf = graft.functions.TextFunctions
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), tf.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          tf.tokenNgrams(col("__ts"), 2).as("__bg"),
+          tf.tokenNgrams(col("__ts"), 3).as("__tg"))
+        .select(col("doc_id"),
+          tf.topGramFraction(col("__bg")).as("top2_frac"),
+          tf.dupGramFraction(col("__tg")).as("dup3_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- heavy hitters: Misra-Gries mergeable sketch, k=64 over 20
     //     distinct sources -> exact regime (err=0), bounded map-side
     //     state instead of a full GROUP BY shuffle ---
@@ -1821,6 +1837,37 @@ object SparkEntry {
     "doc_heavy_hitters" ->
       """SELECT source AS item, count(*) AS cnt
          FROM documents GROUP BY source ORDER BY cnt DESC, item""",
+    "doc_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  CASE WHEN len(ts) >= 2
+                       THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+                       ELSE [] END AS gs
+           FROM tok),
+         tg AS (
+           SELECT doc_id,
+                  CASE WHEN len(ts) >= 3
+                       THEN list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                       ELSE [] END AS gs
+           FROM tok),
+         bgtop AS (
+           SELECT doc_id,
+                  CASE WHEN len(gs) = 0 THEN 0.0
+                       ELSE round(CAST(list_max(list_transform(list_distinct(gs),
+                                g -> len(list_filter(gs, x -> x = g)))) AS DOUBLE) / len(gs), 6)
+                  END AS top2_frac
+           FROM bg),
+         tgdup AS (
+           SELECT doc_id,
+                  CASE WHEN len(gs) = 0 THEN 0.0
+                       ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+                  END AS dup3_frac
+           FROM tg)
+         SELECT doc_id, top2_frac, dup3_frac
+         FROM bgtop JOIN tgdup USING (doc_id) ORDER BY doc_id""",
     "doc_pack_chunks" ->
       """WITH t AS (
            SELECT doc_id,

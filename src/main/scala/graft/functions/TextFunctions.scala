@@ -165,4 +165,45 @@ object TextFunctions {
     // result — 6dp never needs to round a boundary value
     round((lenScore * 0.25 + wordLenScore * 0.25 + punctScore * 0.2 + alphaScore * 0.3), 6)
   }
+
+  // ===== intra-document repetition signals (Gopher/C4-style filters) ====
+  //
+  // All three are PURE PROJECTIONS over an already-materialized token
+  // array: no explode, no per-gram shuffle — at 100 TB each document's
+  // repetition score costs one row-local pass, the shape a corpus-wide
+  // quality filter needs. Callers must stage the token array into its own
+  // column first (same staging rule as Decontaminate.ngramsOfTokens:
+  // a non-cheap expression referenced inside lambdas re-evaluates per
+  // element).
+
+  /** Space-joined token n-grams of an ALREADY-MATERIALIZED token array
+    * (empty array below n tokens); duplicates preserved — repetition
+    * signals need the multiset.
+    */
+  def tokenNgrams(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - n + 1),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of gram occurrences taken by the single most frequent gram
+    * (0.0 when there are no grams). A high value means the document loops
+    * on one phrase — the "fraction in most common n-gram" filter.
+    */
+  def topGramFraction(grams: Column): Column = {
+    val top = array_max(
+      transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g))))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(round(top.cast("double") / size(grams), 6))
+  }
+
+  /** Fraction of gram occurrences that are repeats of an earlier gram
+    * (1 - distinct/total; 0.0 when there are no grams) — the "duplicate
+    * n-gram fraction" filter.
+    */
+  def dupGramFraction(grams: Column): Column =
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
 }

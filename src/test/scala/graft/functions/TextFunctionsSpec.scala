@@ -125,4 +125,31 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.cjkRatio($"text")).collect().map(_.getDouble(0))
     assert(r(0) > 0.5 && r(1) == 0.0)
   }
+
+  test("repetition signals match hand computation") {
+    // tokens: a b a b a -> bigrams [a b, b a, a b, b a] (top 2/4 = 0.5)
+    //                      trigrams [a b a, b a b, a b a] (dup 1 - 2/3)
+    val df = Seq(("looping", "a b a b a"), ("tiny", "xy"), ("empty", ""))
+      .toDF("id", "text")
+      .select($"id", TextFunctions.tokens($"text").as("ts"))
+      .select($"id",
+        TextFunctions.topGramFraction(TextFunctions.tokenNgrams($"ts", 2)).as("top2"),
+        TextFunctions.dupGramFraction(TextFunctions.tokenNgrams($"ts", 3)).as("dup3"))
+    val m = df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m("looping") == ((0.5, 0.333333)))
+    // one token -> no bigrams/trigrams -> both 0
+    assert(m("tiny") == ((0.0, 0.0)))
+    assert(m("empty") == ((0.0, 0.0)))
+  }
+
+  test("repetition signals: unique text scores zero duplication") {
+    val m = Seq(("u", "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+      .select(TextFunctions.tokens($"text").as("ts"))
+      .select(
+        TextFunctions.topGramFraction(TextFunctions.tokenNgrams($"ts", 2)).as("top2"),
+        TextFunctions.dupGramFraction(TextFunctions.tokenNgrams($"ts", 3)).as("dup3"))
+      .head()
+    assert(m.getDouble(0) == 0.2) // every bigram unique: top = 1/5
+    assert(m.getDouble(1) == 0.0)
+  }
 }
