@@ -1074,6 +1074,31 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- CDC upsert-merge: fold updates/inserts/deletes into a snapshot
+    //     as ONE hash-agg shuffle (max_by winner per key — no window
+    //     sort); change set built deterministically from customer ---
+    "rel_upsert" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val base = cust
+        .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val updates = cust.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      val inserts = cust.where(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), lit(50.0).as("c_acctbal"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      val deletes = cust.where(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit(2L).as("version"), lit(true).as("deleted"))
+      val merged = graft.operators.Upsert.mergeLatest(
+        base, updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"), "version", deleteCol = Some("deleted"))
+      merged
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), col("version"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // --- intra-document repetition signals (Gopher/C4-style quality
     //     filters): top-bigram fraction + duplicate-trigram fraction as
     //     PURE PROJECTIONS (token array staged once; no per-gram shuffle) ---
@@ -1837,6 +1862,24 @@ object SparkEntry {
     "doc_heavy_hitters" ->
       """SELECT source AS item, count(*) AS cnt
          FROM documents GROUP BY source ORDER BY cnt DESC, item""",
+    "rel_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS version, false AS deleted, 0 AS prio
+           FROM customer),
+         chg AS (
+           SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, CAST(1 AS BIGINT) AS version, false AS deleted, 1 AS prio
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 50.0, CAST(1 AS BIGINT), false, 1
+           FROM customer WHERE c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal, CAST(2 AS BIGINT), true, 1
+           FROM customer WHERE c_custkey % 13 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+         w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                          ORDER BY prio DESC, version DESC) AS rn FROM u)
+         SELECT c_custkey, round(c_acctbal, 2) AS acctbal, version
+         FROM w WHERE rn = 1 AND NOT deleted ORDER BY c_custkey""",
     "doc_repetition" ->
       """WITH tok AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
