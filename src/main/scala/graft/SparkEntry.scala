@@ -1074,6 +1074,31 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- vocabulary build: top-V tokens by frequency with contiguous
+    //     rank ids (map-side-combined count shuffle; TakeOrdered cut;
+    //     the only global window is over the V-row vocab itself) ---
+    "doc_vocab" -> ((s, dir) =>
+      graft.operators.Vocab
+        .build(s.read.parquet(s"$dir/documents.parquet"), "text", size = 20)
+        .orderBy(col("id"))),
+
+    // --- corpus encoding through the vocab: pure projection via a
+    //     broadcast token->id map literal, OOV -> -1; per-doc id-sequence
+    //     digest so the oracle pins the full sequences ---
+    "doc_vocab_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vm = graft.operators.Vocab.toMap(
+        graft.operators.Vocab.build(docs, "text", size = 20))
+      docs.where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.operators.Vocab.encodeColumn(col("text"), vm).as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).as("n_ids"),
+          size(filter(col("__ids"), i => i === -1)).as("n_oov"),
+          md5(concat_ws(",", transform(col("__ids"), i => i.cast("string")))).as("ids_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- CDC upsert-merge: fold updates/inserts/deletes into a snapshot
     //     as ONE hash-agg shuffle (max_by winner per key — no window
     //     sort); change set built deterministically from customer ---
@@ -1862,6 +1887,36 @@ object SparkEntry {
     "doc_heavy_hitters" ->
       """SELECT source AS item, count(*) AS cnt
          FROM documents GROUP BY source ORDER BY cnt DESC, item""",
+    "doc_vocab" ->
+      """WITH tok AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+           FROM documents),
+         cnt AS (SELECT t AS token, count(*) AS cnt FROM tok GROUP BY t)
+         SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT) AS id
+         FROM cnt QUALIFY id < 20 ORDER BY id""",
+    "doc_vocab_encode" ->
+      """WITH tokc AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+           FROM documents),
+         cnt AS (SELECT t AS token, count(*) AS cnt FROM tokc GROUP BY t),
+         vocab AS (
+           SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT) AS id
+           FROM cnt QUALIFY id < 20),
+         tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+           FROM documents WHERE doc_id < 100),
+         pos AS (
+           SELECT doc_id, unnest(ts) AS tkn, generate_subscripts(ts, 1) AS i FROM tok),
+         enc AS (
+           SELECT p.doc_id, coalesce(v.id, -1) AS id, p.i
+           FROM pos p LEFT JOIN vocab v ON v.token = p.tkn),
+         agg AS (
+           SELECT doc_id, count(*) AS n_ids,
+                  sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS n_oov,
+                  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_hash
+           FROM enc GROUP BY doc_id)
+         SELECT doc_id, CAST(n_ids AS INT) AS n_ids, CAST(n_oov AS INT) AS n_oov, ids_hash
+         FROM agg ORDER BY doc_id""",
     "rel_upsert" ->
       """WITH base AS (
            SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS version, false AS deleted, 0 AS prio
