@@ -1074,6 +1074,23 @@ object SparkEntry {
           minShared = 50, maxBucket = 200, persistIntermediate = true, md5Hash = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- mergeable quantile sketch (KLL-style): GROUP BY quantiles with
+    //     bounded state (~k doubles per partial crosses the shuffle, vs
+    //     exact percentile shuffling every value); k=4096 > group count
+    //     here -> EXACT regime, nearest-rank == DuckDB quantile_disc ---
+    "rel_quantile_sketch" -> ((s, dir) => {
+      val agg = udaf(new graft.functions.KllQuantiles.Sketch(4096, Seq(0.5, 0.9, 0.99)))
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 11 === 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(agg(col("o_totalprice")).as("qv"))
+        .select(col("o_orderpriority"),
+          col("qv").getItem(0).as("p50"),
+          col("qv").getItem(1).as("p90"),
+          col("qv").getItem(2).as("p99"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // --- vocabulary build: top-V tokens by frequency with contiguous
     //     rank ids (map-side-combined count shuffle; TakeOrdered cut;
     //     the only global window is over the V-row vocab itself) ---
@@ -1887,6 +1904,13 @@ object SparkEntry {
     "doc_heavy_hitters" ->
       """SELECT source AS item, count(*) AS cnt
          FROM documents GROUP BY source ORDER BY cnt DESC, item""",
+    "rel_quantile_sketch" ->
+      """SELECT o_orderpriority,
+                quantile_disc(o_totalprice, 0.5) AS p50,
+                quantile_disc(o_totalprice, 0.9) AS p90,
+                quantile_disc(o_totalprice, 0.99) AS p99
+         FROM orders WHERE o_orderkey % 11 = 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "doc_vocab" ->
       """WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
