@@ -863,6 +863,35 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- streaming CDC upsert: the events change stream maintains a
+    //     keep-latest snapshot through versioned parquet commits (one
+    //     Upsert.mergeLatest per micro-batch); final snapshot == the
+    //     batch latest-per-user, which the oracle pins ---
+    "stream_upsert" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:string")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        // the events replay spans ~30 days of event time: 8-day steps
+        // give a multi-batch replay without per-batch overhead dominating
+        .option("streamStepMicros", (8L * 86400 * 1000000).toString)
+        .load()
+      val work = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+      val q = graft.streaming.SnapshotUpsert.maintain(
+        stream, Seq("u_key"), "_timestamp", work)
+      q.awaitTermination()
+      graft.streaming.SnapshotUpsert.read(s, work)
+        .select(col("u_key"), col("event_type"),
+          col("value").cast("double").as("value"),
+          unix_micros(col("_timestamp")).as("ts_us"))
+        .orderBy(col("u_key"))
+    }),
+
     // ================= LLM-data-pipeline tier (SURVEY.md §7.4) =========
 
     // --- deterministic sampling: k smallest md5(doc_id) — reproducible
@@ -1661,6 +1690,14 @@ object SparkEntry {
          FROM p JOIN v ON p.u_key = v.u_key
            AND v.v_us <= p.p_us AND v.v_us > p.p_us - 3600000000
          GROUP BY p.u_key ORDER BY p.u_key""",
+    "stream_upsert" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events)
+         SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key,
+                event_type, value, ts_us
+         FROM latest WHERE rn = 1 ORDER BY u_key""",
     "stream_union_counts" ->
       """SELECT 'events' AS src, event_type AS k, count(*) AS n FROM events GROUP BY 2
          UNION ALL
