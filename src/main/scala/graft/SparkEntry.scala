@@ -919,6 +919,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // --- mixture weighting: per-language sampling fractions as a
+    //     stateless hash-gate projection (membership monotone in the
+    //     fraction — re-weighting only adds docs, never reshuffles) ---
+    "doc_mixture" -> ((s, dir) =>
+      graft.operators.Sampling
+        .mixtureSample(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.25, "fr" -> 0.125))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // --- text analysis: token / punctuation / length stats ---
     "doc_token_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1941,6 +1951,14 @@ object SparkEntry {
     "doc_heavy_hitters" ->
       """SELECT source AS item, count(*) AS cnt
          FROM documents GROUP BY source ORDER BY cnt DESC, item""",
+    "doc_mixture" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
+               CASE lang WHEN 'en' THEN 576460752303423488
+                         WHEN 'zh' THEN 288230376151711744
+                         WHEN 'fr' THEN 144115188075855872
+                         ELSE 9223372036854775807 END
+         ORDER BY doc_id""",
     "rel_quantile_sketch" ->
       """SELECT o_orderpriority,
                 quantile_disc(o_totalprice, 0.5) AS p50,

@@ -59,6 +59,40 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Per-group sampling fractions — the data-MIXING step of corpus
+    * assembly (e.g. "50% of en, 25% of zh, all the rest"): keep a row
+    * iff its 60-bit md5 hash of `keyCol` falls below
+    * `fraction(group) * 2^60`. A stateless per-row projection (no
+    * shuffle), reproducible in any engine, and membership is MONOTONE in
+    * the fraction: raising a group's weight only ADDS documents, never
+    * reshuffles the ones already selected — the property that keeps
+    * mixture re-weighting cheap across training runs. Groups absent
+    * from the map keep `defaultFraction`.
+    *
+    * Pass fractions with exact binary representations (k/2^n: 0.5,
+    * 0.25, 0.375, …) when cross-engine replication of the exact
+    * member set matters; arbitrary doubles still sample correctly but
+    * the threshold literal is engine-float-rounded.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0
+  ): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions default=$defaultFraction")
+    def thresholdOf(f: Double): Long =
+      if (f >= 1.0) Long.MaxValue else (f * (1L << 60).toDouble).toLong
+    val h = graft.functions.TextFunctions.md5Hash60(col(keyCol).cast("string"))
+    val thresh = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdOf(defaultFraction)): Column) { case (rest, (g, f)) =>
+        when(col(groupCol) === g, lit(thresholdOf(f))).otherwise(rest)
+      }
+    df.where(h < thresh)
+  }
+
   /** k rows per stratum, deterministically: per-group top-k by md5.
     * One hash shuffle on the stratum columns.
     */

@@ -50,4 +50,26 @@ class SamplingSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b)
   }
+
+  test("mixtureSample: membership is deterministic, monotone in the fraction, and growth-stable") {
+    val df = spark.range(4000)
+      .select($"id", (when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").otherwise("fr")).as("g"))
+    def ids(fr: Map[String, Double]) =
+      Sampling.mixtureSample(df, "id", "g", fr).select($"id").as[Long].collect().toSet
+    val half = ids(Map("en" -> 0.5))
+    assert(half == ids(Map("en" -> 0.5)), "must be deterministic")
+    // zh/fr keep default 1.0; en is roughly halved
+    val enTotal = 1334.0
+    val enKept = half.count(_ % 3 == 0).toDouble
+    assert(math.abs(enKept / enTotal - 0.5) < 0.06, s"en fraction ${enKept / enTotal}")
+    assert(half.count(_ % 3 == 1) == 1333 && half.count(_ % 3 == 2) == 1333)
+    // monotone: raising en's weight only ADDS ids
+    val threeQ = ids(Map("en" -> 0.75))
+    assert(half.subsetOf(threeQ))
+    // growth-stable: sampling a subset equals intersecting the sample
+    val subset = df.where($"id" < 1000)
+    val sampledSubset = Sampling.mixtureSample(subset, "id", "g", Map("en" -> 0.5))
+      .select($"id").as[Long].collect().toSet
+    assert(sampledSubset == half.filter(_ < 1000))
+  }
 }
