@@ -1313,6 +1313,31 @@ object SparkEntry {
         .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
     }),
 
+    // --- IVF-PQ composition: coarse buckets bound the corpus fraction
+    //     scanned, PQ codes bound the bytes per row, shortlist bounds
+    //     exact fetches — the three production ANN knobs in one plan ---
+    "emb_knn_ivfpq_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("qid"), col("nid"))
+      val approx = graft.operators.ProductQuantization
+        .ivfPqTopKRerank(emb, queries, "vec_id", "embedding", 10,
+          dim = 64, m = 8, codebookSize = 16, iterations = 2,
+          nCentroids = 16, nProbe = 6, shortlist = 100)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact_q"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_exact_q")).as("n_exact"),
+          (avg(col("n_hit") / col("n_exact_q")) >= 0.6).as("recall_ok"))
+        .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
+    }),
+
     // --- embedding-cosine near-dup via hyperplane LSH ---
     // The raw synthetic embeddings have no pairs above 0.6 cosine, so a
     // near-dup query over them alone is vacuously empty; self-union with
@@ -2228,6 +2253,10 @@ object SparkEntry {
                 10 * count(*) AS n_exact, true AS recall_ok
          FROM embeddings WHERE vec_id < 5""",
     "emb_knn_pq_recall" ->
+      """SELECT count(*) AS n_queries, 10 AS k,
+                10 * count(*) AS n_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5""",
+    "emb_knn_ivfpq_recall" ->
       """SELECT count(*) AS n_queries, 10 AS k,
                 10 * count(*) AS n_exact, true AS recall_ok
          FROM embeddings WHERE vec_id < 5"""

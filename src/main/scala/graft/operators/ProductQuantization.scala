@@ -194,4 +194,58 @@ object ProductQuantization {
       .select(col("qid"), col("nid"), Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
     Similarity.topKPerQuery(scored, k)
   }
+
+  /** IVF-PQ — the production ANN composition: a coarse quantizer
+    * ([[Similarity.kmeansCentroids]]) buckets the corpus so each query
+    * touches only `nProbe` of `nCentroids` partitions of it, PQ codes
+    * stand in for the vectors inside those buckets (ADC via per-row
+    * reconstruction), and the shortlist is exactly re-scored. At 100 TB
+    * the three knobs factor independently: nProbe/nCentroids bounds the
+    * fraction of the corpus scanned, m codes bound the bytes per row
+    * scanned, and `shortlist` bounds the exact-vector fetches per query.
+    */
+  def ivfPqTopKRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      iterations: Int = 2,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      coarseIterations: Int = 2,
+      shortlist: Int = 0
+  ): DataFrame = {
+    val c = if (shortlist > 0) shortlist else 10 * k
+    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCentroids, coarseIterations)
+    val codebooks = train(corpus, idCol, vecCol, dim, m, codebookSize, iterations)
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val bucketed = corpus.select(
+      col(idCol).as("nid"),
+      Similarity.nearestCentroidBuckets(vd, coarse, 1).getItem(0).as("bucket"),
+      encode(col(vecCol), codebooks).as("__codes"))
+    val reconstructed = bucketed.select(
+      col("nid"), col("bucket"),
+      decode(col("__codes"), codebooks).as("cvec"))
+    val probes = queries.select(
+      col(idCol).as("qid"),
+      vd.as("qvec"),
+      explode(Similarity.nearestCentroidBuckets(vd, coarse, nProbe)).as("bucket"))
+    val cand = Similarity.topKPerQuery(
+      reconstructed
+        .join(broadcast(probes), "bucket")
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), Similarity.cosine(col("qvec"), col("cvec")).as("sim")),
+      c).select(col("qid"), col("nid"))
+    val full = corpus.select(col(idCol).as("nid"), vd.as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), vd.as("qvec"))
+    val scored = broadcast(cand)
+      .join(full, "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"), Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
+    Similarity.topKPerQuery(scored, k)
+  }
 }

@@ -141,6 +141,26 @@ object Similarity {
     centroids
   }
 
+  /** Indices of the `n` nearest centroids by cosine, nearest first —
+    * the coarse-quantizer assignment shared by IVF and IVF-PQ.
+    */
+  def nearestCentroidBuckets(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+    val centLit = typedlit(centroids)
+    slice(
+      transform(
+        array_sort(
+          zip_with(
+            transform(centLit, cv => dot(vec, cv) / greatest(norm(vec) * norm(cv), lit(1e-12))),
+            sequence(lit(0), lit(centroids.size - 1)),
+            (sim, idx) => struct((-sim).as("neg"), idx.as("idx"))
+          )
+        ),
+        s => s.getField("idx")
+      ),
+      1, n
+    )
+  }
+
   private def nearestCentroidIdx(vec: Column, centLit: Column, nCentroids: Int): Column =
     slice(
       transform(
@@ -185,22 +205,8 @@ object Similarity {
         c.orderBy(col("nid")).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
     // a corpus smaller than nCentroids yields fewer centroids; clamp so
     // bucket indexing never zips past the centroid array
-    val nCent = centroids.size
-    val centLit = typedlit(centroids)
     def nearestBuckets(vec: Column, n: Int): Column =
-      slice(
-        transform(
-          array_sort(
-            zip_with(
-              transform(centLit, cv => dot(vec, cv) / greatest(norm(vec) * norm(cv), lit(1e-12))),
-              sequence(lit(0), lit(nCent - 1)),
-              (sim, idx) => struct((-sim).as("neg"), idx.as("idx"))
-            )
-          ),
-          s => s.getField("idx")
-        ),
-        1, n
-      )
+      nearestCentroidBuckets(vec, centroids, n)
     val bucketed = c.withColumn("bucket", nearestBuckets(col("cvec"), 1).getItem(0))
     val q = queries.select(
       col(idCol).as("qid"),

@@ -72,6 +72,26 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(rr >= 0.8, s"rerank recall $rr too low for a 100-deep shortlist on 500 vectors")
   }
 
+  test("IVF-PQ: probing every bucket with a deep shortlist recovers high recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("nid"))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      exact.join(df.select(col("qid"), col("nid"), lit(1).as("hit")), Seq("qid", "nid"), "left")
+        .agg(avg(coalesce(col("hit"), lit(0)))).head.getDouble(0)
+    // nProbe == nCentroids degenerates IVF away: pure PQ-rerank behavior
+    val allProbes = recall(ProductQuantization.ivfPqTopKRerank(
+      emb, queries, "vec_id", "embedding", 10, dim = 64, m = 8, codebookSize = 16,
+      iterations = 2, nCentroids = 8, nProbe = 8, shortlist = 100))
+    assert(allProbes >= 0.8, s"full-probe IVF-PQ recall $allProbes")
+    // fewer probes can only lose candidates
+    val fewProbes = recall(ProductQuantization.ivfPqTopKRerank(
+      emb, queries, "vec_id", "embedding", 10, dim = 64, m = 8, codebookSize = 16,
+      iterations = 2, nCentroids = 8, nProbe = 2, shortlist = 100))
+    assert(fewProbes <= allProbes + 1e-9)
+  }
+
   test("training and encoding are deterministic") {
     val corpus = blockyCorpus(32, 16, m = 4)
     val cb1 = ProductQuantization.train(corpus, "vec_id", "embedding", 16, m = 4, k = 4)
