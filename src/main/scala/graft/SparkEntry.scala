@@ -1155,6 +1155,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- ANALYZE: one-pass per-column table statistics; NDV via the KMV
+    //     sketch (exact below k=4096 — this table's regime), partials
+    //     carry counts + extrema + <=k hashes per column, never values ---
+    "rel_stats" -> ((s, dir) =>
+      graft.operators.Stats
+        .collect(s.read.parquet(s"$dir/customer.parquet"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy(col("column_name"))),
+
     // --- CDC upsert-merge: fold updates/inserts/deletes into a snapshot
     //     as ONE hash-agg shuffle (max_by winner per key — no window
     //     sort); change set built deterministically from customer ---
@@ -2021,6 +2030,30 @@ object SparkEntry {
            FROM enc GROUP BY doc_id)
          SELECT doc_id, CAST(n_ids AS INT) AS n_ids, CAST(n_oov AS INT) AS n_oov, ids_hash
          FROM agg ORDER BY doc_id""",
+    "rel_stats" ->
+      """WITH s AS (
+           SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+                  count(*) - count(c_custkey) AS n_nulls,
+                  count(DISTINCT c_custkey) AS ndv,
+                  CAST(min(c_custkey) AS VARCHAR) AS min_val,
+                  CAST(max(c_custkey) AS VARCHAR) AS max_val
+           FROM customer
+           UNION ALL
+           SELECT 'c_name', count(*), count(*) - count(c_name),
+                  count(DISTINCT c_name),
+                  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+                  count(DISTINCT c_nationkey),
+                  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+                  count(DISTINCT c_mktsegment),
+                  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+           FROM customer)
+         SELECT * FROM s ORDER BY column_name""",
     "rel_upsert" ->
       """WITH base AS (
            SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS version, false AS deleted, 0 AS prio
