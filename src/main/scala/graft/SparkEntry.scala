@@ -1241,6 +1241,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- RAG-style chunking: overlapping 32-token windows, stride 24
+    //     (8-token overlap), pure projection+explode per document ---
+    "doc_chunks" -> ((s, dir) => {
+      val tf = graft.functions.TextFunctions
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), tf.tokens(col("text")).as("__toks"))
+      graft.operators.Pack.chunkWindows(docs, "doc_id", "__toks", window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // --- benchmark decontamination: training docs sharing any 13-token
     //     n-gram with the benchmark split are flagged; the benchmark's
     //     gram set is BROADCAST so the training corpus never shuffles ---
@@ -2134,6 +2144,24 @@ object SparkEntry {
            FROM walk w JOIN t ON t.block = w.block AND t.rn = w.rn + 1)
          SELECT doc_id, CAST(block AS BIGINT) AS block, CAST(bin AS INT) AS bin
          FROM walk ORDER BY doc_id""",
+    "doc_chunks" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+           FROM documents),
+         n AS (
+           SELECT doc_id, ts,
+                  CAST(1 + ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) AS nc
+           FROM tok),
+         idx AS (SELECT doc_id, ts, unnest(range(1, nc + 1)) AS i FROM n),
+         ch AS (
+           SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+                  CAST((i - 1) * 24 AS INT) AS start_tok,
+                  ts[(i - 1) * 24 + 1 : (i - 1) * 24 + 32] AS c
+           FROM idx)
+         SELECT doc_id, chunk_idx, start_tok,
+                CAST(len(c) AS INT) AS n_tokens,
+                array_to_string(c, ' ') AS chunk_text
+         FROM ch ORDER BY doc_id, chunk_idx""",
     "doc_decontaminate" ->
       """WITH tok AS (
            SELECT doc_id,

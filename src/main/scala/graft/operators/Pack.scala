@@ -90,6 +90,39 @@ object Pack {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
   }
 
+  /** Overlapping token windows — the chunking step of a RAG/indexing
+    * pipeline: chunk i covers tokens [i*stride, i*stride + window),
+    * `window - stride` tokens of overlap, the final chunk shortened to
+    * the document end; `1 + ceil(max(len - window, 0) / stride)` chunks
+    * per document. A pure projection + explode over an
+    * already-materialized token array (the HOF staging rule applies) —
+    * no shuffle, each document expands independently at any scale.
+    * Returns (idCol, chunk_idx, start_tok, n_tokens, chunk_text).
+    */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      window: Int,
+      stride: Int
+  ): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride=$stride <= window=$window")
+    val ts = col(tokensCol)
+    val nChunks =
+      lit(1) + ceil(greatest(size(ts) - window, lit(0)).cast("double") / stride).cast("int")
+    df.select(col(idCol), ts.as("__ts"), posexplode(sequence(lit(1), nChunks)).as(Seq("__i", "__x")))
+      .select(
+        col(idCol),
+        col("__i").as("chunk_idx"),
+        (col("__i") * stride).as("start_tok"),
+        slice(col("__ts"), col("__i") * stride + 1, lit(window)).as("__chunk"))
+      .select(
+        col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__chunk")).as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   private def packStateType = StructType(Seq(
     StructField("bin", IntegerType, nullable = false),
     StructField("fill", LongType, nullable = false),

@@ -69,4 +69,26 @@ class PackSpec extends AnyFunSuite {
         .select($"id", $"token_offset").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(runC(df.repartition(13), 5) == runC(df.coalesce(1), 1))
   }
+
+  test("chunkWindows: coverage, overlap, and short-final-chunk semantics") {
+    val df = Seq(
+      (1L, (1 to 50).map(i => s"t$i")),   // 50 tokens -> chunks at 0, 24 (win 32)
+      (2L, (1 to 10).map(i => s"s$i")),   // shorter than one window -> 1 chunk
+      (3L, (1 to 32).map(i => s"u$i"))    // exactly one window -> 1 chunk
+    ).toDF("id", "toks")
+    val out = Pack.chunkWindows(df, "id", "toks", window = 32, stride = 24)
+      .select($"id", $"chunk_idx", $"start_tok", $"n_tokens")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, 0, 32), (1L, 1, 24, 26),
+      (2L, 0, 0, 10),
+      (3L, 0, 0, 32)))
+    // every token is covered: union of [start, start+n) == [0, len)
+    val covered = out.filter(_._1 == 1L).flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 50).toSet)
+    // chunk text is the exact token slice
+    val texts = Pack.chunkWindows(df.where($"id" === 1L), "id", "toks", 32, 24)
+      .select($"chunk_idx", $"chunk_text").as[(Int, String)].collect().toMap
+    assert(texts(1) == (25 to 50).map(i => s"t$i").mkString(" "))
+  }
 }
