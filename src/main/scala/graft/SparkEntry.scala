@@ -1241,6 +1241,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- unigram rarity scoring (CCNet-style perplexity stand-in):
+    //     integer rarity points total/cnt per token vs a top-16 model,
+    //     order-independent integer sums, ONE final division -> exact
+    //     cross-engine; scoring is a pure projection ---
+    "doc_unigram_rarity" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val (model, total) = graft.operators.UnigramModel.fit(docs, "text", size = 16)
+      graft.operators.UnigramModel.score(docs, "doc_id", "text", model, total)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- RAG-style chunking: overlapping 32-token windows, stride 24
     //     (8-token overlap), pure projection+explode per document ---
     "doc_chunks" -> ((s, dir) => {
@@ -2144,6 +2155,29 @@ object SparkEntry {
            FROM walk w JOIN t ON t.block = w.block AND t.rn = w.rn + 1)
          SELECT doc_id, CAST(block AS BIGINT) AS block, CAST(bin AS INT) AS bin
          FROM walk ORDER BY doc_id""",
+    "doc_unigram_rarity" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+           FROM documents),
+         allt AS (SELECT unnest(ts) AS t FROM tok),
+         cnt AS (SELECT t AS token, count(*) AS cnt FROM allt GROUP BY t),
+         vocab AS (
+           SELECT token, cnt FROM (
+             SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM cnt)
+           WHERE r <= 16),
+         tot AS (SELECT count(*) AS total FROM allt),
+         pos AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+         pts AS (
+           SELECT p.doc_id,
+                  sum(CAST(tot.total // coalesce(v.cnt, 1) AS BIGINT)) AS pts,
+                  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov,
+                  count(*) AS n
+           FROM pos p LEFT JOIN vocab v ON v.token = p.t CROSS JOIN tot
+           GROUP BY p.doc_id)
+         SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                round(CAST(oov AS DOUBLE) / n, 6) AS oov_rate,
+                round(CAST(pts AS DOUBLE) / n, 6) AS mean_rarity
+         FROM pts ORDER BY doc_id""",
     "doc_chunks" ->
       """WITH tok AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
