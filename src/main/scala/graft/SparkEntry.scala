@@ -1065,6 +1065,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- small-file compaction: 64-way fragmented copy rewritten to
+    //     right-sized sorted files via atomic directory swap; gate
+    //     proves rewrite fidelity (oracle runs on the ORIGINAL table) ---
+    "doc_compact" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(64).write.mode("overwrite").parquet(out)
+      graft.operators.Sink.compact(s, out, targetRecordsPerFile = 2000, sortBy = Seq("doc_id"))
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Z-order layout: Morton-interleaved (doc_id, n_chars) clustering;
     //     row groups cover hyper-rectangles so min/max stats prune on
     //     EITHER column; gate proves write/read fidelity under a combined
@@ -1736,6 +1749,8 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 50 AND 449 AND n_chars > 200
          ORDER BY doc_id""",
+    "doc_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "stream_dedup" ->
       """SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type
          FROM events ORDER BY u_key, event_type""",

@@ -184,6 +184,52 @@ object Sink {
     sorted.saveAsTable(table)
   }
 
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or incremental sink eventually needs: rewrite a parquet directory
+    * into `ceil(rows / targetRecordsPerFile)` right-sized files
+    * (optionally re-sorted so row-group min/max stats survive the
+    * rewrite), then atomically swap directories. Metadata/listing cost
+    * and open-file overhead at read time scale with FILE COUNT, not
+    * bytes — a snapshot that accretes one file per micro-batch
+    * ([[graft.streaming.SnapshotUpsert]]) reads progressively slower
+    * until compacted. Local-FS rename swap here; a real lakehouse makes
+    * the swap a transactional metadata commit, the rewrite is identical.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetRecordsPerFile: Long,
+      sortBy: Seq[String] = Nil
+  ): (Long, Long) = {
+    require(targetRecordsPerFile >= 1)
+    require(!path.contains(":/") || path.startsWith("file:"),
+      "rename-swap compaction supports local paths only; use a transactional sink for object stores")
+    val local = path.stripPrefix("file:")
+    val df = spark.read.parquet(local)
+    val rows = df.count()
+    val filesBefore = countParquetFiles(local)
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val shaped =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nFiles, sortBy.map(col): _*).sortWithinPartitions(sortBy.map(col): _*)
+      else df.repartition(nFiles)
+    val tmp = local + ".compact-tmp"
+    val old = local + ".compact-old"
+    shaped.write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(local)
+    val oldDir = new java.io.File(old)
+    deleteRecursively(oldDir)
+    require(dir.renameTo(oldDir), s"could not stage $local aside")
+    require(new java.io.File(tmp).renameTo(dir), s"could not swap compacted files into $local")
+    deleteRecursively(oldDir)
+    (filesBefore, countParquetFiles(local))
+  }
+
+  private def countParquetFiles(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -75,4 +75,30 @@ class SinkSpec extends AnyFunSuite {
     assert(counts.length > 5, "hot partitions must roll into multiple files")
     assert(counts.forall(_ <= 10L), s"every file must respect the cap, got ${counts.max}")
   }
+
+  test("compact rewrites a fragmented dataset into right-sized sorted files, atomically") {
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(out)
+    val before = docs.collect().map(_.toString).sorted.toSeq
+    val (nBefore, nAfter) = Sink.compact(spark, out, targetRecordsPerFile = 200, sortBy = Seq("doc_id"))
+    assert(nBefore == 32, s"fragmented copy should have 32 files, had $nBefore")
+    assert(nAfter == 3, s"500 rows at 200/file should compact to 3 files, got $nAfter") // ceil(500/200)
+    // fidelity: same rows after the swap
+    val after = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // sorted rewrite: files carry disjoint doc_id ranges
+    val perFile = spark.read.parquet(out)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("lo"),
+        org.apache.spark.sql.functions.max("doc_id").as("hi"))
+      .orderBy(col("lo")).collect()
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+      case _ =>
+    }
+    // no stray staging dirs survive
+    assert(!new java.io.File(out + ".compact-tmp").exists())
+    assert(!new java.io.File(out + ".compact-old").exists())
+  }
 }
