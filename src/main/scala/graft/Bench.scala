@@ -89,6 +89,20 @@ object Bench {
         }
         timings(name) = if (failed || perRun.isEmpty) -1.0 else perRun.min
         runs(name) = perRun.toSeq
+        // Session hygiene BETWEEN queries (round-6 item 1): broadcast
+        // blocks and shuffle files are reclaimed only when a GC enqueues
+        // their references for the ContextCleaner — in a 98x3-execution
+        // session that cleanup otherwise lands as blocking work INSIDE a
+        // later query's timed window (the round-6 driver session showed
+        // unrelated queries inflating 2-15x on byte-identical plans;
+        // unreproducible in isolation). Forcing the GC here moves the
+        // reclamation into the untimed gap. Likewise the streaming
+        // queries' state-store providers keep a maintenance thread and
+        // in-memory version maps alive after their query stops —
+        // unload them so they can't tax whoever runs next.
+        try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        catch { case _: Throwable => () }
+        System.gc()
       }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -103,17 +117,31 @@ object Bench {
     val runsJson = runs.map { case (k, vs) =>
       s"${q(k)}:${vs.map(v => "%.4f".format(v)).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    // errors share the line's budget: cap each message so a run with many
-    // failures can't push the JSON past the driver's tail window either
+    // errors share the line's budget: cap each message AND the entry count
+    // so a run with many failures can't push the JSON past the driver's
+    // tail window either (full messages live in BENCH_DETAIL/BENCH_LINE)
     val errJson =
       if (errors.isEmpty) ""
-      else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v.take(80))}" }.mkString("{", ",", "}")
+      else {
+        val shown = errors.take(6).map { case (k, v) => s"${q(k)}:${q(v.take(80))}" }
+        val more = if (errors.size > 6) s""","n_errors":${errors.size}""" else ""
+        "," + "\"errors\":" + shown.mkString("{", ",", "}") + more
+      }
     // the line must fit the harness's ~2000-char tail window with room for
-    // preceding noise: degrade timing precision before overflowing it
+    // preceding noise: degrade timing precision, and when even 1-decimal
+    // timings for every query cannot fit (≥~90 queries), drop the per-query
+    // map from STDOUT entirely and point at BENCH_LINE.json — a truncated
+    // line parses as null and loses everything; a pointer loses nothing
+    // (BENCH_LINE.json carries the identical contract JSON at full
+    // precision and is committed with the repo)
     val qsBudget = (1700 - errJson.length).max(600)
-    val qs = Seq(3, 2, 1).map(qsAt).find(_.length <= qsBudget).getOrElse(qsAt(1))
     val total = timings.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}"""
+    val line = Seq(3, 2, 1).map(qsAt).find(_.length <= qsBudget) match {
+      case Some(qs) =>
+        s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}"""
+      case None =>
+        s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${timings.size},"queries_file":"BENCH_LINE.json","sf":${q(sfDir)}$errJson}"""
+    }
     // detail file keeps full-length error messages (no tail-window budget)
     val errJsonFull =
       if (errors.isEmpty) ""

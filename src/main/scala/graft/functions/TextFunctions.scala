@@ -170,8 +170,8 @@ object TextFunctions {
   //
   // All three are PURE PROJECTIONS over an already-materialized token
   // array: no explode, no per-gram shuffle — at 100 TB each document's
-  // repetition score costs one row-local pass, the shape a corpus-wide
-  // quality filter needs. Callers must stage the token array into its own
+  // repetition score costs a row-local sort + single pass, the shape a
+  // corpus-wide quality filter needs. Callers must stage the token array into its own
   // column first (same staging rule as Decontaminate.ngramsOfTokens:
   // a non-cheap expression referenced inside lambdas re-evaluates per
   // element).
@@ -191,9 +191,21 @@ object TextFunctions {
     * on one phrase — the "fraction in most common n-gram" filter.
     */
   def topGramFraction(grams: Column): Column = {
-    val top = array_max(
-      transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g))))
+    // sort the multiset once, then the longest run of equal ADJACENT grams
+    // is exactly the most frequent gram's count — O(n log n) row-local,
+    // where the naive distinct×filter scan is quadratic in document length
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val top = aggregate(
+      array_sort(grams),
+      init,
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(grams) === 0, lit(0.0))
       .otherwise(round(top.cast("double") / size(grams), 6))
   }

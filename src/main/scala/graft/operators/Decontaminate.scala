@@ -79,8 +79,15 @@ object Decontaminate {
   }
 
   /** The training corpus with contaminated documents removed (left-anti
-    * join against [[contaminated]] — at scale the anti join re-probes the
-    * broadcast gram set, so the corpus still never shuffles).
+    * join against [[contaminated]]).
+    *
+    * `broadcastFlagged` mirrors `broadcastBenchmark` for the SECOND join:
+    * with a clean corpus the flagged-id set is tiny and broadcasting it
+    * keeps the corpus from shuffling for the anti join — but on a heavily
+    * contaminated corpus the flagged set is corpus-sized, and forcing a
+    * broadcast there would collect it to the driver. Set it false to let
+    * the anti join degrade to a shuffle join (or leave Spark's own
+    * threshold-based auto-broadcast to decide from statistics).
     */
   def decontaminate(
       train: DataFrame,
@@ -90,10 +97,13 @@ object Decontaminate {
       benchTextCol: String,
       n: Int = 13,
       minMatches: Int = 1,
-      broadcastBenchmark: Boolean = true
+      broadcastBenchmark: Boolean = true,
+      broadcastFlagged: Boolean = true
   ): DataFrame = {
-    val flagged =
+    val flagged0 =
       contaminated(train, idCol, textCol, benchmark, benchTextCol, n, minMatches, broadcastBenchmark)
-    train.join(broadcast(flagged.select(col(idCol))), Seq(idCol), "left_anti")
+        .select(col(idCol))
+    val flagged = if (broadcastFlagged) broadcast(flagged0) else flagged0
+    train.join(flagged, Seq(idCol), "left_anti")
   }
 }

@@ -1,35 +1,27 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with a typed metadata struct, processed in
   * partition-sized batches.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] derives deterministic fake dimensions and
-  * features from the payload bytes. Everything around it — schema,
-  * typed Dataset plumbing, `mapPartitions` batch shape, partition-local
-  * processing with no shuffle — is the real production structure: swap
-  * `fakeDecode` for a JNI/codec call (or a Pandas UDF over
-  * `mapInArrow` in PySpark) and nothing else changes.
+  * The codec integration point (a typed `Dataset.mapPartitions` over
+  * `MediaRecord`s — per partition, streaming, no driver involvement) is
+  * exercised in MultimodalSpec with a deterministic fake decode kept in
+  * TEST scope; this container has no image/audio libraries, and the
+  * library itself ships only what needs no codec: real PNG/GIF/JPEG and
+  * WAV/MP4 HEADER decode as codegen'd byte arithmetic, resize metadata,
+  * and frame sampling.
   */
 object Multimodal {
 
-  /** Typed media record: id + opaque payload + container metadata. */
+  /** Typed media record: id + opaque payload + container metadata — the
+    * input contract of a partition-local codec step (see MultimodalSpec's
+    * decodeStub for the mapPartitions shape a JNI/codec call drops into).
+    */
   final case class MediaRecord(media_id: Long, format: String, payload: Array[Byte])
-
-  /** Decoded result: dimensions/channels plus a small feature vector. */
-  final case class DecodedMedia(
-      media_id: Long,
-      format: String,
-      width: Int,
-      height: Int,
-      channels: Int,
-      size_bytes: Long,
-      features: Array[Float]
-  )
 
   /** Wrap a string column as a fake payload (UTF-8 bytes) so the
     * pipeline can run against the `documents` fixture; a real ingest
@@ -41,36 +33,6 @@ object Multimodal {
       lit(format).as("format"),
       col(textCol).cast("binary").as("payload")
     )
-
-  /** STUB decode: deterministic pseudo-decode from payload bytes. A real
-    * implementation calls the image/audio codec here — per partition,
-    * streaming, no driver involvement, which is exactly what this
-    * plumbing exercises.
-    */
-  private def fakeDecode(r: MediaRecord): DecodedMedia = {
-    val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-    var h = 1125899906842597L // deterministic FNV-style roll over the payload
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 10, 1024).toInt
-    val channels = 1 + math.floorMod(h >> 20, 4).toInt
-    val features = Array.tabulate(8) { j =>
-      val hj = h * (j + 1)
-      (math.floorMod(hj, 1000) / 1000.0f)
-    }
-    DecodedMedia(r.media_id, r.format, width, height, channels, bytes.length.toLong, features)
-  }
-
-  /** Decode a media DataFrame partition-by-partition. Batch shape: the
-    * iterator is consumed lazily, one record in flight per row — a
-    * codec batching N frames would buffer inside the iterator without
-    * changing the operator contract.
-    */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(fakeDecode))
-  }
 
   // ---------------------------------------------------------------------
   // Real header decode: PNG IHDR / GIF logical screen / JPEG SOF0 parsed

@@ -44,13 +44,21 @@ object Pack {
     val spark = df.sparkSession
     val p =
       if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    // persist: the partition-sum pass and the offset-apply pass must see
-    // the SAME range boundaries and the same __pid assignment
+    // localCheckpoint (not persist): the partition-sum pass and the
+    // offset-apply pass must see the SAME sampled range boundaries and
+    // __pid assignment, so the partitioned frame is materialized once.
+    // A persist() would pin it in the CacheManager until someone calls
+    // unpersist/clearCache — a leak when the result outlives this call —
+    // while a local checkpoint's blocks are released by the context
+    // cleaner as soon as the returned frame is garbage-collected.
+    // (Local checkpoints don't survive executor loss; a restarted job
+    // simply recomputes from the source — acceptable for a two-pass
+    // prefix sum.)
     val parted = df
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val sums = parted
       .groupBy(col("__pid"))
       .agg(sum(col(tokensCol)).as("__psum"))

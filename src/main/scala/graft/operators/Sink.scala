@@ -192,9 +192,13 @@ object Sink {
     * and open-file overhead at read time scale with FILE COUNT, not
     * bytes — a snapshot that accretes one file per micro-batch
     * ([[graft.streaming.SnapshotUpsert]]) reads progressively slower
-    * until compacted. Local-FS rename swap here; a real lakehouse makes
-    * the swap a transactional metadata commit, the rewrite is identical.
-    * Returns (filesBefore, filesAfter).
+    * until compacted. The local-FS swap is two renames — NEAR-atomic,
+    * single-writer, readers quiesced: between staging the live directory
+    * aside and renaming the rewrite in there is a window where the path
+    * is briefly absent (a crash in that window is repaired here by
+    * restoring the staged original). A real lakehouse makes the swap a
+    * transactional metadata commit so readers never see the gap; the
+    * rewrite itself is identical. Returns (filesBefore, filesAfter).
     */
   def compact(
       spark: SparkSession,
@@ -221,7 +225,14 @@ object Sink {
     val oldDir = new java.io.File(old)
     deleteRecursively(oldDir)
     require(dir.renameTo(oldDir), s"could not stage $local aside")
-    require(new java.io.File(tmp).renameTo(dir), s"could not swap compacted files into $local")
+    // if the swap-in fails, restore the staged original so the live path
+    // never stays missing (data stranded in .compact-old)
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      val restored = oldDir.renameTo(dir)
+      throw new IllegalStateException(
+        s"could not swap compacted files into $local" +
+          (if (restored) " (original restored)" else s" AND could not restore $old — recover manually"))
+    }
     deleteRecursively(oldDir)
     (filesBefore, countParquetFiles(local))
   }

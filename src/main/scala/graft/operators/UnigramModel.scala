@@ -81,4 +81,50 @@ object UnigramModel {
         when(size(col("__ts")) === 0, lit(0.0))
           .otherwise(round(col("__pts").cast("double") / size(col("__ts")), 6)).as("mean_rarity"))
   }
+
+  /** [[score]] for a model too large to inline as a map literal (a real
+    * top-100k unigram table): explode tokens → BROADCAST hash join
+    * against the (token, cnt) model — O(1) hash probes instead of the
+    * literal map's linear key scan, and no megabyte literal in the
+    * expression tree — then re-aggregate per document. The rarity sum is
+    * order-independent INTEGER arithmetic, so this path is value-exact
+    * with [[score]] (same points, same single final division); it pays
+    * one map-side-combined shuffle of (doc, three longs) for the
+    * re-aggregation. Below `literalThreshold` it simply delegates to the
+    * projection path.
+    */
+  def scoreLarge(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelDf: DataFrame, // (token, cnt)
+      total: Long,
+      literalThreshold: Int = 4096
+  ): DataFrame = {
+    if (modelDf.count() <= literalThreshold) {
+      val m = modelDf.select(col("token"), col("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      return score(docs, idCol, textCol, m, total)
+    }
+    val toks = docs.select(
+      col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__tok"))
+    val cnt = coalesce(col("__cnt"), lit(1L))
+    toks
+      .join(broadcast(modelDf.select(col("token").as("__tok"), col("cnt").as("__cnt"))),
+        Seq("__tok"), "left")
+      // empty documents survive the outer explode as one null-token row:
+      // count(__tok) ignores it, so n_tokens lands at 0
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__tok")).cast("int").as("n_tokens"),
+        sum(when(col("__tok").isNotNull,
+          ((lit(total) - pmod(lit(total), cnt)) / cnt).cast("long")).otherwise(0L)).as("__pts"),
+        sum(when(col("__tok").isNotNull && col("__cnt").isNull, 1L).otherwise(0L)).as("__oov"))
+      .select(col(idCol),
+        col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("__oov").cast("double") / col("n_tokens"), 6)).as("oov_rate"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("__pts").cast("double") / col("n_tokens"), 6)).as("mean_rarity"))
+  }
 }

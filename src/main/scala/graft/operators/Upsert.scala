@@ -24,6 +24,17 @@ import org.apache.spark.sql.DataFrame
   * Deletes: rows in `changes` with `deleteCol` = true win their key like
   * any other change, then the winner is dropped — so a delete followed
   * by a higher-version re-insert correctly resurrects the key.
+  *
+  * Two conflict orders, chosen by `versionDominates`:
+  *  - `false` (default, the one-shot MERGE): a change beats the base row
+  *    regardless of version — the base is a prior snapshot whose versions
+  *    are not comparable to the change set's.
+  *  - `true` (snapshot maintenance across micro-batches): base rows carry
+  *    their ORIGINAL versions, so the highest version wins across base
+  *    and changes and `__prio` only breaks exact-version ties (a re-run
+  *    of the same batch stays idempotent). Without this, a late-arriving
+  *    lower-version change would overwrite a newer snapshot row or
+  *    resurrect a tombstone.
   */
 object Upsert {
 
@@ -32,7 +43,8 @@ object Upsert {
       changes: DataFrame,
       keys: Seq[String],
       versionCol: String,
-      deleteCol: Option[String] = None
+      deleteCol: Option[String] = None,
+      versionDominates: Boolean = false
   ): DataFrame = {
     require(keys.nonEmpty, "keys must name at least one column")
     val dataCols = base.columns
@@ -40,11 +52,12 @@ object Upsert {
       s"changes schema ${changes.columns.mkString(",")} must match base ${dataCols.mkString(",")}")
     val tagged = base.withColumn("__prio", lit(0))
       .unionByName(changes.withColumn("__prio", lit(1)))
+    val order =
+      if (versionDominates) struct(col(versionCol), col("__prio"))
+      else struct(col("__prio"), col(versionCol))
     val merged = tagged
       .groupBy(keys.map(col): _*)
-      .agg(max_by(
-        struct(dataCols.map(col): _*),
-        struct(col("__prio"), col(versionCol))).as("__w"))
+      .agg(max_by(struct(dataCols.map(col): _*), order).as("__w"))
       .select(col("__w.*"))
     deleteCol match {
       case Some(d) => merged.where(!col(d)).drop(d)

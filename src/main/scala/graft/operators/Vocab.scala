@@ -51,10 +51,60 @@ object Vocab {
     * (OOV → -1). Pure projection against a map literal — no join, no
     * shuffle; the staging rule applies (tokens computed once here, the
     * lambda only probes the map).
+    *
+    * SMALL-VOCAB path only: the map is embedded in the expression tree,
+    * so a real tokenizer vocab (32k-100k entries) would push a
+    * megabyte-scale literal through codegen and every task binary — and
+    * Catalyst map lookups scan keys linearly, so probe cost grows with V
+    * too. Use [[encode]] for anything bigger than a few thousand entries;
+    * it switches to a broadcast hash join (true O(1) probes) above
+    * `literalThreshold`.
     */
   def encodeColumn(text: Column, vocab: Map[String, Int]): Column = {
     val mapLit = typedlit(vocab)
     transform(TextFunctions.tokens(text),
       t => coalesce(element_at(mapLit, t), lit(-1)))
+  }
+
+  /** Encode `textCol` of every document into an `ids` sequence (OOV → -1),
+    * choosing the plan by vocab size:
+    *
+    *  - V <= `literalThreshold`: [[encodeColumn]]'s map-literal projection —
+    *    zero shuffle, the corpus never moves.
+    *  - V > `literalThreshold`: positional explode → BROADCAST hash join on
+    *    the token (an O(1) hash probe per occurrence, vs the literal map's
+    *    linear key scan, and no giant literal in the expression tree /
+    *    codegen) → re-assemble each document by sorting its (position, id)
+    *    pairs. This path pays ONE shuffle of (doc, pos, id) triples for the
+    *    re-aggregation — the standard price of joining against a vocab too
+    *    big to inline; the vocab side stays broadcast so the corpus is
+    *    never hashed against a shuffled build side.
+    *
+    * Returns (idCol, ids). Documents with no tokens encode to [].
+    */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      literalThreshold: Int = 4096
+  ): DataFrame = {
+    val v = vocab.count()
+    if (v <= literalThreshold) {
+      docs.select(col(idCol), encodeColumn(col(textCol), toMap(vocab)).as("ids"))
+    } else {
+      val toks = docs.select(
+        col(idCol),
+        posexplode_outer(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      toks
+        .join(broadcast(vocab.select(col("token").as("__tok"), col("id").as("__vid"))),
+          Seq("__tok"), "left")
+        // empty documents survive the outer explode as a null-position row;
+        // collect_list drops the null struct below, yielding ids = []
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(when(col("__pos").isNotNull,
+          struct(col("__pos"), coalesce(col("__vid"), lit(-1)).as("__id"))))).as("__pi"))
+        .select(col(idCol), transform(col("__pi"), x => x.getField("__id")).as("ids"))
+    }
   }
 }

@@ -18,25 +18,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * logic would not change.
   *
   * Scale: each batch costs one key shuffle of snapshot ∪ batch
-  * ([[Upsert.mergeLatest]]'s map-side-collapsed aggregate). Rewriting
-  * the full snapshot per batch is the parquet-files cost of this
-  * pattern — at real scale the snapshot is partitioned/bucketed by key
-  * and only touched partitions rewrite.
+  * ([[Upsert.mergeLatest]]'s map-side-collapsed aggregate). Each version
+  * is written RANGE-laid-out on the keys into
+  * `ceil(rows / targetRecordsPerFile)` files — file count tracks
+  * snapshot size (no single-task funnel, no small-file explosion) and
+  * the in-file key sort keeps row-group min/max pruning alive for keyed
+  * reads. Rewriting the full snapshot per batch is the parquet-files
+  * cost of this pattern — at real scale the snapshot is
+  * partitioned/bucketed by key and only touched partitions rewrite.
   */
 object SnapshotUpsert {
 
   /** Start maintaining `dir` from a STREAMING frame. `versionCol` must be
-    * unique per key within any batch (the CDC contract). Deletes flow
-    * through when `deleteCol` names a boolean column.
+    * unique per key within any batch (the CDC contract) and totally
+    * ordered ACROSS batches: the merge is version-dominant
+    * ([[Upsert.mergeLatest]] with `versionDominates`), so a late batch
+    * carrying a lower version cannot overwrite a newer snapshot row or
+    * resurrect a tombstone. Delete flags are ordinary columns here —
+    * tombstones must SURVIVE the merge to keep winning their key — and
+    * are filtered out by [[read]]'s `deleteCol`.
     */
   def maintain(
       stream: DataFrame,
       keys: Seq[String],
       versionCol: String,
       dir: String,
-      deleteCol: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      targetRecordsPerFile: Long = 5000000L
   ): StreamingQuery = {
+    require(targetRecordsPerFile >= 1)
     val spark = stream.sparkSession
     val schema = stream.schema
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -45,10 +55,17 @@ object SnapshotUpsert {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cur = latestVersion(dir)
         val snap = spark.read.schema(schema).parquet(s"$dir/v$cur")
-        // deletes must survive the merge itself (a late lower-version
-        // change must not resurrect); drop tombstones only on read
-        val merged = Upsert.mergeLatest(snap, batch, keys, versionCol, deleteCol = None)
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v${cur + 1}")
+        val merged = Upsert.mergeLatest(snap, batch, keys, versionCol,
+          deleteCol = None, versionDominates = true)
+          .persist() // one computation feeds both the count and the write
+        try {
+          val rows = merged.count()
+          val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+          merged
+            .repartitionByRange(nFiles, keys.map(col): _*)
+            .sortWithinPartitions(keys.map(col): _*)
+            .write.mode("overwrite").parquet(s"$dir/v${cur + 1}")
+        } finally merged.unpersist()
       }
       .trigger(trigger)
       .start()
@@ -60,6 +77,40 @@ object SnapshotUpsert {
       .filter(_.isDirectory).map(_.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
     if (vs.isEmpty) 0 else vs.max
+  }
+
+  /** Maintenance: retention + compaction — the step that keeps a
+    * long-running snapshot chain from accreting unbounded version
+    * directories and small files. Deletes every version older than the
+    * newest `keepVersions` (bounding time travel to the retained window),
+    * then rewrites the LATEST version into right-sized files via
+    * [[graft.operators.Sink.compact]] (sorted by `sortBy` when given, so
+    * row-group min/max pruning survives). Single-writer: run between
+    * micro-batches / with the stream quiesced, like any table
+    * maintenance job. Returns (versionsDeleted, filesBefore, filesAfter).
+    */
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      keepVersions: Int,
+      targetRecordsPerFile: Long,
+      sortBy: Seq[String] = Nil
+  ): (Int, Long, Long) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val latest = latestVersion(dir)
+    val cutoff = latest - keepVersions + 1
+    val deleted = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(_.getName.drop(1).toInt < cutoff)
+      .map { f => deleteRecursively(f); 1 }.sum
+    val (before, after) =
+      graft.operators.Sink.compact(spark, s"$dir/v$latest", targetRecordsPerFile, sortBy)
+    (deleted, before, after)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Read a snapshot version (latest by default), tombstones removed. */

@@ -58,19 +58,24 @@ object StreamingDedup {
       shingleK: Int = 5,
       numHashes: Int = 120,
       bands: Int = 20,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None
   ): StreamingQuery = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val spark = docs.sparkSession
-    incrementalNearDuplicatesInit(spark, workDir)
-    docs
+    // only initialize fresh state when NOT resuming from a checkpoint —
+    // a restart must keep the already-accumulated index and pairs
+    if (checkpoint.isEmpty || !new java.io.File(s"$workDir/bands").exists())
+      incrementalNearDuplicatesInit(spark, workDir)
+    val w = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, workDir, threshold, shingleK, numHashes, bands)
       }
       .trigger(trigger)
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 
   /** Initialize the index/result dirs with empty frames so every batch
@@ -122,6 +127,10 @@ object StreamingDedup {
 
       val cross = newBands.alias("n")
         .join(oldBands.alias("o"), Seq("band", "bucket"))
+        // a crash between the index append and the checkpoint commit makes
+        // the restarted batch meet ITSELF in the index — the id guard keeps
+        // that at-least-once replay from emitting self-pairs
+        .where(col("n.id") =!= col("o.id"))
         .select(
           least(col("n.id"), col("o.id")).as("id1"),
           greatest(col("n.id"), col("o.id")).as("id2"))
@@ -150,4 +159,24 @@ object StreamingDedup {
     */
   def pairs(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(s"$workDir/pairs").distinct()
+
+  /** Maintenance: compact the three append-only datasets (bands index,
+    * shingles, pairs) into right-sized files via
+    * [[graft.operators.Sink.compact]] — a stream appending a few files
+    * per micro-batch reads progressively slower (listing + open-file
+    * overhead scales with FILE COUNT) until compacted. The bands index is
+    * re-sorted on (band, bucket) so probe joins benefit from row-group
+    * min/max skipping after the rewrite. Single-writer: run with the
+    * stream quiesced (between restarts / in a maintenance window).
+    * Returns dataset -> (filesBefore, filesAfter).
+    */
+  def compactIndex(
+      spark: SparkSession,
+      workDir: String,
+      targetRecordsPerFile: Long = 5000000L
+  ): Map[String, (Long, Long)] = Map(
+    "bands" -> graft.operators.Sink.compact(
+      spark, s"$workDir/bands", targetRecordsPerFile, sortBy = Seq("band", "bucket")),
+    "shingles" -> graft.operators.Sink.compact(spark, s"$workDir/shingles", targetRecordsPerFile),
+    "pairs" -> graft.operators.Sink.compact(spark, s"$workDir/pairs", targetRecordsPerFile))
 }

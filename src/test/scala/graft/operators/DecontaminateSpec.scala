@@ -57,6 +57,33 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(grams == 0)
   }
 
+  test("broadcastFlagged=false degrades the anti join to a shuffle join (same rows)") {
+    // pin the plan: disable auto-broadcast so only explicit hints broadcast
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevStatic)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Decontaminate.decontaminate(train, "doc_id", "text", bench, "text",
+        broadcastFlagged = false)
+      assert(df.select($"doc_id").as[Long].collect().toSet == Set(2L, 4L))
+      def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => a.executedPlan +: collectPlan(a.executedPlan)
+        case q: adaptive.QueryStageExec => q.plan +: collectPlan(q.plan)
+        case other => other +: other.children.flatMap(collectPlan)
+      }
+      val nodes = collectPlan(df.queryExecution.executedPlan)
+      val antiBroadcast = nodes.collect {
+        case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+      }
+      assert(antiBroadcast.isEmpty,
+        "with broadcastFlagged=false and auto-broadcast off, the anti join must be shuffle-based")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("benchmark gram set is broadcast: the corpus side is never shuffled before the join") {
     val df = Decontaminate.contaminated(train, "doc_id", "text", bench, "text")
     df.collect()

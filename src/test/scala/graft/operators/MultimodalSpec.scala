@@ -2,7 +2,50 @@ package graft.operators
 
 import graft.SparkTestSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
+
+/** TEST-scope decode stub: a deterministic fake codec exercising the
+  * production mapPartitions shape ([[Multimodal.MediaRecord]] in, typed
+  * decoded rows out, partition-local, no shuffle). A real deployment
+  * swaps `fakeDecode` for a JNI/codec call (or a Pandas UDF over
+  * `mapInArrow` in PySpark) and nothing else changes — which is why the
+  * plumbing is tested here even though the library ships no codec.
+  */
+object MultimodalDecodeStub {
+  import Multimodal.MediaRecord
+
+  /** Decoded result: dimensions/channels plus a small feature vector. */
+  final case class DecodedMedia(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      size_bytes: Long,
+      features: Array[Float]
+  )
+
+  private def fakeDecode(r: MediaRecord): DecodedMedia = {
+    val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+    var h = 1125899906842597L // deterministic FNV-style roll over the payload
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val width = 64 + math.floorMod(h, 1024).toInt
+    val height = 64 + math.floorMod(h >> 10, 1024).toInt
+    val channels = 1 + math.floorMod(h >> 20, 4).toInt
+    val features = Array.tabulate(8) { j =>
+      val hj = h * (j + 1)
+      (math.floorMod(hj, 1000) / 1000.0f)
+    }
+    DecodedMedia(r.media_id, r.format, width, height, channels, bytes.length.toLong, features)
+  }
+
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(fakeDecode))
+  }
+}
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -17,15 +60,15 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("decodeStub is deterministic and preserves row count") {
-    val d1 = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
-    val d2 = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    val d1 = MultimodalDecodeStub.decodeStub(spark, media).collect().sortBy(_.media_id)
+    val d2 = MultimodalDecodeStub.decodeStub(spark, media).collect().sortBy(_.media_id)
     assert(d1.length == docs.count())
     assert(d1.map(_.width).toSeq == d2.map(_.width).toSeq)
     assert(d1.forall(m => m.width >= 64 && m.height >= 64 && m.channels >= 1 && m.features.length == 8))
   }
 
   test("decoded size_bytes equals payload length") {
-    val sizes = Multimodal.decodeStub(spark, media)
+    val sizes = MultimodalDecodeStub.decodeStub(spark, media)
       .select($"media_id", $"size_bytes")
       .join(media.select($"media_id", length($"payload").cast("long").as("plen")), "media_id")
       .where($"size_bytes" =!= $"plen")
@@ -33,7 +76,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resizeMeta caps the long side at maxDim preserving aspect ratio") {
-    val decoded = Multimodal.decodeStub(spark, media).toDF()
+    val decoded = MultimodalDecodeStub.decodeStub(spark, media).toDF()
     val resized = Multimodal.resizeMeta(decoded, maxDim = 256)
     val bad = resized.where(
       greatest($"resized_width", $"resized_height") > 256 ||

@@ -36,6 +36,24 @@ class UnigramModelSpec extends AnyFunSuite {
     assert(out.getInt(1) == 2 && out.getDouble(2) == 0.5 && out.getDouble(3) == 6.0)
   }
 
+  test("scoreLarge (broadcast-join path) is value-exact with the literal path") {
+    val (model, total) = UnigramModel.fit(docs, "text", size = 4)
+    val modelDf = model.toSeq.toDF("token", "cnt")
+    val in = docs.union(Seq((3L, ""), (4L, "unseen tokens only here")).toDF("doc_id", "text"))
+    val literal = UnigramModel.score(in, "doc_id", "text", model, total)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    // literalThreshold = 0 forces the explode + broadcast-join plan
+    val joined = UnigramModel.scoreLarge(in, "doc_id", "text", modelDf, total, literalThreshold = 0)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(literal == joined)
+    assert(joined(3L) == ((0, 0.0, 0.0))) // empty doc survives the outer explode
+    assert(joined(4L)._2 == 1.0)          // all-OOV doc
+    // below the threshold it delegates to the literal projection
+    val delegated = UnigramModel.scoreLarge(in, "doc_id", "text", modelDf, total)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(delegated == literal)
+  }
+
   test("rarer documents score strictly higher") {
     val (model, total) = UnigramModel.fit(docs, "text", size = 4)
     val common = UnigramModel.score(Seq((1L, "the the the")).toDF("doc_id", "text"),

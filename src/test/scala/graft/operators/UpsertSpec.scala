@@ -59,6 +59,34 @@ class UpsertSpec extends AnyFunSuite {
     }.isDefined, "partial aggregation must run before the shuffle")
   }
 
+  test("versionDominates: a late lower-version change neither overwrites nor resurrects") {
+    // base is a maintained snapshot whose rows carry their ORIGINAL versions
+    val snap = Seq(
+      (1L, "a-v5", 5L, false), // newer than the late change below
+      (2L, "b-del", 7L, true)  // tombstone at v7
+    ).toDF("k", "v", "version", "deleted")
+    val late = Seq(
+      (1L, "a-v3", 3L, false), // late: must NOT overwrite v5
+      (2L, "b-v4", 4L, false), // late: must NOT resurrect the v7 tombstone
+      (3L, "c-v1", 1L, false)  // genuinely new key: inserts
+    ).toDF("k", "v", "version", "deleted")
+    val merged = Upsert.mergeLatest(snap, late, Seq("k"), "version",
+      deleteCol = None, versionDominates = true)
+    val out = merged.select($"k", $"v", $"version", $"deleted")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "a-v5", 5L, false),
+      (2L, "b-del", 7L, true), // tombstone survives the merge
+      (3L, "c-v1", 1L, false)))
+    // equal versions: the change (__prio 1) wins the tie — re-running the
+    // same batch is idempotent and deterministic
+    val replay = Seq((1L, "a-v5-replay", 5L, false)).toDF("k", "v", "version", "deleted")
+    val tied = Upsert.mergeLatest(snap, replay, Seq("k"), "version",
+      deleteCol = None, versionDominates = true)
+      .where($"k" === 1L).select($"v").as[String].collect().toSeq
+    assert(tied == Seq("a-v5-replay"))
+  }
+
   test("schema mismatch is rejected") {
     val bad = Seq((1L, "a", 0L)).toDF("k", "v", "version")
     intercept[IllegalArgumentException] {

@@ -35,6 +35,30 @@ class VocabSpec extends AnyFunSuite {
     assert(ids == Seq(0, 2, -1))
   }
 
+  test("encode: literal and broadcast-join paths agree, including empty docs and OOV") {
+    val vocab = Vocab.build(docs, "text", size = 8)
+    val in = Seq((1L, "the cat flew"), (2L, ""), (3L, "a dog and a cat")).toDF("doc_id", "text")
+    val literal = Vocab.encode(in, "doc_id", "text", vocab, literalThreshold = 1000)
+      .as[(Long, Seq[Int])].collect().toMap
+    val joined = Vocab.encode(in, "doc_id", "text", vocab, literalThreshold = 0)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(literal == joined)
+    assert(literal(2L) == Seq.empty)
+    assert(literal(1L).last == -1) // "flew" is OOV on both paths
+  }
+
+  test("encode survives a 50k-entry vocab (no giant literal in the plan)") {
+    // a vocab this size must NOT be inlined: the join path never builds
+    // the map literal, so codegen sees only the join, not 50k map entries
+    val big = spark.range(50000).select(
+      concat(lit("w"), $"id").as("token"), $"id".cast("int").as("id"))
+    val in = Seq((1L, "w0 w49999 nope w123"), (2L, "w7 w7 w8")).toDF("doc_id", "text")
+    val out = Vocab.encode(in, "doc_id", "text", big, literalThreshold = 4096)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) == Seq(0, 49999, -1, 123))
+    assert(out(2L) == Seq(7, 7, 8))
+  }
+
   test("encode then decode through the inverse map round-trips in-vocab tokens") {
     val vm = Vocab.toMap(Vocab.build(docs, "text", size = 8))
     val inv = vm.map(_.swap)

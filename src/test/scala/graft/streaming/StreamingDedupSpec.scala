@@ -33,6 +33,85 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"false positives: $pairs")
   }
 
+  test("at-least-once replay of a committed batch changes nothing (no self-pairs, no dupes)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-replay").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = Seq((1L, base), (2L, base),
+      (3L, "completely different text about spark partitions " * 5)).toDF("id", "text")
+    val b2 = Seq((10L, base + "tail."),
+      (11L, "yet another unrelated document body " * 6)).toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20)
+    // crash window: the batch appended its pairs AND its index entries but
+    // the checkpoint commit was lost — the restarted stream replays it
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20)
+    StreamingDedup.processBatch(b2, work, 0.9, 5, 120, 20)
+    val streamed = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup
+      .nearDuplicates(b1.union(b2).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9, numHashes = 120, bands = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"replayed streamed=$streamed batch=$batch")
+    assert(!streamed.exists(p => p._1 == p._2), s"self-pairs after replay: $streamed")
+  }
+
+  test("restart from checkpoint resumes the index and converges to the batch oracle") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-restart").toString
+    val src = java.nio.file.Files.createTempDirectory("sdedup-src").toString
+    val ckpt = s"$work/ckpt"
+    val a = Seq((1L, base), (2L, base),
+      (3L, "completely different text about spark partitions " * 5)).toDF("id", "text")
+    val b = Seq((10L, base + "tail."),
+      (11L, "yet another unrelated document body " * 6)).toDF("id", "text")
+    a.write.mode("append").parquet(src)
+    def stream() = spark.readStream.schema(a.schema).parquet(src)
+    // run 1: processes A, commits the checkpoint, dies
+    val q1 = StreamingDedup.incrementalNearDuplicates(
+      stream(), "id", "text", work, threshold = 0.9, numHashes = 120, bands = 20,
+      checkpoint = Some(ckpt))
+    q1.awaitTermination()
+    // more data lands while the stream is down
+    b.write.mode("append").parquet(src)
+    // run 2: same checkpoint — must resume (keep A's index, process only B)
+    val q2 = StreamingDedup.incrementalNearDuplicates(
+      stream(), "id", "text", work, threshold = 0.9, numHashes = 120, bands = 20,
+      checkpoint = Some(ckpt))
+    q2.awaitTermination()
+    val streamed = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup
+      .nearDuplicates(a.union(b).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9, numHashes = 120, bands = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"restarted streamed=$streamed batch=$batch")
+  }
+
+  test("compactIndex bounds file counts across a long replay without changing the pairs") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-compact").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    // a long replay: 8 batches, each appending files to all three datasets
+    (0 until 8).foreach { b =>
+      val docs = Seq(
+        (b * 10L + 1, base + s" batch $b"),
+        (b * 10L + 2, s"unique filler text for batch $b " * 6)).toDF("id", "text")
+      StreamingDedup.processBatch(docs, work, 0.9, 5, 120, 20)
+    }
+    val preCompact = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def files(d: String) = Option(new java.io.File(s"$work/$d").listFiles()).get
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files("bands") > 8, s"replay should have fragmented the bands index, got ${files("bands")} files")
+    val stats = StreamingDedup.compactIndex(spark, work)
+    assert(stats.forall { case (_, (b4, af)) => af <= b4 }, s"compaction grew a dataset: $stats")
+    assert(files("bands") <= 2 && files("shingles") <= 2 && files("pairs") <= 2,
+      s"file counts not bounded: bands=${files("bands")} shingles=${files("shingles")} pairs=${files("pairs")}")
+    assert(StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == preCompact)
+  }
+
   test("incremental pairs equal the batch operator's pairs on the same corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
