@@ -1286,6 +1286,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- term retrieval: integer-exact df-weighted scoring (BM25-family
+    //     shape, no floats); tokens filter to the query's terms BEFORE
+    //     any shuffle, final top-k is TakeOrdered ---
+    "doc_term_search" -> ((s, dir) =>
+      graft.operators.Retrieval.termSearch(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        query = Seq("dup", "key", "batch"), topK = 25)),
+
+    // --- phrase mining: word2phrase bigram lift over adjacent token
+    //     pairs; counts exact, one final division + round(6) ---
+    "doc_phrases" -> ((s, dir) =>
+      graft.operators.Phrases.bigramLift(
+        s.read.parquet(s"$dir/documents.parquet"), "text", minCount = 5L)
+        .orderBy(col("w1"), col("w2"))),
+
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
     "emb_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2036,6 +2051,31 @@ object SparkEntry {
                 quantile_disc(o_totalprice, 0.99) AS p99
          FROM orders WHERE o_orderkey % 11 = 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "doc_term_search" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('dup', 'key', 'batch') GROUP BY doc_id, t),
+         df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
+         FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 25""",
+    "doc_phrases" ->
+      """WITH toks AS (
+           SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
+         uni AS (SELECT w, count(*) AS n_w
+                 FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
+         tot AS (SELECT sum(len(ts)) AS n FROM toks),
+         big AS (
+           SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
+           FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks) g
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+                round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
+         FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot
+         ORDER BY w1, w2""",
     "doc_vocab" ->
       """WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t

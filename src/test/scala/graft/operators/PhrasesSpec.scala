@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PhrasesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bigram lift matches a hand computation") {
+    // tokens: "new york" x 3 plus scattered singles.
+    // unigrams: new=4, york=3, city=2, old=1  (N=10)
+    val docs = Seq(
+      "new york new york",
+      "new york city",
+      "old new city"
+    ).toDF("text")
+    val out = Phrases.bigramLift(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // "new york": pair=3, lift = 3*10/(4*3) = 2.5
+    assert(out(("new", "york")) == ((3L, 4L, 3L, 2.5)))
+    // "york new" occurs once -> pruned by minCount
+    assert(!out.contains(("york", "new")))
+  }
+
+  test("minCount prunes the tail before the joins; short docs yield no bigrams") {
+    val docs = Seq("single", "", "two tokens").toDF("text")
+    assert(Phrases.bigramLift(docs, "text", minCount = 2L).count() == 0)
+    val one = Phrases.bigramLift(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(one == Set(("two", "tokens")))
+  }
+
+  test("lift > 1 flags attraction, < 1 flags repulsion") {
+    // "a b" always adjacent (attraction); "a z" never adjacent
+    val docs = Seq.fill(5)("a b filler").toDF("text")
+      .union(Seq.fill(5)("z filler a b").toDF("text"))
+    val out = Phrases.bigramLift(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(out(("a", "b")) > 1.0)
+    assert(out.get(("z", "a")).forall(_ < out(("a", "b"))))
+  }
+}

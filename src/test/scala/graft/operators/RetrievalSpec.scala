@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4 docs, N = 4: "rare" df=1 (idf 4), "common" df=4 (idf 1)
+  private val docs = Seq(
+    (1L, "common words and the rare rare gem"),
+    (2L, "common text common again"),
+    (3L, "common filler body"),
+    (4L, "common nothing else here")
+  ).toDF("doc_id", "text")
+
+  test("score = sum tf * (N div df), hand-computed") {
+    val out = Retrieval.termSearch(docs, "doc_id", "text", Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    // doc1: rare tf=2 * 4 + common 1*1 = 9; doc2: common 2*1 = 2; docs 3,4: 1
+    assert(out == Seq((1L, 9L), (2L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("topK truncates deterministically with id tiebreak; non-matching docs never appear") {
+    val out = Retrieval.termSearch(docs, "doc_id", "text", Seq("common"), topK = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 2L), (1L, 1L))) // ties at score 1 resolve to the smaller id
+    val none = Retrieval.termSearch(docs, "doc_id", "text", Seq("absent"), topK = 5)
+    assert(none.count() == 0)
+  }
+
+  test("query terms are case-normalized and deduplicated") {
+    val a = Retrieval.termSearch(docs, "doc_id", "text", Seq("RARE", "rare"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    val b = Retrieval.termSearch(docs, "doc_id", "text", Seq("rare"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b && a == Seq((1L, 8L)))
+  }
+
+  test("plan: final top-k is a TakeOrdered, not a global sort") {
+    val df = Retrieval.termSearch(docs, "doc_id", "text", Seq("common"), topK = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
+}
