@@ -19,12 +19,15 @@ import org.apache.spark.sql.DataFrame
   * + round(6) makes the value cross-engine reproducible (the same
   * single-division discipline as [[UnigramModel]]).
   *
-  * Scale shape: one explode+count shuffle for bigrams, one for unigrams
-  * (both map-side combined — occurrence counts collapse per partition
-  * before the exchange), then the bigram frame joins the BOUNDED unigram
-  * table twice (vocabulary-sized, broadcast; a tokenizer vocabulary is
-  * 10^4-10^6 entries, not corpus-sized). `minCount` prunes the bigram
-  * tail BEFORE the joins — the word2phrase discard threshold.
+  * Scale shape: ONE corpus scan and ONE count shuffle — unigrams and
+  * bigrams ride the same explode as a tagged union (a token can never
+  * contain a space, a space-joined bigram always does, so the tag is
+  * free) and the map-side-combined count collapses both per partition
+  * before the exchange. The total token count comes from summing the
+  * BOUNDED unigram frame (vocabulary-sized — 10^4-10^6 entries, not
+  * corpus-sized), never from a second corpus pass, and the bigram frame
+  * joins that same unigram table twice by broadcast. `minCount` prunes
+  * the bigram tail BEFORE the joins — the word2phrase discard threshold.
   */
 object Phrases {
 
@@ -34,21 +37,26 @@ object Phrases {
     */
   def bigramLift(docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1)
-    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__ts"))
-    val uni = toks
-      .select(explode(col("__ts")).as("w"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("n_w"))
-    val nTotal = toks.select(sum(size(col("__ts")))).head.getLong(0)
-    val pairs = toks
-      .select(explode(TextFunctions.tokenNgrams(col("__ts"), 2)).as("__g"))
-      .groupBy(col("__g"))
-      .agg(count(lit(1)).as("n_pair"))
-      .where(col("n_pair") >= minCount)
+    // one pass: every document contributes its tokens AND its space-joined
+    // adjacent pairs to a single exploded count. The counts frame is
+    // localCheckpoint'ed (it is vocabulary + bigram-vocabulary sized, NOT
+    // corpus-sized) so the corpus explode+shuffle runs exactly once even
+    // though three consumers read it — and, unlike persist, its blocks
+    // free on GC instead of leaking in the CacheManager (the Pack rule).
+    val counts = docs
+      .select(TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(explode(concat(col("__ts"), TextFunctions.tokenNgrams(col("__ts"), 2))).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val uni = counts.where(!col("g").contains(" "))
+      .select(col("g").as("w"), col("n").as("n_w"))
+    val nTotal = uni.select(sum(col("n_w"))).head.getLong(0)
+    val pairs = counts.where(col("g").contains(" ") && col("n") >= minCount)
       .select(
-        split_part(col("__g"), lit(" "), lit(1)).as("w1"),
-        split_part(col("__g"), lit(" "), lit(2)).as("w2"),
-        col("n_pair"))
+        split_part(col("g"), lit(" "), lit(1)).as("w1"),
+        split_part(col("g"), lit(" "), lit(2)).as("w2"),
+        col("n").as("n_pair"))
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")

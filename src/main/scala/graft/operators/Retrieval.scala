@@ -34,17 +34,22 @@ object Retrieval {
     * (idCol, score), score descending, ties by id ascending. Documents
     * sharing no term with the query never appear (score 0 rows are not
     * emitted — the posting-list contract).
+    *
+    * `corpusSize` injects a known document count N (from
+    * [[Stats.tableStats]] / catalog statistics) so repeated queries skip
+    * the count scan; left None, one count() pass computes it.
     */
   def termSearch(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       query: Seq[String],
-      topK: Int
+      topK: Int,
+      corpusSize: Option[Long] = None
   ): DataFrame = {
     require(query.nonEmpty, "query must contain at least one term")
     require(topK >= 1)
-    val n = docs.count()
+    val n = corpusSize.getOrElse(docs.count())
     val terms = query.map(_.toLowerCase).distinct
     val hits = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
