@@ -669,6 +669,38 @@ object SparkEntry {
       s.table(qname).orderBy(col("event_type"))
     }),
 
+    // --- streaming heavy hitters: the Misra-Gries sketch as streaming
+    //     state — Spark maintains the <=k-counter buffer in the state
+    //     store across micro-batches (same mergeable-summary property as
+    //     the batch gate; k=4096 >= distinct users pins the EXACT
+    //     regime, so the final counts hash-match the true GROUP BY) ---
+    "stream_heavy_hitters" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "8000000000000")
+        .load()
+      val mg = udaf(new graft.functions.FrequentItems.MisraGries(4096))
+      val agg = stream.agg(mg(col("u_key")).as("hh"))
+      val qname = s"stream_hh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("u_key"), col("h.count_lb").as("n"))
+        .orderBy(desc("n"), col("u_key"))
+        .limit(20)
+    }),
+
     // --- streaming exact dedup over the change stream: each distinct
     //     (user, event_type) emitted once at first sight (append mode) ---
     "stream_dedup" -> ((s, dir) => {
@@ -1774,6 +1806,9 @@ object SparkEntry {
     "stream_distinct_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    "stream_heavy_hitters" ->
+      """SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY n DESC, u_key LIMIT 20""",
     "stream_join" ->
       """WITH p AS (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us

@@ -54,7 +54,13 @@ object Retrieval {
     val hits = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .where(col("__t").isInCollection(terms))
+    // localCheckpoint: tf feeds both df and the final join — without it
+    // the lazy plan scans and re-tokenizes the CORPUS twice. The frame is
+    // posting-list sized ((doc, term, count) triples for matching docs
+    // only), far smaller than a second pass over the text; blocks free on
+    // GC, unlike a CacheManager persist.
     val tf = hits.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
     // df per term: tf already holds one row per (doc, term), so the
     // distinct-doc count is a plain count over that small frame
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
