@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal single-writer transactional commit log over parquet — the
+  * Delta/Iceberg-style protocol that upgrades a streaming sink from
+  * at-least-once to EXACTLY-ONCE without changing any operator logic
+  * (the gap named in round 6's review):
+  *
+  *  - Data files are written under `dir`/data/<uuid>/ and are INVISIBLE
+  *    until a manifest naming them is atomically renamed into
+  *    `dir`/_commits/ — a crash between the data write and the publish
+  *    leaves orphan files that no reader ever sees (vacuumed later),
+  *    never a partial commit.
+  *  - Each commit records the micro-batch id that produced it; a
+  *    replayed batch (foreachBatch crash-recovery, the at-least-once
+  *    window) is detected by [[committedBatchIds]] and SKIPPED — append
+  *    becomes idempotent per batch, which is exactly-once delivery.
+  *  - Readers fold the manifests in sequence order: a `replace` manifest
+  *    (written by [[compact]]) supersedes everything before it, so
+  *    compaction is itself a transactional commit and a reader always
+  *    sees either the old fileset or the new one, never a mix — the
+  *    swap-gap of a rename-based compaction disappears.
+  *
+  * Single-writer by contract (one streaming query per log, maintenance
+  * quiesced), local-FS rename atomicity — the same scope as the rest of
+  * this library's sinks; a lakehouse table format generalizes the
+  * publish step to a conditional metadata swap on an object store.
+  */
+object CommitLog {
+
+  private val Seq0 = "%09d"
+
+  /** Create an empty table: schema recorded so reads work before the
+    * first append. Idempotent.
+    */
+  def init(dir: String, schema: StructType): Unit = {
+    Files.createDirectories(Paths.get(dir, "data"))
+    Files.createDirectories(Paths.get(dir, "_commits"))
+    val sf = Paths.get(dir, "_schema.json")
+    if (!Files.exists(sf))
+      Files.write(sf, schema.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Micro-batch ids already committed (the replay-skip set). */
+  def committedBatchIds(dir: String): Set[Long] =
+    manifests(dir).flatMap(_._3).toSet
+
+  /** Append `df` as one commit for `batchId`. Returns false (and writes
+    * NOTHING) when that batch is already committed — the exactly-once
+    * guard; true when the commit published.
+    */
+  def append(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    init(dir, df.schema)
+    if (committedBatchIds(dir).contains(batchId)) return false
+    publishData(df, dir, replace = false, Some(batchId))
+    true
+  }
+
+  /** Append without a batch identity — still atomic-publish (the crash
+    * window stays invisible) but NOT replay-skipped: the at-least-once
+    * mode for callers outside a checkpointed stream.
+    */
+  def appendAlways(df: DataFrame, dir: String): Unit = {
+    init(dir, df.schema)
+    publishData(df, dir, replace = false, batchId = None)
+  }
+
+  /** All committed rows: the latest `replace` manifest's fileset plus
+    * every appended commit after it.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = currentFiles(dir)
+    val schema = DataType.fromJson(
+      new String(Files.readAllBytes(Paths.get(dir, "_schema.json")), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Rewrite the committed rows into ceil(rows/target) files and publish
+    * them as a single `replace` commit; superseded DATA files are deleted
+    * only AFTER the publish (readers mid-flight hold the old manifest
+    * list and local-FS deletes do not invalidate open handles in this
+    * harness's single-JVM scope). Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetRecordsPerFile: Long,
+      sortBy: Seq[String] = Nil
+  ): (Long, Long) = {
+    require(targetRecordsPerFile >= 1)
+    val before = currentFiles(dir)
+    val df = read(spark, dir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val shaped =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nFiles, sortBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val uuid = publishData(shaped, dir, replace = true, batchId = None)
+    // retention: data directories no manifest references anymore
+    val live = currentFiles(dir).map(_.split("/")(1)).toSet + uuid
+    Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !live.contains(d.getName))
+      .foreach(deleteRecursively)
+    (before.size.toLong, currentFiles(dir).size.toLong)
+  }
+
+  // ---- internals -----------------------------------------------------
+
+  /** Write `df` under a fresh data/<uuid>/ dir, then publish the
+    * manifest. Returns the uuid.
+    */
+  private def publishData(df: DataFrame, dir: String, replace: Boolean, batchId: Option[Long]): String = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = s"$dir/data/$uuid"
+    df.write.parquet(dataDir)
+    publish(dir, relativeFiles(dir, dataDir), replace, batchId)
+    uuid
+  }
+
+  /** Manifest format (text, dependency-free): first line
+    * `append <batchId>` | `append -` | `replace`, then one
+    * data-relative file path per line.
+    */
+  private def publish(dir: String, files: Seq[String], replace: Boolean, batchId: Option[Long]): Unit = {
+    val seq = manifests(dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val header = if (replace) "replace" else s"append ${batchId.map(_.toString).getOrElse("-")}"
+    val body = (header +: files).mkString("\n")
+    val tmp = Paths.get(dir, "_commits", s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_commits", Seq0.format(seq)),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** (seq, lines, batchId) per manifest, sequence-ordered. */
+  private def manifests(dir: String): Seq[(Long, Seq[String], Option[Long])] =
+    Option(new java.io.File(s"$dir/_commits").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("\\d+"))
+      .sortBy(_.getName)
+      .map { f =>
+        val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .split("\n").toSeq
+        val batchId = lines.head.split(" ") match {
+          case Array("append", b) if b != "-" => Some(b.toLong)
+          case _ => None
+        }
+        (f.getName.toLong, lines, batchId)
+      }.toSeq
+
+  private def currentFiles(dir: String): Seq[String] =
+    manifests(dir).foldLeft(Seq.empty[String]) { case (acc, (_, lines, _)) =>
+      val files = lines.tail.filter(_.nonEmpty)
+      if (lines.head == "replace") files else acc ++ files
+    }
+
+  private def relativeFiles(base: String, dataDir: String): Seq[String] = {
+    val prefix = Paths.get(base).toAbsolutePath
+    Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
+      .sorted.toSeq
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

@@ -32,11 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sized and Catalyst picks BHJ from the frame sizes on its own (hints
   * were measured slower here at fixture scale: the extra broadcast
   * collect/build rounds cost more than the 2 MB shuffle they avoid).
-  * Writes are at-least-once without a transactional sink — pair emission
-  * is idempotent (dedup on read) and a Delta/Iceberg sink makes it
-  * exactly-once without changing this logic; the same sink upgrade gives
-  * the bucket index (band, bucket) file-skipping so probes touch only
-  * matching files.
+  *
+  * Delivery: all three datasets (pairs, bands index, shingles) live in a
+  * [[CommitLog]] — data files are invisible until their manifest
+  * publishes atomically, and each dataset's append is independently
+  * idempotent per micro-batch id, so a crash anywhere in the batch
+  * replays to exactly the missing commits and nothing duplicates:
+  * EXACTLY-ONCE end to end when driven from a checkpointed stream.
+  * Batch callers invoking [[processBatch]] without a batchId get
+  * atomic-publish at-least-once (reads still dedup defensively).
   */
 object StreamingDedup {
 
@@ -63,33 +67,29 @@ object StreamingDedup {
   ): StreamingQuery = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val spark = docs.sparkSession
-    // only initialize fresh state when NOT resuming from a checkpoint —
-    // a restart must keep the already-accumulated index and pairs
-    if (checkpoint.isEmpty || !new java.io.File(s"$workDir/bands").exists())
-      incrementalNearDuplicatesInit(spark, workDir)
+    // idempotent: creates the logs on first start, touches nothing on a
+    // checkpoint restart — the accumulated index and pairs survive
+    incrementalNearDuplicatesInit(spark, workDir)
     val w = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, workDir, threshold, shingleK, numHashes, bands)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(batch, workDir, threshold, shingleK, numHashes, bands, Some(bid))
       }
       .trigger(trigger)
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
 
-  /** Initialize the index/result dirs with empty frames so every batch
-    * can read them unconditionally.
+  /** Initialize the three commit logs (idempotent) so every batch can
+    * read them unconditionally.
     */
   def incrementalNearDuplicatesInit(spark: SparkSession, workDir: String): Unit = {
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandsSchema)
-      .write.mode("overwrite").parquet(s"$workDir/bands")
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shinglesSchema)
-      .write.mode("overwrite").parquet(s"$workDir/shingles")
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    CommitLog.init(s"$workDir/bands", bandsSchema)
+    CommitLog.init(s"$workDir/shingles", shinglesSchema)
+    CommitLog.init(s"$workDir/pairs",
       StructType(Seq(StructField("id1", LongType), StructField("id2", LongType),
         StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
-      .write.mode("overwrite").parquet(s"$workDir/pairs")
   }
 
   /** One ingest batch: detect new-vs-index and new-vs-new duplicates,
@@ -102,9 +102,15 @@ object StreamingDedup {
       threshold: Double,
       shingleK: Int,
       numHashes: Int,
-      bands: Int
+      bands: Int,
+      batchId: Option[Long] = None
   ): Unit = {
     val spark = batch.sparkSession
+    // fast path: every dataset already holds this batch's commit — the
+    // stream replayed a fully-processed batch, nothing to recompute
+    if (batchId.exists(b =>
+        Seq("pairs", "bands", "shingles").forall(d =>
+          CommitLog.committedBatchIds(s"$workDir/$d").contains(b)))) return
     val rowsPerBand = numHashes / bands
     val base = batch.select(
       col("id"),
@@ -122,8 +128,8 @@ object StreamingDedup {
         ).as(Seq("band", "bucket")))
       val newSh = base.select(col("id"), col("sh"))
 
-      val oldBands = spark.read.schema(bandsSchema).parquet(s"$workDir/bands")
-      val oldSh = spark.read.schema(shinglesSchema).parquet(s"$workDir/shingles")
+      val oldBands = CommitLog.read(spark, s"$workDir/bands")
+      val oldSh = CommitLog.read(spark, s"$workDir/shingles")
 
       val cross = newBands.alias("n")
         .join(oldBands.alias("o"), Seq("band", "bucket"))
@@ -148,35 +154,46 @@ object StreamingDedup {
         .where(col("j") >= threshold)
         .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
 
-      pairs.write.mode("append").parquet(s"$workDir/pairs")
-      newBands.write.mode("append").parquet(s"$workDir/bands")
-      newSh.write.mode("append").parquet(s"$workDir/shingles")
+      // each dataset's commit is independently idempotent on batchId: a
+      // crash after some of the three published replays to exactly the
+      // missing ones (the self-pair guard covers the index-before-pairs
+      // interleavings)
+      def commit(df: DataFrame, dataset: String): Unit = batchId match {
+        case Some(b) => CommitLog.append(df, s"$workDir/$dataset", b): Unit
+        case None => CommitLog.appendAlways(df, s"$workDir/$dataset")
+      }
+      commit(pairs, "pairs")
+      commit(newBands, "bands")
+      commit(newSh, "shingles")
     } finally base.unpersist()
   }
 
-  /** Read back the accumulated confirmed pairs (dedup on read makes the
-    * at-least-once appends idempotent).
+  /** Read back the accumulated confirmed pairs. The streaming path is
+    * exactly-once (commit-log replay skip), so the distinct() only
+    * defends the batchId-less [[processBatch]] mode.
     */
   def pairs(spark: SparkSession, workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/pairs").distinct()
+    CommitLog.read(spark, s"$workDir/pairs").distinct()
 
-  /** Maintenance: compact the three append-only datasets (bands index,
-    * shingles, pairs) into right-sized files via
-    * [[graft.operators.Sink.compact]] — a stream appending a few files
-    * per micro-batch reads progressively slower (listing + open-file
-    * overhead scales with FILE COUNT) until compacted. The bands index is
-    * re-sorted on (band, bucket) so probe joins benefit from row-group
-    * min/max skipping after the rewrite. Single-writer: run with the
-    * stream quiesced (between restarts / in a maintenance window).
-    * Returns dataset -> (filesBefore, filesAfter).
+  /** Maintenance: compact the three commit-logged datasets (bands index,
+    * shingles, pairs) into right-sized files — a stream appending a few
+    * files per micro-batch reads progressively slower (listing +
+    * open-file overhead scales with FILE COUNT) until compacted. Each
+    * compaction publishes as a transactional `replace` commit
+    * ([[CommitLog.compact]]), so readers see the old fileset or the new
+    * one, never a mix, and superseded files vacuum only after the
+    * publish. The bands index is re-sorted on (band, bucket) so probe
+    * joins benefit from row-group min/max skipping after the rewrite.
+    * Single-writer: run with the stream quiesced. Returns
+    * dataset -> (filesBefore, filesAfter).
     */
   def compactIndex(
       spark: SparkSession,
       workDir: String,
       targetRecordsPerFile: Long = 5000000L
   ): Map[String, (Long, Long)] = Map(
-    "bands" -> graft.operators.Sink.compact(
+    "bands" -> CommitLog.compact(
       spark, s"$workDir/bands", targetRecordsPerFile, sortBy = Seq("band", "bucket")),
-    "shingles" -> graft.operators.Sink.compact(spark, s"$workDir/shingles", targetRecordsPerFile),
-    "pairs" -> graft.operators.Sink.compact(spark, s"$workDir/pairs", targetRecordsPerFile))
+    "shingles" -> CommitLog.compact(spark, s"$workDir/shingles", targetRecordsPerFile),
+    "pairs" -> CommitLog.compact(spark, s"$workDir/pairs", targetRecordsPerFile))
 }

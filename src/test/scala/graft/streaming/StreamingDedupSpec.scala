@@ -56,6 +56,22 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!streamed.exists(p => p._1 == p._2), s"self-pairs after replay: $streamed")
   }
 
+  test("batchId'd processing is exactly-once: raw pair rows hold no duplicates after replay") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-eo").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = Seq((1L, base), (2L, base)).toDF("id", "text")
+    val b2 = Seq((10L, base + "tail.")).toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L)) // replayed
+    StreamingDedup.processBatch(b2, work, 0.9, 5, 120, 20, batchId = Some(1L))
+    // RAW read, no distinct: the commit log itself must hold each pair once
+    val raw = CommitLog.read(spark, s"$work/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(raw.size == raw.distinct.size, s"duplicate raw pairs after replay: $raw")
+    assert(raw.toSet == Set((1L, 2L), (1L, 10L), (2L, 10L)))
+  }
+
   test("restart from checkpoint resumes the index and converges to the batch oracle") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("sdedup-restart").toString
@@ -101,8 +117,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
     val preCompact = StreamingDedup.pairs(spark, work)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    def files(d: String) = Option(new java.io.File(s"$work/$d").listFiles()).get
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(countParquet).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    def files(d: String) = countParquet(new java.io.File(s"$work/$d"))
     assert(files("bands") > 8, s"replay should have fragmented the bands index, got ${files("bands")} files")
     val stats = StreamingDedup.compactIndex(spark, work)
     assert(stats.forall { case (_, (b4, af)) => af <= b4 }, s"compaction grew a dataset: $stats")
