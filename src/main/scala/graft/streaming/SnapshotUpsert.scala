@@ -53,6 +53,11 @@ object SnapshotUpsert {
       .write.mode("overwrite").parquet(s"$dir/v0")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // single-writer: stale tmp dirs are debris from a crashed write —
+        // no reader ever saw them (latestVersion only matches v\d+)
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(".v-tmp-"))
+          .foreach(deleteRecursively)
         val cur = latestVersion(dir)
         val snap = spark.read.schema(schema).parquet(s"$dir/v$cur")
         val merged = Upsert.mergeLatest(snap, batch, keys, versionCol,
@@ -61,10 +66,18 @@ object SnapshotUpsert {
         try {
           val rows = merged.count()
           val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+          // write to a tmp dir, then ATOMIC-rename into the version chain:
+          // writing v{n+1} in place would make the directory visible (and
+          // latestVersion-winning) BEFORE its files are complete — a crash
+          // mid-write would leave a corrupt latest that the restarted
+          // stream then merges into. The rename publishes all-or-nothing.
+          val tmp = new java.io.File(dir, s".v-tmp-${java.util.UUID.randomUUID()}")
           merged
             .repartitionByRange(nFiles, keys.map(col): _*)
             .sortWithinPartitions(keys.map(col): _*)
-            .write.mode("overwrite").parquet(s"$dir/v${cur + 1}")
+            .write.mode("overwrite").parquet(tmp.getPath)
+          require(tmp.renameTo(new java.io.File(dir, s"v${cur + 1}")),
+            s"could not publish snapshot version v${cur + 1}")
         } finally merged.unpersist()
       }
       .trigger(trigger)

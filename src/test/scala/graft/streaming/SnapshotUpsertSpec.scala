@@ -73,6 +73,30 @@ class SnapshotUpsertSpec extends AnyFunSuite {
     assert(raw == Seq(("gone", 7L, true)))
   }
 
+  test("a crashed half-written version is invisible to readers and cleaned by the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("snap-upsert6").toString
+    val q = SnapshotUpsert.maintain(
+      in.toDF().toDF("k", "v", "version"), Seq("k"), "version", dir,
+      trigger = Trigger.ProcessingTime(0))
+    in.addData((1L, "a", 1L))
+    q.processAllAvailable()
+    // simulate a crash mid-write: a tmp dir with partial files exists but
+    // was never renamed into the chain
+    val debris = new java.io.File(dir, ".v-tmp-crashed")
+    assert(debris.mkdir())
+    assert(new java.io.File(debris, "part-00000.parquet").createNewFile())
+    assert(SnapshotUpsert.latestVersion(dir) == 1, "debris must not win latestVersion")
+    in.addData((2L, "b", 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(!debris.exists(), "the next batch must sweep crash debris")
+    val latest = SnapshotUpsert.read(spark, dir)
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("vacuum bounds the version chain and compacts the latest, preserving its rows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
