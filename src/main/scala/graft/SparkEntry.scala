@@ -669,6 +669,37 @@ object SparkEntry {
       s.table(qname).orderBy(col("event_type"))
     }),
 
+    // --- streaming quantiles: the KLL-style sketch as streaming state —
+    //     per event type, mergeable level buffers in the state store
+    //     across micro-batches; k=4096 >= any group's count pins the
+    //     EXACT nearest-rank regime, hash-matching DuckDB quantile_disc ---
+    "stream_quantiles" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "8000000000000")
+        .load()
+      val kll = udaf(new graft.functions.KllQuantiles.Sketch(4096, Seq(0.5, 0.9)))
+      val agg = stream.groupBy(col("event_type")).agg(kll(col("value")).as("qv"))
+      val qname = s"stream_q_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("event_type"),
+          col("qv").getItem(0).as("p50"),
+          col("qv").getItem(1).as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- streaming heavy hitters: the Misra-Gries sketch as streaming
     //     state — Spark maintains the <=k-counter buffer in the state
     //     store across micro-batches (same mergeable-summary property as
@@ -1809,6 +1840,11 @@ object SparkEntry {
     "stream_heavy_hitters" ->
       """SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, count(*) AS n
          FROM events GROUP BY 1 ORDER BY n DESC, u_key LIMIT 20""",
+    "stream_quantiles" ->
+      """SELECT event_type,
+                quantile_disc(value, 0.5) AS p50,
+                quantile_disc(value, 0.9) AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
     "stream_join" ->
       """WITH p AS (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, epoch_us(ts) AS p_us
