@@ -38,6 +38,24 @@ class CommitLogSpec extends AnyFunSuite {
     assert(rows(dir) == Set((1L, "a")), "unpublished files must never be read")
   }
 
+  test("sink: a stream lands exactly-once and survives checkpoint restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("clog-sink").toString
+    val src = java.nio.file.Files.createTempDirectory("clog-src").toString
+    val ckpt = s"$dir-ckpt"
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    a.write.mode("append").parquet(src)
+    def stream() = spark.readStream.schema(a.schema).parquet(src)
+    val q1 = CommitLog.sink(stream(), dir, Trigger.AvailableNow(), Some(ckpt))
+    q1.awaitTermination()
+    Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    // restart from the same checkpoint: only the new file lands
+    val q2 = CommitLog.sink(stream(), dir, Trigger.AvailableNow(), Some(ckpt))
+    q2.awaitTermination()
+    val got = rows(dir).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $got")
+  }
+
   test("compact publishes a replace commit: rows preserved, files bounded, appends continue") {
     val dir = java.nio.file.Files.createTempDirectory("clog4").toString
     (0 until 6).foreach { b =>
