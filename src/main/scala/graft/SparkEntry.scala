@@ -1364,6 +1364,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "text", minCount = 5L)
         .orderBy(col("w1"), col("w2"))),
 
+    // --- word2phrase APPLY: greedily fuse the top-5 mined bigrams into
+    //     single tokens (left-to-right, no overlap) — the pure-projection
+    //     rewrite a vocabulary build runs after phrase mining ---
+    "doc_phrase_fuse" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val top = graft.operators.Phrases.bigramLift(docs, "text", minCount = 5L)
+        .orderBy(desc("lift"), col("w1"), col("w2")).limit(5)
+        .select(col("w1"), col("w2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Phrases.fuseCorpus(docs, "doc_id", "text", top)
+        .select(col("doc_id"),
+          size(col("fused")).as("n_toks"),
+          md5(concat_ws(" ", col("fused"))).as("fused_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
     "emb_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2147,6 +2163,40 @@ object SparkEntry {
                 round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
          FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot
          ORDER BY w1, w2""",
+    "doc_phrase_fuse" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
+         uni AS (SELECT w, count(*) AS n_w
+                 FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
+         tot AS (SELECT sum(len(ts)) AS n FROM toks),
+         big AS (
+           SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
+           FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks) g
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         phr AS (
+           SELECT w1, w2 FROM (
+             SELECT w1, w2,
+                    round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
+             FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot)
+           ORDER BY lift DESC, w1, w2 LIMIT 5),
+         pos AS (
+           SELECT doc_id, i, ts[i] AS t, ts[i+1] AS nxt, len(ts) AS n
+           FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks) p),
+         okd AS (
+           SELECT pos.*, EXISTS(SELECT 1 FROM phr WHERE w1 = t AND w2 = nxt) AND i < n AS ok FROM pos),
+         isl AS (
+           SELECT *, i - row_number() OVER (PARTITION BY doc_id, ok ORDER BY i) AS grp FROM okd),
+         fs AS (
+           SELECT *, ok AND (i - min(i) OVER (PARTITION BY doc_id, ok, grp)) % 2 = 0 AS fuse_start FROM isl),
+         out AS (
+           SELECT doc_id, i,
+                  CASE WHEN fuse_start THEN t || '_' || nxt
+                       WHEN lag(fuse_start) OVER (PARTITION BY doc_id ORDER BY i) THEN NULL
+                       ELSE t END AS tok
+           FROM fs)
+         SELECT doc_id, CAST(count(tok) AS INT) AS n_toks,
+                md5(string_agg(tok, ' ' ORDER BY i)) AS fused_hash
+         FROM out WHERE tok IS NOT NULL GROUP BY doc_id ORDER BY doc_id""",
     "doc_vocab" ->
       """WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t

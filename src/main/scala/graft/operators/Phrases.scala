@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Phrase mining — collocation statistics over a tokenized corpus, the
   * word2phrase step that decides which adjacent word pairs ("new york",
@@ -64,4 +64,50 @@ object Phrases {
         round(col("n_pair").cast("double") * nTotal /
           (col("n_w1").cast("double") * col("n_w2")), 6).as("lift"))
   }
+
+  /** The APPLY step of word2phrase: rewrite an ALREADY-MATERIALIZED token
+    * array, greedily fusing each adjacent pair found in `phrases` into a
+    * single `w1_w2` token, left to right, no overlap (a token consumed by
+    * a fusion cannot start another: "a a a" with phrase (a,a) becomes
+    * "a_a a"). One row-local pass via a Catalyst `aggregate` carrying
+    * (emitted, pending-previous-token) — a pure projection, no shuffle,
+    * each document rewrites independently at any scale. `phrases` is the
+    * mined top-N (tens to thousands of pairs), inlined as a sorted array
+    * literal; membership is a per-token scan of that small literal, so
+    * keep N modest (the mining step's job) — the same small-literal rule
+    * as [[Vocab.encodeColumn]].
+    */
+  def fuseTokens(ts: Column, phrases: Seq[(String, String)]): Column = {
+    require(phrases.nonEmpty, "phrases must contain at least one (w1, w2) pair")
+    val phraseLit = typedlit(phrases.map { case (a, b) => s"$a $b" }.distinct.sorted)
+    val empty = array().cast("array<string>")
+    val st0 = struct(empty.as("out"), lit(null).cast("string").as("prev"))
+    val flush = (st: Column) =>
+      when(st.getField("prev").isNotNull, concat(st.getField("out"), array(st.getField("prev"))))
+        .otherwise(st.getField("out"))
+    aggregate(
+      ts,
+      st0,
+      (st, t) => {
+        // concat_ws skips the null prev, so the probe never matches a
+        // 2-word phrase when there is nothing pending
+        val pair = concat_ws(" ", st.getField("prev"), t)
+        when(st.getField("prev").isNotNull && array_contains(phraseLit, pair),
+          struct(
+            concat(st.getField("out"),
+              array(concat_ws("_", st.getField("prev"), t))).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(flush(st).as("out"), t.as("prev")))
+      },
+      flush)
+  }
+
+  /** [[fuseTokens]] over a corpus: (idCol, fused) with `fused` the
+    * phrase-merged token sequence of `textCol` — the tokenization a
+    * vocabulary build runs AFTER phrase mining.
+    */
+  def fuseCorpus(docs: DataFrame, idCol: String, textCol: String, phrases: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), fuseTokens(col("__ts"), phrases).as("fused"))
 }

@@ -32,6 +32,24 @@ class PhrasesSpec extends AnyFunSuite {
     assert(one == Set(("two", "tokens")))
   }
 
+  test("fuseTokens: greedy left-to-right, no overlap, flush of a trailing pending token") {
+    val docs = Seq(
+      (1L, "new york city hall"),     // (new,york) and (city,hall) both fuse
+      (2L, "a a a"),                  // greedy: (a,a) then lone a — no overlap
+      (3L, "york new york"),          // first token can't fuse; (new,york) does
+      (4L, "plain words here"),       // nothing fuses
+      (5L, "")                        // empty stays empty
+    ).toDF("doc_id", "text")
+    val phrases = Seq(("new", "york"), ("city", "hall"), ("a", "a"))
+    val out = Phrases.fuseCorpus(docs, "doc_id", "text", phrases)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("new_york", "city_hall"))
+    assert(out(2L) == Seq("a_a", "a"))
+    assert(out(3L) == Seq("york", "new_york"))
+    assert(out(4L) == Seq("plain", "words", "here"))
+    assert(out(5L) == Seq.empty)
+  }
+
   test("lift > 1 flags attraction, < 1 flags repulsion") {
     // "a b" always adjacent (attraction); "a z" never adjacent
     val docs = Seq.fill(5)("a b filler").toDF("text")
