@@ -920,7 +920,8 @@ object SparkEntry {
       val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
       val work = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
       val q = graft.streaming.StreamingDedup.incrementalNearDuplicates(
-        docs, "doc_id", "text", work, threshold = 0.9, numHashes = 120, bands = 20)
+        docs, "doc_id", "text", work, threshold = 0.9, numHashes = 120, bands = 20,
+        checkpoint = s"$work/_checkpoint")
       q.awaitTermination()
       graft.streaming.StreamingDedup.pairs(s, work)
         .orderBy(col("id1"), col("id2"))
@@ -945,8 +946,11 @@ object SparkEntry {
         .option("streamStepMicros", (8L * 86400 * 1000000).toString)
         .load()
       val work = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+      // 8 buckets at fixture scale: the wide replay batches touch every
+      // bucket (the pruning win shows on narrow batches; at 100 TB the
+      // bucket count scales with the table, see SnapshotUpsert scaladoc)
       val q = graft.streaming.SnapshotUpsert.maintain(
-        stream, Seq("u_key"), "_timestamp", work)
+        stream, Seq("u_key"), "_timestamp", work, numBuckets = 8)
       q.awaitTermination()
       graft.streaming.SnapshotUpsert.read(s, work)
         .select(col("u_key"), col("event_type"),

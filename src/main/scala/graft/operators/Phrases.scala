@@ -51,7 +51,9 @@ object Phrases {
       .localCheckpoint()
     val uni = counts.where(!col("g").contains(" "))
       .select(col("g").as("w"), col("n").as("n_w"))
-    val nTotal = uni.select(sum(col("n_w"))).head.getLong(0)
+    // coalesce: sum over zero rows is null — an empty/all-blank corpus
+    // must yield an empty result, not an NPE
+    val nTotal = uni.agg(coalesce(sum(col("n_w")), lit(0L))).head.getLong(0)
     val pairs = counts.where(col("g").contains(" ") && col("n") >= minCount)
       .select(
         split_part(col("g"), lit(" "), lit(1)).as("w1"),

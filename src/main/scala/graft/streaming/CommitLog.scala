@@ -8,8 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal single-writer transactional commit log over parquet — the
   * Delta/Iceberg-style protocol that upgrades a streaming sink from
-  * at-least-once to EXACTLY-ONCE without changing any operator logic
-  * (the gap named in round 6's review):
+  * at-least-once to EXACTLY-ONCE without changing any operator logic:
   *
   *  - Data files are written under `dir`/data/<uuid>/ and are INVISIBLE
   *    until a manifest naming them is atomically renamed into
@@ -21,10 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    window) is detected by [[committedBatchIds]] and SKIPPED — append
   *    becomes idempotent per batch, which is exactly-once delivery.
   *  - Readers fold the manifests in sequence order: a `replace` manifest
-  *    (written by [[compact]]) supersedes everything before it, so
-  *    compaction is itself a transactional commit and a reader always
-  *    sees either the old fileset or the new one, never a mix — the
-  *    swap-gap of a rename-based compaction disappears.
+  *    (written by [[compact]] or [[commitFiles]]) supersedes everything
+  *    before it, so compaction is itself a transactional commit and a
+  *    reader always sees either the old fileset or the new one, never a
+  *    mix — the swap-gap of a rename-based compaction disappears.
+  *  - Metadata stays O(1) per commit at streaming scale: every
+  *    `checkpointEvery` appends the log folds its manifest tail into a
+  *    CHECKPOINT file (current fileset + committed-batch-id ranges +
+  *    last batch id) and deletes the folded manifests — the Delta
+  *    checkpoint-parquet idea, so `append`/`read` walk checkpoint +
+  *    O(interval) tail instead of every commit ever made (which was
+  *    O(n²) driver file reads over a long-running stream).
   *
   * Single-writer by contract (one streaming query per log, maintenance
   * quiesced), local-FS rename atomicity — the same scope as the rest of
@@ -34,6 +40,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CommitLog {
 
   private val Seq0 = "%09d"
+
+  /** Fold the manifest tail into a checkpoint after this many
+    * un-checkpointed commits (appends only — replace-commit chains keep
+    * their full manifest history so [[filesAt]] time travel works until
+    * the owner prunes explicitly).
+    */
+  val DefaultCheckpointEvery = 32
+
+  /** Everything a reader/writer needs, reconstructed from the latest
+    * checkpoint plus the manifest tail after it.
+    */
+  private case class LogState(
+      maxSeq: Long,
+      files: Seq[String],
+      batchIds: Set[Long],
+      lastBatchId: Option[Long],
+      tailManifests: Int)
 
   /** Create an empty table: schema recorded so reads work before the
     * first append. Idempotent.
@@ -46,18 +69,64 @@ object CommitLog {
       Files.write(sf, schema.json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** The table schema recorded at [[init]]. */
+  def schemaOf(dir: String): StructType =
+    DataType.fromJson(
+      new String(Files.readAllBytes(Paths.get(dir, "_schema.json")), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+
   /** Micro-batch ids already committed (the replay-skip set). */
-  def committedBatchIds(dir: String): Set[Long] =
-    manifests(dir).flatMap(_._3).toSet
+  def committedBatchIds(dir: String): Set[Long] = loadState(dir).batchIds
+
+  /** (sequence, batchId) of the highest-sequence commit, None on an
+    * empty log. The batchId survives checkpoint folding (checkpoints
+    * record the last folded commit's id), so a replace-chain owner can
+    * always ask "was the latest commit produced by batch b?".
+    */
+  def latestCommit(dir: String): Option[(Long, Option[Long])] = {
+    val st = loadState(dir)
+    if (st.maxSeq == 0L) None else Some((st.maxSeq, st.lastBatchId))
+  }
+
+  /** Data-relative paths of the files a reader sees right now. */
+  def currentFiles(dir: String): Seq[String] = loadState(dir).files
+
+  /** The fileset as of commit `seq` — time travel for replace-commit
+    * chains. Requires the history at `seq` to still exist: a checkpoint
+    * at or before `seq`, or (replace chains) a surviving manifest at or
+    * before it. Throws when that history has been pruned.
+    */
+  def filesAt(dir: String, seq: Long): Seq[String] = {
+    val (cps, tail) = listCommits(dir)
+    val cp = cps.filter(_._1 <= seq).sortBy(_._1).lastOption
+    val usable = tail.filter(t => t._1 > cp.map(_._1).getOrElse(0L) && t._1 <= seq)
+    require(cp.nonEmpty || usable.nonEmpty || seq == 0L,
+      s"commit $seq is no longer reconstructable (history pruned)")
+    val seed = cp.map(f => parseCheckpoint(f._2).files).getOrElse(Nil)
+    usable.foldLeft(seed) { case (acc, (_, f)) =>
+      val lines = readLines(f)
+      val files = lines.tail.filter(_.nonEmpty)
+      if (parseHeader(lines.head)._1) files else acc ++ files
+    }
+  }
 
   /** Append `df` as one commit for `batchId`. Returns false (and writes
     * NOTHING) when that batch is already committed — the exactly-once
-    * guard; true when the commit published.
+    * guard; true when the commit published. Auto-checkpoints the
+    * manifest tail every `checkpointEvery` commits.
     */
-  def append(df: DataFrame, dir: String, batchId: Long): Boolean = {
+  def append(
+      df: DataFrame,
+      dir: String,
+      batchId: Long,
+      checkpointEvery: Int = DefaultCheckpointEvery
+  ): Boolean = {
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     init(dir, df.schema)
-    if (committedBatchIds(dir).contains(batchId)) return false
-    publishData(df, dir, replace = false, Some(batchId))
+    val st = loadState(dir)
+    if (st.batchIds.contains(batchId)) return false
+    publishData(df, dir, replace = false, Some(batchId), st.maxSeq + 1)
+    if (st.tailManifests + 1 >= checkpointEvery) checkpoint(dir): Unit
     true
   }
 
@@ -65,9 +134,30 @@ object CommitLog {
     * window stays invisible) but NOT replay-skipped: the at-least-once
     * mode for callers outside a checkpointed stream.
     */
-  def appendAlways(df: DataFrame, dir: String): Unit = {
+  def appendAlways(df: DataFrame, dir: String, checkpointEvery: Int = DefaultCheckpointEvery): Unit = {
     init(dir, df.schema)
-    publishData(df, dir, replace = false, batchId = None)
+    val st = loadState(dir)
+    publishData(df, dir, replace = false, batchId = None, st.maxSeq + 1)
+    if (st.tailManifests + 1 >= checkpointEvery) checkpoint(dir): Unit
+  }
+
+  /** Publish an externally-written fileset (paths relative to `dir`,
+    * normally under data/<uuid>/) as one commit — the hook a layout-
+    * aware owner ([[SnapshotUpsert]]'s bucket-pruned versions) uses to
+    * carry untouched files forward BY REFERENCE while rewriting only
+    * what changed. `replace` supersedes the previous fileset; `batchId`
+    * (recorded on replace commits too) marks the producing micro-batch.
+    * Returns the commit sequence number.
+    */
+  def commitFiles(
+      dir: String,
+      files: Seq[String],
+      replace: Boolean,
+      batchId: Option[Long] = None
+  ): Long = {
+    val seq = loadState(dir).maxSeq + 1
+    publish(dir, files, replace, batchId, seq)
+    seq
   }
 
   /** All committed rows: the latest `replace` manifest's fileset plus
@@ -75,12 +165,40 @@ object CommitLog {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = currentFiles(dir)
-    val schema = DataType.fromJson(
-      new String(Files.readAllBytes(Paths.get(dir, "_schema.json")), StandardCharsets.UTF_8))
-      .asInstanceOf[StructType]
+    val schema = schemaOf(dir)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Fold the manifest tail into a checkpoint file NOW and prune what it
+    * folded: manifests at or below the checkpoint sequence, older
+    * checkpoints, and stale `.tmp-*` debris from crashed publishes.
+    * After this, every read costs one checkpoint + the new tail.
+    * Returns the checkpointed sequence (0 on an empty log). Single-
+    * writer: call from the owning writer only.
+    */
+  def checkpoint(dir: String): Long = {
+    val st = loadState(dir)
+    if (st.maxSeq == 0L) return 0L
+    if (listCommits(dir)._1.exists(_._1 == st.maxSeq)) return st.maxSeq // already folded
+    val body = (Seq(
+      "checkpoint",
+      s"batches ${encodeIds(st.batchIds)}",
+      s"last ${st.lastBatchId.map(_.toString).getOrElse("-")}") ++ st.files).mkString("\n")
+    val tmp = Paths.get(dir, "_commits", s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_commits", Seq0.format(st.maxSeq) + ".cp"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // prune only AFTER the checkpoint is durable — a crash mid-prune
+    // leaves redundant manifests that loadState already ignores
+    val (cps, tail) = listCommits(dir)
+    cps.filter(_._1 < st.maxSeq).foreach(c => Files.deleteIfExists(c._2.toPath): Unit)
+    tail.filter(_._1 <= st.maxSeq).foreach(t => Files.deleteIfExists(t._2.toPath): Unit)
+    Option(new java.io.File(s"$dir/_commits").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".tmp-"))
+      .foreach(f => Files.deleteIfExists(f.toPath): Unit)
+    st.maxSeq
   }
 
   /** Rewrite the committed rows into ceil(rows/target) files and publish
@@ -105,9 +223,13 @@ object CommitLog {
         df.repartitionByRange(nFiles, sortBy.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
-    val uuid = publishData(shaped, dir, replace = true, batchId = None)
+    val st = loadState(dir)
+    val uuid = publishData(shaped, dir, replace = true, batchId = None, st.maxSeq + 1)
+    // the replace commit carries the whole fileset, so the folded history
+    // is pure metadata debt — checkpoint it away immediately
+    checkpoint(dir): Unit
     // retention: data directories no manifest references anymore
-    val live = currentFiles(dir).map(_.split("/")(1)).toSet + uuid
+    val live = referencedDataDirs(dir) + uuid
     Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && !live.contains(d.getName))
       .foreach(deleteRecursively)
@@ -120,42 +242,89 @@ object CommitLog {
     * exactly-once delivery — the drop-in upgrade for any pipeline
     * writing raw `mode("append").parquet(...)` from a stream. Read the
     * table back with [[read]].
+    *
+    * `checkpoint` is REQUIRED: batch ids are only meaningful relative to
+    * a query checkpoint. Without one Spark would mint a fresh temp
+    * checkpoint per run, restart ids at 0, and the replay-skip guard
+    * would silently DISCARD the second run's data — exactly-once
+    * degrading to silent loss. Callers that genuinely want
+    * fire-and-forget appends should drive [[appendAlways]] from their
+    * own foreachBatch instead.
     */
   def sink(
       stream: DataFrame,
       dir: String,
+      checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      checkpoint: Option[String] = None
+      checkpointEvery: Int = DefaultCheckpointEvery
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     init(dir, stream.schema)
-    val w = stream.writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) => append(batch, dir, bid): Unit }
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        append(batch, dir, bid, checkpointEvery): Unit
+      }
       .trigger(trigger)
-    checkpoint.foreach(c => w.option("checkpointLocation", c))
-    w.start()
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** data/<uuid> directory names referenced by ANY surviving commit or
+    * checkpoint — everything else under data/ is unpublished debris or
+    * pruned history, safe for an owner's vacuum to delete.
+    */
+  def referencedDataDirs(dir: String): Set[String] = {
+    val (cps, tail) = listCommits(dir)
+    val fromCps = cps.flatMap(c => parseCheckpoint(c._2).files)
+    val fromManifests = tail.flatMap(t => readLines(t._2).tail.filter(_.nonEmpty))
+    (fromCps ++ fromManifests).flatMap(_.split("/").drop(1).headOption).toSet
+  }
+
+  /** Drop commit history strictly below `seq` — retention for a
+    * replace-commit chain (a versioned snapshot), where every manifest
+    * is self-contained so any surviving commit still reconstructs its
+    * fileset. Deletes manifests AND checkpoints below `seq`; refuses
+    * when the first surviving commit is a plain append (it would lose
+    * the base it folds onto). Replay-skip for such chains keys off
+    * [[latestCommit]], which this never touches. Returns entries
+    * deleted.
+    */
+  def pruneBelow(dir: String, seq: Long): Int = {
+    val (cps, tail) = listCommits(dir)
+    val survivors = (cps.filter(_._1 >= seq).map(c => (c._1, true)) ++
+      tail.filter(_._1 >= seq).map(t => (t._1, parseHeader(readLines(t._2).head)._1)))
+      .sortBy(_._1)
+    require(survivors.nonEmpty, s"pruneBelow($seq) would delete the entire log")
+    require(survivors.head._2,
+      s"pruneBelow($seq): first surviving commit ${survivors.head._1} is a plain append " +
+        "and would lose its base — checkpoint first or prune to a replace boundary")
+    val doomed = (cps ++ tail).filter(_._1 < seq)
+    doomed.foreach(d => Files.deleteIfExists(d._2.toPath): Unit)
+    doomed.size
   }
 
   // ---- internals -----------------------------------------------------
 
   /** Write `df` under a fresh data/<uuid>/ dir, then publish the
-    * manifest. Returns the uuid.
+    * manifest at `seq`. Returns the uuid.
     */
-  private def publishData(df: DataFrame, dir: String, replace: Boolean, batchId: Option[Long]): String = {
+  private def publishData(
+      df: DataFrame, dir: String, replace: Boolean, batchId: Option[Long], seq: Long): String = {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"
     df.write.parquet(dataDir)
-    publish(dir, relativeFiles(dir, dataDir), replace, batchId)
+    publish(dir, relativeFiles(dir, dataDir), replace, batchId, seq)
     uuid
   }
 
   /** Manifest format (text, dependency-free): first line
-    * `append <batchId>` | `append -` | `replace`, then one
-    * data-relative file path per line.
+    * `append <batchId>` | `append -` | `replace` | `replace <batchId>`,
+    * then one data-relative file path per line.
     */
-  private def publish(dir: String, files: Seq[String], replace: Boolean, batchId: Option[Long]): Unit = {
-    val seq = manifests(dir).map(_._1).maxOption.getOrElse(0L) + 1
-    val header = if (replace) "replace" else s"append ${batchId.map(_.toString).getOrElse("-")}"
+  private def publish(
+      dir: String, files: Seq[String], replace: Boolean, batchId: Option[Long], seq: Long): Unit = {
+    val kind = if (replace) "replace" else "append"
+    val header = s"$kind ${batchId.map(_.toString).getOrElse("-")}"
     val body = (header +: files).mkString("\n")
     val tmp = Paths.get(dir, "_commits", s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -163,26 +332,95 @@ object CommitLog {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** (seq, lines, batchId) per manifest, sequence-ordered. */
-  private def manifests(dir: String): Seq[(Long, Seq[String], Option[Long])] =
-    Option(new java.io.File(s"$dir/_commits").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.matches("\\d+"))
-      .sortBy(_.getName)
-      .map { f =>
-        val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-          .split("\n").toSeq
-        val batchId = lines.head.split(" ") match {
-          case Array("append", b) if b != "-" => Some(b.toLong)
-          case _ => None
-        }
-        (f.getName.toLong, lines, batchId)
-      }.toSeq
+  /** (checkpoints, manifests) as (seq, file) pairs, each seq-sorted. */
+  private def listCommits(dir: String): (Seq[(Long, java.io.File)], Seq[(Long, java.io.File)]) = {
+    val entries = Option(new java.io.File(s"$dir/_commits").listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+    val cps = entries.filter(_.getName.matches("\\d+\\.cp"))
+      .map(f => (f.getName.stripSuffix(".cp").toLong, f)).sortBy(_._1).toSeq
+    val tail = entries.filter(_.getName.matches("\\d+"))
+      .map(f => (f.getName.toLong, f)).sortBy(_._1).toSeq
+    (cps, tail)
+  }
 
-  private def currentFiles(dir: String): Seq[String] =
-    manifests(dir).foldLeft(Seq.empty[String]) { case (acc, (_, lines, _)) =>
+  /** Latest checkpoint + the manifests after it, folded. ONE directory
+    * listing + O(tail) file reads — never the full history.
+    */
+  private def loadState(dir: String): LogState = {
+    val (cps, manifests) = listCommits(dir)
+    val cp = cps.lastOption
+    val cpSeq = cp.map(_._1).getOrElse(0L)
+    val seed = cp.map(c => parseCheckpoint(c._2))
+      .getOrElse(LogState(0L, Nil, Set.empty, None, 0))
+    val tail = manifests.filter(_._1 > cpSeq)
+    val folded = tail.foldLeft(seed) { case (st, (seq, f)) =>
+      val lines = readLines(f)
+      val (replace, bid) = parseHeader(lines.head)
       val files = lines.tail.filter(_.nonEmpty)
-      if (lines.head == "replace") files else acc ++ files
+      LogState(
+        maxSeq = seq,
+        files = if (replace) files else st.files ++ files,
+        batchIds = st.batchIds ++ bid,
+        lastBatchId = bid,
+        tailManifests = st.tailManifests + 1)
     }
+    folded.copy(maxSeq = math.max(cpSeq, folded.maxSeq))
+  }
+
+  private def parseCheckpoint(f: java.io.File): LogState = {
+    val lines = readLines(f)
+    require(lines.head == "checkpoint", s"corrupt checkpoint ${f.getName}")
+    LogState(
+      maxSeq = f.getName.stripSuffix(".cp").toLong,
+      files = lines.drop(3).filter(_.nonEmpty),
+      batchIds = decodeIds(lines(1).stripPrefix("batches ")),
+      lastBatchId = lines(2).stripPrefix("last ") match {
+        case "-" => None
+        case v => Some(v.toLong)
+      },
+      tailManifests = 0)
+  }
+
+  private def parseHeader(header: String): (Boolean, Option[Long]) =
+    header.split(" ") match {
+      case Array("replace") | Array("replace", "-") => (true, None)
+      case Array("replace", b) => (true, Some(b.toLong))
+      case Array("append", "-") => (false, None)
+      case Array("append", b) => (false, Some(b.toLong))
+      case other => throw new IllegalStateException(s"corrupt manifest header: $header")
+    }
+
+  private def readLines(f: java.io.File): Seq[String] =
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).split("\n").toSeq
+
+  /** Batch ids as compact sorted ranges ("0-41,43"): a checkpointed
+    * stream's ids are contiguous, so the encoding is O(1) regardless of
+    * how many batches ever committed.
+    */
+  private def encodeIds(ids: Set[Long]): String =
+    if (ids.isEmpty) "-"
+    else {
+      val s = ids.toSeq.sorted
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var lo = s.head
+      var hi = s.head
+      s.tail.foreach { v =>
+        if (v == hi + 1) hi = v
+        else { out += ((lo, hi)); lo = v; hi = v }
+      }
+      out += ((lo, hi))
+      out.map { case (a, b) => if (a == b) a.toString else s"$a-$b" }.mkString(",")
+    }
+
+  private def decodeIds(s: String): Set[Long] =
+    if (s == "-") Set.empty
+    else s.split(",").iterator.flatMap { r =>
+      r.split("-") match {
+        case Array(a) => Iterator.single(a.toLong)
+        case Array(a, b) => (a.toLong to b.toLong).iterator
+        case _ => throw new IllegalStateException(s"corrupt batch-id range: $r")
+      }
+    }.toSet
 
   private def relativeFiles(base: String, dataDir: String): Seq[String] = {
     val prefix = Paths.get(base).toAbsolutePath

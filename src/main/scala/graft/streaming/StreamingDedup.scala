@@ -52,6 +52,13 @@ object StreamingDedup {
   /** Start the incremental dedup over a STREAMING (idCol, textCol) frame.
     * Confirmed pairs land under `workDir`/pairs as (id1, id2, jaccard),
     * id1 < id2, exactly the batch operator's output contract.
+    *
+    * `checkpoint` is REQUIRED: the replay-skip guard keys commits by
+    * micro-batch id, and batch ids are only meaningful relative to a
+    * query checkpoint. Without one, a second run over the same
+    * `workDir` would restart ids at 0 and the guard would silently
+    * DISCARD the new batches — exactly-once degrading to silent loss.
+    * One checkpoint per workDir, reused across restarts.
     */
   def incrementalNearDuplicates(
       docs: DataFrame,
@@ -63,7 +70,7 @@ object StreamingDedup {
       numHashes: Int = 120,
       bands: Int = 20,
       trigger: Trigger = Trigger.AvailableNow(),
-      checkpoint: Option[String] = None
+      checkpoint: String
   ): StreamingQuery = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val spark = docs.sparkSession
@@ -77,7 +84,7 @@ object StreamingDedup {
         processBatch(batch, workDir, threshold, shingleK, numHashes, bands, Some(bid))
       }
       .trigger(trigger)
-    checkpoint.foreach(c => w.option("checkpointLocation", c))
+      .option("checkpointLocation", checkpoint)
     w.start()
   }
 

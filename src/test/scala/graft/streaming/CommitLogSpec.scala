@@ -46,11 +46,11 @@ class CommitLogSpec extends AnyFunSuite {
     val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     a.write.mode("append").parquet(src)
     def stream() = spark.readStream.schema(a.schema).parquet(src)
-    val q1 = CommitLog.sink(stream(), dir, Trigger.AvailableNow(), Some(ckpt))
+    val q1 = CommitLog.sink(stream(), dir, ckpt)
     q1.awaitTermination()
     Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
     // restart from the same checkpoint: only the new file lands
-    val q2 = CommitLog.sink(stream(), dir, Trigger.AvailableNow(), Some(ckpt))
+    val q2 = CommitLog.sink(stream(), dir, ckpt)
     q2.awaitTermination()
     val got = rows(dir).toSeq.sortBy(_._1)
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $got")
@@ -73,5 +73,59 @@ class CommitLogSpec extends AnyFunSuite {
     assert(!CommitLog.append(Seq((0L, "dup")).toDF("k", "v"), dir, batchId = 0L))
     assert(CommitLog.append(Seq((10L, "post")).toDF("k", "v"), dir, batchId = 10L))
     assert(rows(dir) == pre + ((10L, "post")))
+  }
+
+  test("checkpointing bounds metadata: 200 commits leave O(interval) files, ids and rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("clog-cp").toString
+    val every = 20
+    (0 until 200).foreach { b =>
+      assert(CommitLog.append(Seq((b.toLong, s"v$b")).toDF("k", "v"), dir,
+        batchId = b.toLong, checkpointEvery = every))
+    }
+    // every append reads checkpoint + tail only: the _commits listing is
+    // the proxy — folded manifests are deleted, so at most one
+    // checkpoint + (interval - 1) tail manifests ever exist
+    val metaFiles = Option(new java.io.File(s"$dir/_commits").listFiles()).get
+      .count(_.isFile)
+    assert(metaFiles <= every + 1, s"metadata not bounded: $metaFiles files after 200 commits")
+    // nothing was lost in the folds: every id replay-skips, every row reads
+    assert(CommitLog.committedBatchIds(dir) == (0L until 200L).toSet)
+    assert(CommitLog.read(spark, dir).count() == 200)
+    assert(!CommitLog.append(Seq((5L, "dup")).toDF("k", "v"), dir, batchId = 5L))
+    assert(CommitLog.latestCommit(dir).exists(_._2.contains(199L)))
+    // a crashed publish's .tmp debris is swept by the next checkpoint
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_commits", ".tmp-crashed"), "junk".getBytes)
+    assert(CommitLog.append(Seq((500L, "x")).toDF("k", "v"), dir, batchId = 500L))
+    (201 until 220).foreach { b =>
+      CommitLog.append(Seq((b.toLong, s"v$b")).toDF("k", "v"), dir,
+        batchId = b.toLong, checkpointEvery = every): Unit
+    }
+    assert(!new java.io.File(s"$dir/_commits/.tmp-crashed").exists(),
+      "stale tmp manifest must be swept by checkpointing")
+  }
+
+  test("replace-chain time travel: filesAt reconstructs old versions until pruneBelow retention") {
+    val dir = java.nio.file.Files.createTempDirectory("clog-tt").toString
+    CommitLog.init(dir, Seq((0L, "")).toDF("k", "v").schema)
+    (1 to 4).foreach { v =>
+      val df = (1 to v).map(i => (i.toLong, s"v$v")).toDF("k", "v")
+      val tmp = s"$dir/data/gen$v"
+      df.repartition(1).write.parquet(tmp)
+      val files = Option(new java.io.File(tmp).listFiles()).get
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => s"data/gen$v/${f.getName}").toSeq
+      CommitLog.commitFiles(dir, files, replace = true, batchId = Some(v.toLong - 1)): Unit
+    }
+    def rowsAt(seq: Long) = spark.read
+      .schema(CommitLog.schemaOf(dir))
+      .parquet(CommitLog.filesAt(dir, seq).map(f => s"$dir/$f"): _*).count()
+    assert(CommitLog.filesAt(dir, 0L).isEmpty)
+    assert((1L to 4L).map(rowsAt) == Seq(1L, 2L, 3L, 4L))
+    assert(CommitLog.latestCommit(dir).contains((4L, Some(3L))))
+    assert(CommitLog.pruneBelow(dir, 3L) == 2)
+    assert(rowsAt(3L) == 3L && rowsAt(4L) == 4L)
+    intercept[IllegalArgumentException](CommitLog.filesAt(dir, 2L))
+    intercept[IllegalArgumentException](CommitLog.pruneBelow(dir, 99L))
   }
 }

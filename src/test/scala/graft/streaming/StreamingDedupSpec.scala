@@ -17,7 +17,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val q = StreamingDedup.incrementalNearDuplicates(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", work,
       threshold = 0.9, numHashes = 120, bands = 20,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      checkpoint = s"$work/ckpt")
     // batch 1: doc 1 and its exact copy doc 2 (within-batch pair), doc 3 unrelated
     in.addData((1L, base), (2L, base), (3L, "completely different text about spark partitions " * 5))
     q.processAllAvailable()
@@ -86,14 +87,14 @@ class StreamingDedupSpec extends AnyFunSuite {
     // run 1: processes A, commits the checkpoint, dies
     val q1 = StreamingDedup.incrementalNearDuplicates(
       stream(), "id", "text", work, threshold = 0.9, numHashes = 120, bands = 20,
-      checkpoint = Some(ckpt))
+      checkpoint = ckpt)
     q1.awaitTermination()
     // more data lands while the stream is down
     b.write.mode("append").parquet(src)
     // run 2: same checkpoint — must resume (keep A's index, process only B)
     val q2 = StreamingDedup.incrementalNearDuplicates(
       stream(), "id", "text", work, threshold = 0.9, numHashes = 120, bands = 20,
-      checkpoint = Some(ckpt))
+      checkpoint = ckpt)
     q2.awaitTermination()
     val streamed = StreamingDedup.pairs(spark, work)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -140,7 +141,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val q = StreamingDedup.incrementalNearDuplicates(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", work,
       threshold = 0.9, numHashes = 120, bands = 20,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      checkpoint = s"$work/ckpt")
     docs.grouped((docs.length / 4).max(1)).foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
     q.stop()
     val streamed = StreamingDedup.pairs(spark, work)
