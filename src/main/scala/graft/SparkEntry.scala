@@ -1235,6 +1235,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- the same encoding through Vocab.encode's BROADCAST-JOIN plan
+    //     (literalThreshold = 0 forces it): the path a real 32k-100k
+    //     tokenizer vocab runs, where a map literal would be a megabyte
+    //     of codegen probed by linear scan. Same oracle as
+    //     doc_vocab_encode — the gate certifies plan equivalence ---
+    "doc_vocab_encode_join" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vocab = graft.operators.Vocab.build(docs, "text", size = 20)
+      graft.operators.Vocab
+        .encode(docs.where(col("doc_id") < 100), "doc_id", "text", vocab,
+          literalThreshold = 0)
+        .select(col("doc_id"),
+          size(col("ids")).as("n_ids"),
+          size(filter(col("ids"), i => i === -1)).as("n_oov"),
+          md5(concat_ws(",", transform(col("ids"), i => i.cast("string")))).as("ids_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANALYZE: one-pass per-column table statistics; NDV via the KMV
     //     sketch (exact below k=4096 — this table's regime), partials
     //     carry counts + extrema + <=k hashes per column, never values ---
@@ -1329,6 +1347,22 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val (model, total) = graft.operators.UnigramModel.fit(docs, "text", size = 16)
       graft.operators.UnigramModel.score(docs, "doc_id", "text", model, total)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- the same scoring through UnigramModel.scoreLarge's BROADCAST-
+    //     JOIN plan (literalThreshold = 0 forces it): the 100k-vocab
+    //     path. Integer rarity points make it value-exact with the
+    //     literal plan, so it shares doc_unigram_rarity's oracle ---
+    "doc_unigram_rarity_join" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val modelDf = graft.operators.Vocab.build(docs, "text", size = 16)
+        .select(col("token"), col("cnt"))
+      val total = docs
+        .select(size(graft.functions.TextFunctions.tokens(col("text"))).as("__n"))
+        .agg(coalesce(sum(col("__n")), lit(0L))).head.getLong(0)
+      graft.operators.UnigramModel
+        .scoreLarge(docs, "doc_id", "text", modelDf, total, literalThreshold = 0)
         .orderBy(col("doc_id"))
     }),
 
@@ -1603,6 +1637,61 @@ object SparkEntry {
         .orderBy(col("media_id"))
     })
   )
+
+  /** Shared by doc_vocab_encode and doc_vocab_encode_join: the two
+    * queries are alternative PLANS (map-literal projection vs broadcast
+    * join) for one semantic — one oracle certifies both.
+    */
+  private val vocabEncodeOracle =
+    """WITH tokc AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+         FROM documents),
+       cnt AS (SELECT t AS token, count(*) AS cnt FROM tokc GROUP BY t),
+       vocab AS (
+         SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT) AS id
+         FROM cnt QUALIFY id < 20),
+       tok AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+         FROM documents WHERE doc_id < 100),
+       pos AS (
+         SELECT doc_id, unnest(ts) AS tkn, generate_subscripts(ts, 1) AS i FROM tok),
+       enc AS (
+         SELECT p.doc_id, coalesce(v.id, -1) AS id, p.i
+         FROM pos p LEFT JOIN vocab v ON v.token = p.tkn),
+       agg AS (
+         SELECT doc_id, count(*) AS n_ids,
+                sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS n_oov,
+                md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_hash
+         FROM enc GROUP BY doc_id)
+       SELECT doc_id, CAST(n_ids AS INT) AS n_ids, CAST(n_oov AS INT) AS n_oov, ids_hash
+       FROM agg ORDER BY doc_id"""
+
+  /** Shared by doc_unigram_rarity and doc_unigram_rarity_join (literal
+    * vs broadcast-join plan — integer points make them value-exact).
+    */
+  private val unigramRarityOracle =
+    """WITH tok AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+         FROM documents),
+       allt AS (SELECT unnest(ts) AS t FROM tok),
+       cnt AS (SELECT t AS token, count(*) AS cnt FROM allt GROUP BY t),
+       vocab AS (
+         SELECT token, cnt FROM (
+           SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM cnt)
+         WHERE r <= 16),
+       tot AS (SELECT count(*) AS total FROM allt),
+       pos AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+       pts AS (
+         SELECT p.doc_id,
+                sum(CAST(tot.total // coalesce(v.cnt, 1) AS BIGINT)) AS pts,
+                sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov,
+                count(*) AS n
+         FROM pos p LEFT JOIN vocab v ON v.token = p.t CROSS JOIN tot
+         GROUP BY p.doc_id)
+       SELECT doc_id, CAST(n AS INT) AS n_tokens,
+              round(CAST(oov AS DOUBLE) / n, 6) AS oov_rate,
+              round(CAST(pts AS DOUBLE) / n, 6) AS mean_rarity
+       FROM pts ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2208,29 +2297,8 @@ object SparkEntry {
          cnt AS (SELECT t AS token, count(*) AS cnt FROM tok GROUP BY t)
          SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT) AS id
          FROM cnt QUALIFY id < 20 ORDER BY id""",
-    "doc_vocab_encode" ->
-      """WITH tokc AS (
-           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
-           FROM documents),
-         cnt AS (SELECT t AS token, count(*) AS cnt FROM tokc GROUP BY t),
-         vocab AS (
-           SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT) AS id
-           FROM cnt QUALIFY id < 20),
-         tok AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
-           FROM documents WHERE doc_id < 100),
-         pos AS (
-           SELECT doc_id, unnest(ts) AS tkn, generate_subscripts(ts, 1) AS i FROM tok),
-         enc AS (
-           SELECT p.doc_id, coalesce(v.id, -1) AS id, p.i
-           FROM pos p LEFT JOIN vocab v ON v.token = p.tkn),
-         agg AS (
-           SELECT doc_id, count(*) AS n_ids,
-                  sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS n_oov,
-                  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_hash
-           FROM enc GROUP BY doc_id)
-         SELECT doc_id, CAST(n_ids AS INT) AS n_ids, CAST(n_oov AS INT) AS n_oov, ids_hash
-         FROM agg ORDER BY doc_id""",
+    "doc_vocab_encode" -> vocabEncodeOracle,
+    "doc_vocab_encode_join" -> vocabEncodeOracle,
     "rel_stats" ->
       """WITH s AS (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
@@ -2335,29 +2403,8 @@ object SparkEntry {
            FROM walk w JOIN t ON t.block = w.block AND t.rn = w.rn + 1)
          SELECT doc_id, CAST(block AS BIGINT) AS block, CAST(bin AS INT) AS bin
          FROM walk ORDER BY doc_id""",
-    "doc_unigram_rarity" ->
-      """WITH tok AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
-           FROM documents),
-         allt AS (SELECT unnest(ts) AS t FROM tok),
-         cnt AS (SELECT t AS token, count(*) AS cnt FROM allt GROUP BY t),
-         vocab AS (
-           SELECT token, cnt FROM (
-             SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM cnt)
-           WHERE r <= 16),
-         tot AS (SELECT count(*) AS total FROM allt),
-         pos AS (SELECT doc_id, unnest(ts) AS t FROM tok),
-         pts AS (
-           SELECT p.doc_id,
-                  sum(CAST(tot.total // coalesce(v.cnt, 1) AS BIGINT)) AS pts,
-                  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov,
-                  count(*) AS n
-           FROM pos p LEFT JOIN vocab v ON v.token = p.t CROSS JOIN tot
-           GROUP BY p.doc_id)
-         SELECT doc_id, CAST(n AS INT) AS n_tokens,
-                round(CAST(oov AS DOUBLE) / n, 6) AS oov_rate,
-                round(CAST(pts AS DOUBLE) / n, 6) AS mean_rarity
-         FROM pts ORDER BY doc_id""",
+    "doc_unigram_rarity" -> unigramRarityOracle,
+    "doc_unigram_rarity_join" -> unigramRarityOracle,
     "doc_chunks" ->
       """WITH tok AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
