@@ -45,6 +45,21 @@ object SparkEntry {
         java.nio.file.Files.write(dir.resolve(s"$name.stream.txt"), buf.toByteArray)
     } catch { case _: Throwable => () }
 
+  /** Inverted-index table for `sfDir`'s documents, built once per JVM
+    * per scale factor (the deployment shape: build is a one-time job,
+    * queries probe it — so Bench's repeated runs time the PROBE, not a
+    * rebuild).
+    */
+  private val indexedTermDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexedTermDir(s: SparkSession, sfDir: String): String =
+    indexedTermDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+      graft.operators.Retrieval.buildIndex(
+        s.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", dir, numBuckets = 64)
+      dir
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2A A4: partition pruning, equality (composer.rs:163-192) ---
     "bt_key_eq" -> ((s, dir) =>
@@ -1395,6 +1410,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         query = Seq("dup", "key", "batch"), topK = 25)),
 
+    // --- the same search served from a PERSISTED inverted index: posting
+    //     lists bucketed by term hash in a CommitLog table, the query
+    //     probing only its terms' buckets — the corpus parquet is never
+    //     read by the search plan (what a repeated-query workload runs at
+    //     100 TB; termSearch re-tokenizes the corpus per query). The
+    //     index is built once per JVM per scale factor ---
+    "doc_term_search_indexed" -> ((s, dir) => {
+      val idx = indexedTermDir(s, dir)
+      graft.operators.Retrieval
+        .indexSearch(s, idx, query = Seq("dup", "key", "batch"), topK = 25)
+        .select(col("doc").as("doc_id"), col("score"))
+    }),
+
     // --- phrase mining: word2phrase bigram lift over adjacent token
     //     pairs; counts exact, one final division + round(6) ---
     "doc_phrases" -> ((s, dir) =>
@@ -2232,6 +2260,17 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 11 = 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "doc_term_search" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('dup', 'key', 'batch') GROUP BY doc_id, t),
+         df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
+         FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 25""",
+    "doc_term_search_indexed" ->
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
            FROM documents),

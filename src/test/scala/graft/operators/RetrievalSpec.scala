@@ -44,4 +44,31 @@ class RetrievalSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("indexSearch == termSearch on every probe; the corpus is never scanned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir, numBuckets = 8)
+    for (q <- Seq(Seq("rare", "common"), Seq("common"), Seq("RARE", "rare"), Seq("absent"))) {
+      val direct = Retrieval.termSearch(docs, "doc_id", "text", q, topK = 10)
+        .as[(Long, Long)].collect().toSeq
+      val probed = Retrieval.indexSearch(spark, dir, q, topK = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(probed == direct, s"index/direct divergence for query $q")
+    }
+    // the search plan reads index files only — no corpus in its scan
+    val df = Retrieval.indexSearch(spark, dir, Seq("rare"), topK = 10)
+    val scanned = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanned.contains(dir) && !scanned.contains("documents"),
+      s"expected only index files in scan leaves:\n$scanned")
+  }
+
+  test("bucket pruning: a one-term query reads exactly one bucket file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx2").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir, numBuckets = 8)
+    val all = graft.streaming.CommitLog.currentFiles(dir)
+    assert(all.size > 1, s"fixture too small to prove pruning: ${all.size} files")
+    val df = Retrieval.indexSearch(spark, dir, Seq("rare"), topK = 10)
+    val inputs = df.inputFiles.toSeq
+    assert(inputs.size == 1, s"expected 1 probed bucket file, got ${inputs.size}: $inputs")
+  }
 }
