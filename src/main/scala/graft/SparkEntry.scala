@@ -1446,6 +1446,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- the same fusion through fuseCorpusLarge's BROADCAST-JOIN plan
+    //     (literalThreshold = 0 forces it): the 10^4-10^5-phrase path,
+    //     where the array literal would be a linear scan per token.
+    //     Shares doc_phrase_fuse's oracle — the gate certifies the two
+    //     plans agree ---
+    "doc_phrase_fuse_join" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val top = graft.operators.Phrases.bigramLift(docs, "text", minCount = 5L)
+        .orderBy(desc("lift"), col("w1"), col("w2")).limit(5)
+        .select(col("w1"), col("w2"))
+      graft.operators.Phrases
+        .fuseCorpusLarge(docs, "doc_id", "text", top, literalThreshold = 0)
+        .select(col("doc_id"),
+          size(col("fused")).as("n_toks"),
+          md5(concat_ws(" ", col("fused"))).as("fused_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANN: brute-force cosine top-k (bounded top-k aggregate) ---
     "emb_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1720,6 +1738,47 @@ object SparkEntry {
               round(CAST(oov AS DOUBLE) / n, 6) AS oov_rate,
               round(CAST(pts AS DOUBLE) / n, 6) AS mean_rarity
        FROM pts ORDER BY doc_id"""
+
+  /** Shared by doc_phrase_fuse and doc_phrase_fuse_join (literal walk vs
+    * broadcast-join plan). The stateful greedy fusion is SQL-expressible
+    * through the run-alternation equivalence: greedy left-to-right pair
+    * fusion fuses exactly the alternating (even-offset) positions within
+    * each maximal run of consecutive matching pairs.
+    */
+  private val phraseFuseOracle =
+    """WITH toks AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
+       uni AS (SELECT w, count(*) AS n_w
+               FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
+       tot AS (SELECT sum(len(ts)) AS n FROM toks),
+       big AS (
+         SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
+         FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks) g
+         GROUP BY 1, 2 HAVING count(*) >= 5),
+       phr AS (
+         SELECT w1, w2 FROM (
+           SELECT w1, w2,
+                  round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
+           FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot)
+         ORDER BY lift DESC, w1, w2 LIMIT 5),
+       pos AS (
+         SELECT doc_id, i, ts[i] AS t, ts[i+1] AS nxt, len(ts) AS n
+         FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks) p),
+       okd AS (
+         SELECT pos.*, EXISTS(SELECT 1 FROM phr WHERE w1 = t AND w2 = nxt) AND i < n AS ok FROM pos),
+       isl AS (
+         SELECT *, i - row_number() OVER (PARTITION BY doc_id, ok ORDER BY i) AS grp FROM okd),
+       fs AS (
+         SELECT *, ok AND (i - min(i) OVER (PARTITION BY doc_id, ok, grp)) % 2 = 0 AS fuse_start FROM isl),
+       out AS (
+         SELECT doc_id, i,
+                CASE WHEN fuse_start THEN t || '_' || nxt
+                     WHEN lag(fuse_start) OVER (PARTITION BY doc_id ORDER BY i) THEN NULL
+                     ELSE t END AS tok
+         FROM fs)
+       SELECT doc_id, CAST(count(tok) AS INT) AS n_toks,
+              md5(string_agg(tok, ' ' ORDER BY i)) AS fused_hash
+       FROM out WHERE tok IS NOT NULL GROUP BY doc_id ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2295,40 +2354,8 @@ object SparkEntry {
                 round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
          FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot
          ORDER BY w1, w2""",
-    "doc_phrase_fuse" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
-         uni AS (SELECT w, count(*) AS n_w
-                 FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
-         tot AS (SELECT sum(len(ts)) AS n FROM toks),
-         big AS (
-           SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
-           FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks) g
-           GROUP BY 1, 2 HAVING count(*) >= 5),
-         phr AS (
-           SELECT w1, w2 FROM (
-             SELECT w1, w2,
-                    round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
-             FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot)
-           ORDER BY lift DESC, w1, w2 LIMIT 5),
-         pos AS (
-           SELECT doc_id, i, ts[i] AS t, ts[i+1] AS nxt, len(ts) AS n
-           FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks) p),
-         okd AS (
-           SELECT pos.*, EXISTS(SELECT 1 FROM phr WHERE w1 = t AND w2 = nxt) AND i < n AS ok FROM pos),
-         isl AS (
-           SELECT *, i - row_number() OVER (PARTITION BY doc_id, ok ORDER BY i) AS grp FROM okd),
-         fs AS (
-           SELECT *, ok AND (i - min(i) OVER (PARTITION BY doc_id, ok, grp)) % 2 = 0 AS fuse_start FROM isl),
-         out AS (
-           SELECT doc_id, i,
-                  CASE WHEN fuse_start THEN t || '_' || nxt
-                       WHEN lag(fuse_start) OVER (PARTITION BY doc_id ORDER BY i) THEN NULL
-                       ELSE t END AS tok
-           FROM fs)
-         SELECT doc_id, CAST(count(tok) AS INT) AS n_toks,
-                md5(string_agg(tok, ' ' ORDER BY i)) AS fused_hash
-         FROM out WHERE tok IS NOT NULL GROUP BY doc_id ORDER BY doc_id""",
+    "doc_phrase_fuse" -> phraseFuseOracle,
+    "doc_phrase_fuse_join" -> phraseFuseOracle,
     "doc_vocab" ->
       """WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t

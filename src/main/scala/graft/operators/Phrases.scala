@@ -112,4 +112,86 @@ object Phrases {
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(col(idCol), fuseTokens(col("__ts"), phrases).as("fused"))
+
+  /** [[fuseCorpus]] for a phrase set too large to inline as an array
+    * literal (a real mined phrase table runs 10^4-10^5 pairs; the literal
+    * is probed by LINEAR scan per token and bloats codegen — the same
+    * hazard as [[Vocab.encodeColumn]]'s map literal). Value-exact with
+    * the literal path; chooses the plan by phrase count:
+    *
+    *  - P <= `literalThreshold`: collect + [[fuseTokens]]'s literal walk.
+    *  - P > `literalThreshold`: adjacent pairs explode row-locally with
+    *    their start positions, a BROADCAST hash join against the phrase
+    *    table marks matching positions (O(1) probes, the corpus never
+    *    builds a join hash table), matched positions regroup per document
+    *    (ONE shuffle of (doc, pos) hits — posting-list sized, the
+    *    standard reassembly price, same as [[Vocab.encode]]'s join path),
+    *    and the greedy left-to-right non-overlap walk runs row-locally
+    *    over (tokens, matched positions): fuse at i unless i-1 already
+    *    fused — alternating positions within runs, exactly
+    *    [[fuseTokens]]'s semantics.
+    *
+    * `phrasesDf` columns: (w1, w2).
+    */
+  def fuseCorpusLarge(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrasesDf: DataFrame,
+      literalThreshold: Int = 4096
+  ): DataFrame = {
+    if (phrasesDf.count() <= literalThreshold) {
+      val ps = phrasesDf.select(col("w1"), col("w2")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      if (ps.isEmpty)
+        return docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("fused"))
+      return fuseCorpus(docs, idCol, textCol, ps)
+    }
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+    // adjacent "w1 w2" pair strings with 0-based start positions — staged
+    // into its own projection BEFORE the generator (a generator sharing a
+    // select with a lambda expression strips struct field names)
+    val n1 = greatest(size(col("__ts")) - 1, lit(0))
+    val staged = toks.select(col(idCol),
+      zip_with(slice(col("__ts"), lit(1), n1), slice(col("__ts"), lit(2), n1),
+        (a, b) => concat_ws(" ", a, b)).as("__pairs"))
+    val hits = staged
+      .select(col(idCol), posexplode(col("__pairs")).as(Seq("__pos", "__pair")))
+      .join(broadcast(phrasesDf.select(
+        concat_ws(" ", col("w1"), col("w2")).as("__pair"))), Seq("__pair"), "leftsemi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__mp"))
+    toks
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        fuseAtPositions(col("__ts"), coalesce(col("__mp"), array().cast("array<int>")))
+          .as("fused"))
+  }
+
+  /** Row-local greedy walk given the matched pair-start positions: fuse
+    * at i when i is matched and i-1 did not just fuse (the skip bit),
+    * else emit the token. The per-position membership probe scans the
+    * document's OWN match list — bounded by document length, never by
+    * the phrase-set size.
+    */
+  private def fuseAtPositions(ts: Column, mp: Column): Column = {
+    val empty = array().cast("array<string>")
+    val st0 = struct(empty.as("out"), lit(false).as("skip"))
+    when(size(ts) < 1, empty).otherwise(
+      aggregate(
+        sequence(lit(0), size(ts) - 1),
+        st0,
+        (st, i) =>
+          when(st.getField("skip"),
+            struct(st.getField("out").as("out"), lit(false).as("skip")))
+            .when(array_contains(mp, i),
+              struct(
+                concat(st.getField("out"),
+                  array(concat_ws("_", element_at(ts, i + 1), element_at(ts, i + 2)))).as("out"),
+                lit(true).as("skip")))
+            .otherwise(
+              struct(concat(st.getField("out"), array(element_at(ts, i + 1))).as("out"),
+                lit(false).as("skip"))),
+        st => st.getField("out")))
+  }
 }

@@ -50,6 +50,34 @@ class PhrasesSpec extends AnyFunSuite {
     assert(out(5L) == Seq.empty)
   }
 
+  test("fuseCorpusLarge join path is value-exact with the literal walk") {
+    val docs = Seq(
+      (1L, "new york city hall"),
+      (2L, "a a a"),                  // overlap: greedy alternation inside a run
+      (3L, "a a a a"),                // even run: both alternating pairs fuse
+      (4L, "york new york"),
+      (5L, "plain words here"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(("new", "york"), ("city", "hall"), ("a", "a"))
+    val phrasesDf = phrases.toDF("w1", "w2")
+    val literal = Phrases.fuseCorpus(docs, "doc_id", "text", phrases)
+      .as[(Long, Seq[String])].collect().toMap
+    // literalThreshold = 0 forces the broadcast-join plan
+    val joined = Phrases.fuseCorpusLarge(docs, "doc_id", "text", phrasesDf, literalThreshold = 0)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(joined == literal, s"join path diverged:\n$joined\nvs\n$literal")
+    assert(joined(3L) == Seq("a_a", "a_a"))
+    // delegation below the threshold (and an empty phrase table is identity)
+    val delegated = Phrases.fuseCorpusLarge(docs, "doc_id", "text", phrasesDf)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(delegated == literal)
+    val none = Phrases.fuseCorpusLarge(docs, "doc_id", "text",
+      Seq.empty[(String, String)].toDF("w1", "w2"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(none(1L) == Seq("new", "york", "city", "hall") && none(6L) == Seq.empty)
+  }
+
   test("lift > 1 flags attraction, < 1 flags repulsion") {
     // "a b" always adjacent (attraction); "a z" never adjacent
     val docs = Seq.fill(5)("a b filler").toDF("text")
