@@ -60,6 +60,23 @@ object SparkEntry {
       dir
     })
 
+  /** Same corpus indexed INCREMENTALLY: base build on two thirds of the
+    * documents, the last third arriving as an append delta — the growing-
+    * corpus maintenance path, certified against the whole-corpus oracle.
+    */
+  private val incrTermDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def incrTermDir(s: SparkSession, sfDir: String): String =
+    incrTermDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-invidx-incr").toString
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Retrieval.buildIndex(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", dir, numBuckets = 64)
+      graft.operators.Retrieval.appendToIndex(
+        docs.where(col("doc_id") % 3 === 0), "doc_id", "text", dir)
+      dir
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2A A4: partition pruning, equality (composer.rs:163-192) ---
     "bt_key_eq" -> ((s, dir) =>
@@ -1423,6 +1440,43 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("score"))
     }),
 
+    // --- the same search against an index built in two increments (base
+    //     build + appendToIndex delta): the growing-corpus maintenance
+    //     path. Same whole-corpus oracle — the gate certifies the folded
+    //     base+delta postings and the advanced idf corpus count ---
+    "doc_term_search_incr" -> ((s, dir) => {
+      val idx = incrTermDir(s, dir)
+      graft.operators.Retrieval
+        .indexSearch(s, idx, query = Seq("dup", "key", "batch"), topK = 25)
+        .select(col("doc").as("doc_id"), col("score"))
+    }),
+
+    // --- PII scrubbing: emails/URLs/IPv4s/phone-spans replaced with
+    //     typed sentinels, a pure codegen'd regexp_replace chain (the
+    //     corpus has no natural PII, so deterministic spans are
+    //     synthesized from doc_id identically in Spark and the oracle —
+    //     the multimodal gates' synthesis pattern). Counts are raw-text
+    //     hit rates for scrub monitoring ---
+    "doc_redact" -> ((s, dir) => {
+      val tf = graft.functions.TextFunctions
+      val synth = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +44 (20) 7946-09"), col("doc_id").cast("string"),
+            lit(" via https://ex"), col("doc_id").cast("string"),
+            lit(".example.org/p ip 192.168.1."),
+            pmod(col("doc_id"), lit(200)).cast("string")).as("__t"))
+      synth
+        .select(col("doc_id"), col("__t"), tf.piiCounts(col("__t")).as("__c"))
+        .select(col("doc_id"),
+          md5(tf.redactPii(col("__t"))).as("redacted_hash"),
+          col("__c").getField("n_email").as("n_email"),
+          col("__c").getField("n_url").as("n_url"),
+          col("__c").getField("n_ip").as("n_ip"),
+          col("__c").getField("n_phone").as("n_phone"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- phrase mining: word2phrase bigram lift over adjacent token
     //     pairs; counts exact, one final division + round(6) ---
     "doc_phrases" -> ((s, dir) =>
@@ -1738,6 +1792,22 @@ object SparkEntry {
               round(CAST(oov AS DOUBLE) / n, 6) AS oov_rate,
               round(CAST(pts AS DOUBLE) / n, 6) AS mean_rarity
        FROM pts ORDER BY doc_id"""
+
+  /** Shared by doc_term_search (direct scan), doc_term_search_indexed
+    * (persisted index probe) and doc_term_search_incr (base + append
+    * delta): three plans, one semantic.
+    */
+  private val termSearchOracle =
+    """WITH tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+         FROM documents),
+       tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+              WHERE t IN ('dup', 'key', 'batch') GROUP BY doc_id, t),
+       df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       n AS (SELECT count(*) AS n FROM documents)
+       SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
+       FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 25"""
 
   /** Shared by doc_phrase_fuse and doc_phrase_fuse_join (literal walk vs
     * broadcast-join plan). The stateful greedy fusion is SQL-expressible
@@ -2318,28 +2388,9 @@ object SparkEntry {
                 quantile_disc(o_totalprice, 0.99) AS p99
          FROM orders WHERE o_orderkey % 11 = 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "doc_term_search" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
-           FROM documents),
-         tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
-                WHERE t IN ('dup', 'key', 'batch') GROUP BY doc_id, t),
-         df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         n AS (SELECT count(*) AS n FROM documents)
-         SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
-         FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
-         ORDER BY score DESC, doc_id LIMIT 25""",
-    "doc_term_search_indexed" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
-           FROM documents),
-         tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
-                WHERE t IN ('dup', 'key', 'batch') GROUP BY doc_id, t),
-         df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         n AS (SELECT count(*) AS n FROM documents)
-         SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
-         FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
-         ORDER BY score DESC, doc_id LIMIT 25""",
+    "doc_term_search" -> termSearchOracle,
+    "doc_term_search_incr" -> termSearchOracle,
+    "doc_term_search_indexed" -> termSearchOracle,
     "doc_phrases" ->
       """WITH toks AS (
            SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
@@ -2356,6 +2407,27 @@ object SparkEntry {
          ORDER BY w1, w2""",
     "doc_phrase_fuse" -> phraseFuseOracle,
     "doc_phrase_fuse_join" -> phraseFuseOracle,
+    "doc_redact" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                  '@mail.example.com or +44 (20) 7946-09' || CAST(doc_id AS VARCHAR) ||
+                  ' via https://ex' || CAST(doc_id AS VARCHAR) ||
+                  '.example.org/p ip 192.168.1.' || CAST(doc_id % 200 AS VARCHAR) AS t
+           FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                          'https?://[^ \t\n]+', '<URL>', 'g'),
+                        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                      '\+?[0-9][0-9 ()./-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_hash,
+                CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                CAST(len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS INT) AS n_url,
+                CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ip,
+                CAST(len(regexp_extract_all(t, '\+?[0-9][0-9 ()./-]{6,}[0-9]')) AS INT) AS n_phone
+         FROM synth ORDER BY doc_id""",
     "doc_vocab" ->
       """WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t

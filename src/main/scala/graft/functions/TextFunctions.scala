@@ -218,4 +218,44 @@ object TextFunctions {
     when(size(grams) === 0, lit(0.0))
       .otherwise(round(
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+
+  // --- PII redaction -----------------------------------------------------
+
+  /** Heuristic PII span patterns, ordered (email before URL so a bare
+    * address never survives inside a replaced URL's tail; IP before
+    * phone so dotted quads aren't phone-matched). Deliberately kept to
+    * the regex subset Java and RE2 share (no \b, no backrefs, explicit
+    * classes) so a SQL engine applying the same patterns reproduces the
+    * output byte-for-byte — the cross-engine determinism contract of
+    * this module.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiUrlRe = "https?://[^ \\t\\n]+"
+  val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhoneRe = "\\+?[0-9][0-9 ()./-]{6,}[0-9]"
+
+  /** Replace emails, URLs, IPv4s and phone-like digit spans with typed
+    * sentinel tokens — the scrubbing pass a training-data pipeline runs
+    * before tokenization. A pure codegen'd regexp_replace chain: no
+    * shuffle, no UDF, linear in the text. Heuristic by design (finds
+    * the common shapes, not a validator).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+          PiiUrlRe, "<URL>"),
+        PiiIpRe, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
+  /** Per-type PII hit counts on the RAW text (before redaction), for
+    * scrub-rate monitoring: (n_email, n_url, n_ip, n_phone).
+    */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(PiiEmailRe)).as("n_email"),
+      regexp_count(text, lit(PiiUrlRe)).as("n_url"),
+      regexp_count(text, lit(PiiIpRe)).as("n_ip"),
+      regexp_count(text, lit(PiiPhoneRe)).as("n_phone"))
 }

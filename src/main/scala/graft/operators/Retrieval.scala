@@ -114,6 +114,70 @@ object Retrieval {
       meta = s"""{"numBuckets":$numBuckets,"corpusSize":$n}""")
   }
 
+  /** Add NEW documents' postings to an existing index as ONE append
+    * commit in the same bucket layout — incremental maintenance for a
+    * growing corpus: the delta is tokenized once (delta-sized, never a
+    * base re-scan), [[indexSearch]] transparently folds base + deltas
+    * because every commit's files carry the bucket in their path, and
+    * the recorded corpus size advances for the idf weights.
+    *
+    * Contract: `newDocs` ids must be NEW (a document split across base
+    * and delta would hold two posting rows per term and be df-counted
+    * twice). Each append adds one file per touched bucket; run
+    * [[compactIndex]] when the per-bucket file count grows past the
+    * read-amplification you want (the standard LSM bargain).
+    */
+  def appendToIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String
+  ): Unit = {
+    val (nb, n) = CommitLogAccess.readMeta(dir)
+    val added = newDocs.count()
+    if (added == 0) return
+    val tf = newDocs
+      .select(col(idCol).as("doc"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val bucketOf = pmod(xxhash64(col("term")), lit(nb.toLong)).cast("int")
+    CommitLogAccess.publishBucketed(
+      tf.withColumn(BucketCol, bucketOf), BucketCol, nb, dir,
+      meta = s"""{"numBuckets":$nb,"corpusSize":${n + added}}""",
+      replace = false)
+  }
+
+  /** Rewrite the index's CURRENT postings into one file per bucket and
+    * publish as one replace commit — folds the append deltas back down.
+    * A posting-table job (index-sized, not corpus-sized), atomic like
+    * every commit.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val (nb, n) = CommitLogAccess.readMeta(dir)
+    val schema = graft.streaming.CommitLog.schemaOf(dir)
+    val files = graft.streaming.CommitLog.currentFiles(dir)
+    if (files.isEmpty) return
+    val tf = spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    val bucketOf = pmod(xxhash64(col("term")), lit(nb.toLong)).cast("int")
+    CommitLogAccess.publishBucketed(
+      tf.withColumn(BucketCol, bucketOf), BucketCol, nb, dir,
+      meta = s"""{"numBuckets":$nb,"corpusSize":$n}""",
+      replace = true)
+    // fold the superseded history and GC its data — the replace commit
+    // carries the whole fileset, so nothing older is needed
+    graft.streaming.CommitLog.checkpoint(dir): Unit
+    val live = graft.streaming.CommitLog.referencedDataDirs(dir)
+    Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !live.contains(d.getName))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+  }
+
   /** [[termSearch]] semantics (same integer score, same ordering, same
     * no-zero-score contract) served from a [[buildIndex]] table: reads
     * ONLY the buckets the query's terms hash to — the corpus is never
@@ -167,11 +231,15 @@ private[operators] object CommitLogAccess {
   import java.nio.file.{Files, Paths}
 
   /** Write `df` partitioned by `bucketCol` under data/<uuid>/ and publish
-    * the fileset as one atomic replace commit, with `meta` JSON recorded
-    * beside the schema.
+    * the fileset as one atomic commit (`replace` supersedes the previous
+    * fileset; append adds to it), with `meta` JSON recorded beside the
+    * schema. The meta write precedes the commit: on a crash between the
+    * two the table keeps its old fileset with an advanced corpus count —
+    * an idf perturbation, never a wrong posting.
     */
   def publishBucketed(
-      df: DataFrame, bucketCol: String, numBuckets: Int, dir: String, meta: String): Unit = {
+      df: DataFrame, bucketCol: String, numBuckets: Int, dir: String, meta: String,
+      replace: Boolean = true): Unit = {
     graft.streaming.CommitLog.init(dir, df.drop(bucketCol).schema)
     Files.write(Paths.get(dir, "_index.json"), meta.getBytes(StandardCharsets.UTF_8))
     val uuid = java.util.UUID.randomUUID().toString
@@ -186,7 +254,7 @@ private[operators] object CommitLogAccess {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
       .sorted.toSeq
-    graft.streaming.CommitLog.commitFiles(dir, files, replace = true): Unit
+    graft.streaming.CommitLog.commitFiles(dir, files, replace = replace): Unit
   }
 
   /** (numBuckets, corpusSize) recorded at build time. */

@@ -152,4 +152,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(m.getDouble(0) == 0.2) // every bigram unique: top = 1/5
     assert(m.getDouble(1) == 0.0)
   }
+
+  test("redactPii replaces the four span types; counts run on the raw text") {
+    val raw = "mail a.b+c@ex-1.org, call +44 (20) 7946-0912, " +
+      "see https://ex.org/p?q=1 from 10.0.0.7 ok"
+    val out = Seq(raw).toDF("text")
+      .select(TextFunctions.redactPii($"text").as("r"), TextFunctions.piiCounts($"text").as("c"))
+      .head()
+    assert(out.getString(0) ==
+      "mail <EMAIL>, call <PHONE>, see <URL> from <IP> ok", out.getString(0))
+    val c = out.getStruct(1)
+    // n_phone = 2: the dotted quad also matches the phone shape on raw text
+    assert((c.getInt(0), c.getInt(1), c.getInt(2), c.getInt(3)) == ((1, 1, 1, 2)), c)
+  }
+
+  test("redactPii is identity on clean text") {
+    val clean = "plain words with no contact information at all"
+    val out = Seq(clean).toDF("text")
+      .select(TextFunctions.redactPii($"text")).head().getString(0)
+    assert(out == clean)
+  }
 }

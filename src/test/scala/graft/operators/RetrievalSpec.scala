@@ -62,6 +62,30 @@ class RetrievalSpec extends AnyFunSuite {
       s"expected only index files in scan leaves:\n$scanned")
   }
 
+  test("appendToIndex folds deltas into search; compactIndex restores one file per bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx3").toString
+    val base = docs.where($"doc_id" <= 2)
+    val delta = docs.where($"doc_id" > 2)
+    Retrieval.buildIndex(base, "doc_id", "text", dir, numBuckets = 4)
+    Retrieval.appendToIndex(delta, "doc_id", "text", dir)
+    // idf sees the grown corpus: results match a direct search of ALL docs
+    val direct = Retrieval.termSearch(docs, "doc_id", "text", Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    val probed = Retrieval.indexSearch(spark, dir, Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(probed == direct, s"post-append divergence: $probed vs $direct")
+    val filesBefore = graft.streaming.CommitLog.currentFiles(dir).size
+    Retrieval.compactIndex(spark, dir)
+    val filesAfter = graft.streaming.CommitLog.currentFiles(dir).size
+    assert(filesAfter < filesBefore, s"compaction did not shrink: $filesBefore -> $filesAfter")
+    val afterCompact = Retrieval.indexSearch(spark, dir, Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(afterCompact == direct, "compaction changed results")
+    // empty delta is a no-op commit
+    Retrieval.appendToIndex(docs.where($"doc_id" < 0), "doc_id", "text", dir)
+    assert(Retrieval.indexSearch(spark, dir, Seq("common"), topK = 10).count() == 4)
+  }
+
   test("bucket pruning: a one-term query reads exactly one bucket file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx2").toString
     Retrieval.buildIndex(docs, "doc_id", "text", dir, numBuckets = 8)
