@@ -60,6 +60,20 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted IVF index over the embeddings table, built once per JVM
+    * per scale factor — searches probe bucket files, never the corpus.
+    */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexDir(s: SparkSession, sfDir: String): String =
+    ivfIndexDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      graft.operators.Similarity.buildIvfIndex(
+        s.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding", dir,
+        nCentroids = 16, kmeansIterations = 2)
+      dir
+    })
+
   /** Same corpus indexed INCREMENTALLY: base build on two thirds of the
     * documents, the last third arriving as an append delta — the growing-
     * corpus maintenance path, certified against the whole-corpus oracle.
@@ -1562,6 +1576,31 @@ object SparkEntry {
         .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
     }),
 
+    // --- ANN from the PERSISTED IVF index (centroids + bucket files in
+    //     a commit-log table, built once per corpus version): the same
+    //     recall contract as emb_knn_ivf_recall, with the search plan
+    //     probing index bucket files instead of re-bucketing the corpus
+    //     per call ---
+    "emb_knn_ivf_indexed_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("qid"), col("nid"))
+      val approx = graft.operators.Similarity
+        .ivfSearchIndexed(s, ivfIndexDir(s, dir), queries, "vec_id", "embedding", 10, nProbe = 6)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact_q"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_exact_q")).as("n_exact"),
+          (avg(col("n_hit") / col("n_exact_q")) >= 0.75).as("recall_ok"))
+        .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
+    }),
+
     // --- PQ compressed-corpus ANN with exact rerank: 32x-compressed
     //     codes shortlist candidates (ADC over reconstructions), exact
     //     scoring reranks only the shortlist; recall measured in-engine
@@ -2709,6 +2748,10 @@ object SparkEntry {
     // 0.90-1.00 across sf0.001-0.1; SimilaritySpec also sweeps nProbe
     // and pins recall >= 0.9 at nProbe = nCentroids).
     "emb_knn_ivf_recall" ->
+      """SELECT count(*) AS n_queries, 10 AS k,
+                10 * count(*) AS n_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5""",
+    "emb_knn_ivf_indexed_recall" ->
       """SELECT count(*) AS n_queries, 10 AS k,
                 10 * count(*) AS n_exact, true AS recall_ok
          FROM embeddings WHERE vec_id < 5""",

@@ -239,13 +239,13 @@ private[operators] object CommitLogAccess {
     */
   def publishBucketed(
       df: DataFrame, bucketCol: String, numBuckets: Int, dir: String, meta: String,
-      replace: Boolean = true): Unit = {
+      replace: Boolean = true, sortCols: Seq[String] = Seq("term")): Unit = {
     graft.streaming.CommitLog.init(dir, df.drop(bucketCol).schema)
     Files.write(Paths.get(dir, "_index.json"), meta.getBytes(StandardCharsets.UTF_8))
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"
     df.repartition(numBuckets, col(bucketCol))
-      .sortWithinPartitions(col(bucketCol), col("term"))
+      .sortWithinPartitions((bucketCol +: sortCols).map(col): _*)
       .write.partitionBy(bucketCol).parquet(dataDir)
     val prefix = Paths.get(dir).toAbsolutePath
     val files = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)

@@ -128,4 +128,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
       s"quantized cosine ${r.getDouble(1)} drifted from ${r.getDouble(0)}")
   }
+
+  test("persisted IVF index reproduces ivfTopK exactly and probes only index files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val queries = emb.where($"vec_id" < 5)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIterations = 2)
+    val fromIndex = Similarity
+      .ivfSearchIndexed(spark, dir, queries, "vec_id", "embedding", K, nProbe = 3)
+      .orderBy($"qid", $"rank").collect().map(_.toString).toSeq
+    // same deterministic centroids (k-means from the lowest-id sample,
+    // fixed iterations) => identical results to the rebuild-per-call path
+    val direct = Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", K,
+        nCentroids = 8, nProbe = 3, kmeansIterations = 2)
+      .orderBy($"qid", $"rank").collect().map(_.toString).toSeq
+    assert(fromIndex == direct, "indexed IVF diverged from ivfTopK")
+    // the search never opens the corpus parquet, and prunes to the
+    // probed buckets (<= 5 queries x 3 probes, deduped)
+    val df = Similarity.ivfSearchIndexed(spark, dir, queries, "vec_id", "embedding", K, nProbe = 3)
+    val inputs = df.inputFiles.toSeq
+    assert(inputs.nonEmpty && inputs.forall(f => f.contains(dir)),
+      s"expected only index files: $inputs")
+    val one = Similarity.ivfSearchIndexed(spark, dir,
+      emb.where($"vec_id" === 0), "vec_id", "embedding", K, nProbe = 2)
+    assert(one.inputFiles.length <= 2,
+      s"single query nProbe=2 read ${one.inputFiles.length} bucket files")
+  }
 }
