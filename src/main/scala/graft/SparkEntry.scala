@@ -973,6 +973,36 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- streaming index maintenance: the documents change stream feeds
+    //     Retrieval.indexSink (one batch-keyed append commit per
+    //     micro-batch, exactly-once, periodic manifest folding); the
+    //     search at the end probes the streamed index and must match the
+    //     WHOLE-corpus oracle — incremental result == batch result, the
+    //     stream_doc_near_dup contract applied to retrieval ---
+    "stream_term_index" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "documents")
+        .option("columnFamily", "f")
+        .option("partitionCols", "d_key")
+        .option("qualifiers", "text:string")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "2000000")
+        .load()
+      val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-sindex").toString
+      val q = graft.operators.Retrieval.indexSink(
+        docs, "doc_id", "text", s"$work/idx", checkpoint = s"$work/_checkpoint",
+        numBuckets = 64)
+      q.awaitTermination()
+      snapshotStreamingPlan(q, "stream_term_index")
+      graft.operators.Retrieval
+        .indexSearch(s, s"$work/idx", query = Seq("dup", "key", "batch"), topK = 25)
+        .select(col("doc").as("doc_id"), col("score"))
+    }),
+
     // --- streaming CDC upsert: the events change stream maintains a
     //     keep-latest snapshot through versioned parquet commits (one
     //     Upsert.mergeLatest per micro-batch); final snapshot == the
@@ -2430,6 +2460,7 @@ object SparkEntry {
     "doc_term_search" -> termSearchOracle,
     "doc_term_search_incr" -> termSearchOracle,
     "doc_term_search_indexed" -> termSearchOracle,
+    "stream_term_index" -> termSearchOracle,
     "doc_phrases" ->
       """WITH toks AS (
            SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),

@@ -131,9 +131,15 @@ object Retrieval {
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
-      dir: String
+      dir: String,
+      batchId: Option[Long] = None,
+      numBucketsIfNew: Int = 64
   ): Unit = {
-    val (nb, n) = CommitLogAccess.readMeta(dir)
+    val (nb, n) = CommitLogAccess.readMetaOrInit(dir, numBucketsIfNew)
+    // exactly-once for a checkpointed stream: a replayed micro-batch's
+    // commit is already in the log — skip it (and the corpus-count
+    // advance) entirely
+    if (batchId.exists(graft.streaming.CommitLog.committedBatchIds(dir).contains)) return
     val added = newDocs.count()
     if (added == 0) return
     val tf = newDocs
@@ -144,8 +150,39 @@ object Retrieval {
     CommitLogAccess.publishBucketed(
       tf.withColumn(BucketCol, bucketOf), BucketCol, nb, dir,
       meta = s"""{"numBuckets":$nb,"corpusSize":${n + added}}""",
-      replace = false)
+      replace = false, batchId = batchId)
+    // bound the manifest walk on a long-running stream the same way
+    // CommitLog.append does — fold the tail periodically (batch ids are
+    // preserved by the checkpoint, so replay-skip survives folding)
+    if (batchId.exists(b => b % 32 == 31)) graft.streaming.CommitLog.checkpoint(dir): Unit
   }
+
+  /** Continuous EXACTLY-ONCE index maintenance from a STREAMING document
+    * frame: every micro-batch's postings land as one batch-keyed append
+    * commit ([[appendToIndex]]), so crash-replays are skipped, searches
+    * always see whole commits, and the index trails the corpus by at
+    * most one micro-batch. `checkpoint` is REQUIRED — batch ids are only
+    * meaningful relative to a query checkpoint (the [[graft.streaming.CommitLog.sink]]
+    * rule). Run [[compactIndex]] periodically (quiesced) to fold the
+    * per-batch bucket files.
+    */
+  def indexSink(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      checkpoint: String,
+      numBuckets: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        appendToIndex(batch, idCol, textCol, dir, Some(bid), numBucketsIfNew = numBuckets)
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** Rewrite the index's CURRENT postings into one file per bucket and
     * publish as one replace commit — folds the append deltas back down.
@@ -239,7 +276,8 @@ private[operators] object CommitLogAccess {
     */
   def publishBucketed(
       df: DataFrame, bucketCol: String, numBuckets: Int, dir: String, meta: String,
-      replace: Boolean = true, sortCols: Seq[String] = Seq("term")): Unit = {
+      replace: Boolean = true, sortCols: Seq[String] = Seq("term"),
+      batchId: Option[Long] = None): Unit = {
     graft.streaming.CommitLog.init(dir, df.drop(bucketCol).schema)
     Files.write(Paths.get(dir, "_index.json"), meta.getBytes(StandardCharsets.UTF_8))
     val uuid = java.util.UUID.randomUUID().toString
@@ -254,7 +292,7 @@ private[operators] object CommitLogAccess {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
       .sorted.toSeq
-    graft.streaming.CommitLog.commitFiles(dir, files, replace = replace): Unit
+    graft.streaming.CommitLog.commitFiles(dir, files, replace = replace, batchId = batchId): Unit
   }
 
   /** (numBuckets, corpusSize) recorded at build time. */
@@ -265,5 +303,18 @@ private[operators] object CommitLogAccess {
     val n = "\"corpusSize\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"corrupt index meta in $dir"))
     (nb, n)
+  }
+
+  /** [[readMeta]], creating an empty table with `numBuckets` when none
+    * exists yet — the from-scratch entry for a streamed corpus.
+    */
+  def readMetaOrInit(dir: String, numBuckets: Int): (Int, Long) = {
+    val p = Paths.get(dir, "_index.json")
+    if (!Files.exists(p)) {
+      Files.createDirectories(Paths.get(dir))
+      Files.write(p,
+        s"""{"numBuckets":$numBuckets,"corpusSize":0}""".getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    readMeta(dir)
   }
 }

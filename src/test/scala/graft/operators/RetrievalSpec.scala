@@ -86,6 +86,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.indexSearch(spark, dir, Seq("common"), topK = 10).count() == 4)
   }
 
+  test("indexSink: streamed corpus indexed exactly-once across a checkpointed restart") {
+    val work = java.nio.file.Files.createTempDirectory("graft-invidx-stream").toString
+    val src = s"$work/src"; val dir = s"$work/idx"; val cp = s"$work/cp"
+    docs.where($"doc_id" <= 2).write.parquet(src)
+    val schema = docs.schema
+    def run(): Unit = {
+      val st = spark.readStream.schema(schema).parquet(src)
+      Retrieval.indexSink(st, "doc_id", "text", dir, checkpoint = cp, numBuckets = 4)
+        .awaitTermination()
+    }
+    run()
+    val partial = Retrieval.indexSearch(spark, dir, Seq("common"), topK = 10).count()
+    assert(partial == 2, s"first increment indexed $partial docs with 'common'")
+    docs.where($"doc_id" > 2).write.mode("append").parquet(src)
+    run() // same checkpoint: only the new files index; replays skip
+    val direct = Retrieval.termSearch(docs, "doc_id", "text", Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    val streamed = Retrieval.indexSearch(spark, dir, Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == direct, s"streamed index diverged: $streamed vs $direct")
+    // idf corpus count advanced to the full corpus exactly once
+    assert(CommitLogAccess.readMeta(dir)._2 == 4L)
+  }
+
   test("bucket pruning: a one-term query reads exactly one bucket file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx2").toString
     Retrieval.buildIndex(docs, "doc_id", "text", dir, numBuckets = 8)
