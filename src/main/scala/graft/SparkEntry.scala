@@ -1055,6 +1055,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
 
+    // --- leakage-safe split: split membership keyed on the near-dup
+    //     CLUSTER representative, so no eval/train boundary separates two
+    //     near-copies (the eval-contamination hazard of per-doc
+    //     splitting). Oracle recomputes clusters with a recursive CTE
+    //     and the same md5 gate ---
+    "doc_leakage_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.operators.Dedup
+        .nearDuplicates(docs, "doc_id", "text", threshold = 0.9,
+          numHashes = 120, bands = 20, persistIntermediate = true)
+      graft.operators.Sampling
+        .leakageSafeSplit(docs, "doc_id", pairs, "id1", "id2",
+          Seq(("eval", "28"), ("test", "50")))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- stratified deterministic sample: k per language stratum ---
     "doc_stratified" -> ((s, dir) =>
       graft.operators.Sampling
@@ -2312,6 +2329,34 @@ object SparkEntry {
                        ELSE 'train' END AS split
            FROM documents) t
          GROUP BY split ORDER BY split""",
+    "doc_leakage_split" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents),
+         prs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
+         und AS (
+           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+         rep AS (
+           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         SELECT doc_id,
+                CASE WHEN md5(CAST(rep AS VARCHAR)) < '28' THEN 'eval'
+                     WHEN md5(CAST(rep AS VARCHAR)) < '50' THEN 'test'
+                     ELSE 'train' END AS split
+         FROM rep ORDER BY doc_id""",
     "doc_stratified" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,

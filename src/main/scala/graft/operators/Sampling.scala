@@ -59,6 +59,34 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** [[hashSplit]] that cannot leak near-duplicates across splits: rows
+    * are split-assigned by their DUPLICATE-CLUSTER representative, not
+    * their own id, so a train/eval boundary never separates two
+    * documents that [[Dedup]] found to be near-copies of each other (the
+    * eval-contamination hazard of naive per-document splitting).
+    * `pairs` is any duplicate-pair frame (aCol, bCol); clusters are its
+    * connected components, singletons represent themselves. One
+    * CC computation + one left join on the id — the corpus never
+    * shuffles for the assignment itself, and membership stays stable as
+    * long as clusters do.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      bounds: Seq[(String, String)],
+      defaultSplit: String = "train",
+      splitCol: String = "split"
+  ): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component").as("__rep"))
+    val withRep = docs.join(comps, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("__rep"), col(idCol)))
+    hashSplit(withRep, "__rep", bounds, defaultSplit, splitCol).drop("__rep")
+  }
+
   /** Per-group sampling fractions — the data-MIXING step of corpus
     * assembly (e.g. "50% of en, 25% of zh, all the rest"): keep a row
     * iff its 60-bit md5 hash of `keyCol` falls below

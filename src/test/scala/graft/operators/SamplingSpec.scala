@@ -72,4 +72,22 @@ class SamplingSpec extends AnyFunSuite {
       .select($"id").as[Long].collect().toSet
     assert(sampledSubset == half.filter(_ < 1000))
   }
+
+  test("leakageSafeSplit keeps every duplicate cluster inside one split") {
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {0,1,2} (chained), {10,11}; everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id1", "id2")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id1", "id2",
+      Seq(("eval", "40"), ("test", "80")))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out.size == 50)
+    assert(Set(out(0L), out(1L), out(2L)).size == 1, "cluster {0,1,2} crosses splits")
+    assert(out(10L) == out(11L), "cluster {10,11} crosses splits")
+    // cluster members follow their REPRESENTATIVE's hash (min id)
+    val solo = Sampling.hashSplit(docs, "doc_id", Seq(("eval", "40"), ("test", "80")))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out(1L) == solo(0L) && out(11L) == solo(10L))
+    // singletons are unchanged vs plain hashSplit — stable membership
+    assert((3L until 10L).forall(i => out(i) == solo(i)))
+  }
 }
