@@ -74,6 +74,28 @@ object SparkEntry {
       dir
     })
 
+  /** IVF index built on half the embeddings, the other half STREAMED in
+    * via ivfIndexSink (assign-to-existing-centroids appends) — the
+    * incremental ANN maintenance path.
+    */
+  private val ivfStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfStreamDir(s: SparkSession, sfDir: String): String =
+    ivfStreamDirs.computeIfAbsent(sfDir, { _ =>
+      val work = java.nio.file.Files.createTempDirectory("graft-ivfidx-s").toString
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.operators.Similarity.buildIvfIndex(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", s"$work/idx",
+        nCentroids = 16, kmeansIterations = 2)
+      emb.where(col("vec_id") % 2 === 1).repartition(4).write.parquet(s"$work/src")
+      val st = s.readStream.schema(emb.schema).parquet(s"$work/src")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.ivfIndexSink(
+        st, "vec_id", "embedding", s"$work/idx", checkpoint = s"$work/cp")
+        .awaitTermination()
+      s"$work/idx"
+    })
+
   /** Same corpus indexed INCREMENTALLY: base build on two thirds of the
     * documents, the last third arriving as an append delta — the growing-
     * corpus maintenance path, certified against the whole-corpus oracle.
@@ -1648,6 +1670,30 @@ object SparkEntry {
         .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
     }),
 
+    // --- ANN from an IVF index maintained INCREMENTALLY: half the
+    //     corpus clustered at build, half streamed in as exactly-once
+    //     assign-to-centroid appends; the recall contract must still
+    //     hold over the FULL corpus ---
+    "emb_knn_stream_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("qid"), col("nid"))
+      val approx = graft.operators.Similarity
+        .ivfSearchIndexed(s, ivfStreamDir(s, dir), queries, "vec_id", "embedding", 10, nProbe = 6)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact_q"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_exact_q")).as("n_exact"),
+          (avg(col("n_hit") / col("n_exact_q")) >= 0.75).as("recall_ok"))
+        .select(col("n_queries"), lit(10).as("k"), col("n_exact"), col("recall_ok"))
+    }),
+
     // --- PQ compressed-corpus ANN with exact rerank: 32x-compressed
     //     codes shortlist candidates (ADC over reconstructions), exact
     //     scoring reranks only the shortlist; recall measured in-engine
@@ -2828,6 +2874,10 @@ object SparkEntry {
                 10 * count(*) AS n_exact, true AS recall_ok
          FROM embeddings WHERE vec_id < 5""",
     "emb_knn_ivf_indexed_recall" ->
+      """SELECT count(*) AS n_queries, 10 AS k,
+                10 * count(*) AS n_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5""",
+    "emb_knn_stream_recall" ->
       """SELECT count(*) AS n_queries, 10 AS k,
                 10 * count(*) AS n_exact, true AS recall_ok
          FROM embeddings WHERE vec_id < 5""",

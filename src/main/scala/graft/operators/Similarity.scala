@@ -296,6 +296,59 @@ object Similarity {
       .split("\n").toSeq.filter(_.nonEmpty)
       .map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
 
+  /** Add NEW vectors to a [[buildIvfIndex]] table as one batch-keyed
+    * append commit: each vector assigns to its nearest EXISTING centroid
+    * (no re-clustering — the cheap/incremental IVF maintenance every ANN
+    * system runs between periodic rebuilds; heavy drift is a
+    * [[buildIvfIndex]] rebuild, which swaps in atomically). Delta-sized
+    * work; replayed micro-batches are skipped when `batchId` is given
+    * (exactly-once); the manifest tail folds every 32 batches.
+    */
+  def appendToIvfIndex(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      batchId: Option[Long] = None
+  ): Unit = {
+    if (batchId.exists(graft.streaming.CommitLog.committedBatchIds(dir).contains)) return
+    val centroids = loadCentroids(dir)
+    val c = newVecs.select(
+      col(idCol).as("nid"),
+      transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    if (c.isEmpty) return
+    val bucketed = c.withColumn("__b",
+      nearestCentroidBuckets(col("cvec"), centroids, 1).getItem(0))
+    CommitLogAccess.publishBucketed(
+      bucketed, "__b", centroids.size, dir,
+      meta = s"""{"numBuckets":${centroids.size},"corpusSize":0}""",
+      replace = false, sortCols = Seq("nid"), batchId = batchId)
+    if (batchId.exists(b => b % 32 == 31)) graft.streaming.CommitLog.checkpoint(dir): Unit
+  }
+
+  /** Continuous EXACTLY-ONCE IVF maintenance from a STREAMING vector
+    * frame — [[appendToIvfIndex]] per micro-batch. Requires a
+    * [[buildIvfIndex]] base (centroids must exist); `checkpoint` is
+    * REQUIRED (the commit-log sink rule: batch ids are only meaningful
+    * relative to a query checkpoint).
+    */
+  def ivfIndexSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        appendToIvfIndex(batch, idCol, vecCol, dir, Some(bid))
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** [[ivfTopK]] semantics served from a [[buildIvfIndex]] table: each
     * query batch reads ONLY the union of its queries' `nProbe` nearest
     * centroid buckets (≤ nCentroids files, usually far fewer) — the

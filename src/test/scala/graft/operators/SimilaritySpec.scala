@@ -155,4 +155,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(one.inputFiles.length <= 2,
       s"single query nProbe=2 read ${one.inputFiles.length} bucket files")
   }
+
+  test("IVF appends: streamed vectors join the index; probing all buckets is exact") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfidx-s").toString
+    val src = s"$work/src"; val dir = s"$work/idx"; val cp = s"$work/cp"
+    val nC = 8
+    Similarity.buildIvfIndex(emb.where($"vec_id" % 2 === 0), "vec_id", "embedding", dir,
+      nCentroids = nC, kmeansIterations = 2)
+    // the odd half arrives as a stream (4 files => multiple micro-batches)
+    emb.where($"vec_id" % 2 === 1).repartition(4).write.parquet(src)
+    val st = spark.readStream.schema(emb.schema).parquet(src)
+      .select($"vec_id", $"embedding")
+    Similarity.ivfIndexSink(st, "vec_id", "embedding", dir, checkpoint = cp)
+      .awaitTermination()
+    val queries = emb.where($"vec_id" < 5)
+    // probe EVERY centroid: candidate set is the whole corpus, so the
+    // indexed result must equal exact brute force over base + appends
+    val full = Similarity
+      .ivfSearchIndexed(spark, dir, queries, "vec_id", "embedding", K, nProbe = nC)
+      .orderBy($"qid", $"rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K)
+      .orderBy($"qid", $"rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == exact, "all-bucket probe diverged from brute force after appends")
+    // restart with the same checkpoint: replays skip, results unchanged
+    Similarity.ivfIndexSink(
+      spark.readStream.schema(emb.schema).parquet(src).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, checkpoint = cp).awaitTermination()
+    val again = Similarity
+      .ivfSearchIndexed(spark, dir, queries, "vec_id", "embedding", K, nProbe = nC)
+      .orderBy($"qid", $"rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == exact, "replayed stream duplicated index rows")
+  }
 }
