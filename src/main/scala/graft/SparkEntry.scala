@@ -1402,6 +1402,29 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- snapshot CHANGE FEED: the diff between two maintained versions
+    //     must be exactly the later batch's effective changes — certified
+    //     through the whole stack (bucket-pruned merge, filesAt version
+    //     reconstruction, shared-file pruning, distributed exceptAll).
+    //     The oracle recomputes the change set relationally ---
+    "rel_upsert_changes" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val base = cust
+        .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val updates = cust.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      val work = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+      graft.streaming.SnapshotUpsert.processBatch(
+        base, Seq("c_custkey"), "version", work, Some(0L), numBuckets = 8)
+      graft.streaming.SnapshotUpsert.processBatch(
+        updates, Seq("c_custkey"), "version", work, Some(1L), numBuckets = 8)
+      graft.streaming.SnapshotUpsert.changesBetween(s, work, 1, 2)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), col("version"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // --- intra-document repetition signals (Gopher/C4-style quality
     //     filters): top-bigram fraction + duplicate-trigram fraction as
     //     PURE PROJECTIONS (token array staged once; no per-gram shuffle) ---
@@ -2622,6 +2645,10 @@ object SparkEntry {
                   CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
            FROM customer)
          SELECT * FROM s ORDER BY column_name""",
+    "rel_upsert_changes" ->
+      """SELECT c_custkey, round(c_acctbal + 100.0, 2) AS acctbal,
+                CAST(1 AS BIGINT) AS version
+         FROM customer WHERE c_custkey % 7 = 0 ORDER BY c_custkey""",
     "rel_upsert" ->
       """WITH base AS (
            SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS version, false AS deleted, 0 AS prio

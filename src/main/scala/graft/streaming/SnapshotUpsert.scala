@@ -165,6 +165,36 @@ object SnapshotUpsert {
     }
   }
 
+  /** Change feed between two snapshot versions — the rows of
+    * `toVersion` that `fromVersion` did not contain (new keys and
+    * version-advanced rewrites; keep-latest snapshots never drop a key,
+    * deletes surface as tombstone-column updates). One distributed
+    * `exceptAll` over the two reconstructed filesets: no driver
+    * materialization, and with bucket-pruned maintenance most files are
+    * SHARED between adjacent versions, so the diff's scan cost tracks
+    * the change size at 100 TB, not the snapshot size, once the
+    * identical-file pairs are pruned... which Spark cannot see by
+    * itself — so identical paths are dropped here before the read.
+    */
+  def changesBetween(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int
+  ): DataFrame = {
+    require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val a = CommitLog.filesAt(dir, fromVersion.toLong).toSet
+    val b = CommitLog.filesAt(dir, toVersion.toLong).toSet
+    val schema = CommitLog.schemaOf(dir)
+    def readFiles(fs: Set[String]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(fs.toSeq.sorted.map(f => s"$dir/$f"): _*)
+    // carried-by-reference files are byte-identical on both sides: their
+    // rows cancel in exceptAll, so skip reading them entirely
+    readFiles(b -- a).exceptAll(readFiles(a -- b))
+  }
+
   /** Maintenance: retention + data GC + optional re-bucketing. Keeps the
     * newest `keepVersions` versions (bounding time travel to the
     * retained window) by pruning older manifests, then deletes every

@@ -35,6 +35,25 @@ class SnapshotUpsertSpec extends AnyFunSuite {
     assert(SnapshotUpsert.read(spark, dir, version = 0).isEmpty)
   }
 
+  test("changesBetween returns exactly the net effect of the later version") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-cdf").toString
+    val wide = (0L until 40L).map(k => (k, s"a$k", 1L)).toDF("k", "v", "ver")
+    SnapshotUpsert.processBatch(wide, Seq("k"), "ver", dir, Some(0L), numBuckets = 8)
+    val delta = Seq((3L, "UP", 2L), (100L, "new", 2L)).toDF("k", "v", "ver")
+    SnapshotUpsert.processBatch(delta, Seq("k"), "ver", dir, Some(1L), numBuckets = 8)
+    val changes = SnapshotUpsert.changesBetween(spark, dir, 1, 2)
+      .as[(Long, String, Long)].collect().toSet
+    assert(changes == Set((3L, "UP", 2L), (100L, "new", 2L)), changes)
+    // an ignored late-lower-version batch produces an EMPTY change feed
+    SnapshotUpsert.processBatch(Seq((3L, "stale", 1L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver", dir, Some(2L), numBuckets = 8)
+    assert(SnapshotUpsert.changesBetween(spark, dir, 2, 3).isEmpty)
+    // diff reads only the differing bucket files, not the snapshot
+    val df = SnapshotUpsert.changesBetween(spark, dir, 1, 2)
+    assert(df.inputFiles.length < graft.streaming.CommitLog.currentFiles(dir).size,
+      "diff scanned the whole snapshot")
+  }
+
   test("within-batch version conflicts resolve to the highest version") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Long)]
