@@ -1533,6 +1533,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         query = Seq("dup", "key", "batch"), topK = 25)),
 
+    // --- conjunctive (AND) retrieval: only documents containing EVERY
+    //     query term score — the same single-pass aggregate with a
+    //     distinct-term HAVING filter, over the persisted index ---
+    "doc_term_search_all" -> ((s, dir) => {
+      val idx = indexedTermDir(s, dir)
+      graft.operators.Retrieval
+        .indexSearch(s, idx, query = Seq("dup", "key", "batch"), topK = 25,
+          requireAll = true)
+        .select(col("doc").as("doc_id"), col("score"))
+    }),
+
     // --- the same search served from a PERSISTED inverted index: posting
     //     lists bucketed by term hash in a CommitLog table, the query
     //     probing only its terms' buckets — the corpus parquet is never
@@ -2572,6 +2583,18 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 11 = 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "doc_term_search" -> termSearchOracle,
+    "doc_term_search_all" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('dup', 'key', 'batch') GROUP BY doc_id, t),
+         df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
+         FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
+         HAVING count(DISTINCT t) = 3
+         ORDER BY score DESC, doc_id LIMIT 25""",
     "doc_term_search_incr" -> termSearchOracle,
     "doc_term_search_indexed" -> termSearchOracle,
     "stream_term_index" -> termSearchOracle,

@@ -45,7 +45,8 @@ object Retrieval {
       textCol: String,
       query: Seq[String],
       topK: Int,
-      corpusSize: Option[Long] = None
+      corpusSize: Option[Long] = None,
+      requireAll: Boolean = false
   ): DataFrame = {
     require(query.nonEmpty, "query must contain at least one term")
     require(topK >= 1)
@@ -67,9 +68,15 @@ object Retrieval {
     // exact integer division N div df via the remainder-subtraction trick
     // (the double division is exact because the numerator is divisible)
     val idf = ((lit(n) - pmod(lit(n), col("__df"))) / col("__df")).cast("long")
-    tf.join(broadcast(dfreq), "__t")
+    val scored = tf.join(broadcast(dfreq), "__t")
       .groupBy(col(idCol))
-      .agg(sum(col("__tf") * idf).as("score"))
+      .agg(sum(col("__tf") * idf).as("score"),
+        count(lit(1)).as("__nt")) // tf has one row per (doc, term)
+    // requireAll = conjunctive (AND) retrieval: keep only documents
+    // containing EVERY query term — the same aggregate, one extra
+    // HAVING-style filter, no additional pass
+    (if (requireAll) scored.where(col("__nt") === terms.size) else scored)
+      .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(topK)
   }
@@ -225,7 +232,8 @@ object Retrieval {
       spark: SparkSession,
       dir: String,
       query: Seq[String],
-      topK: Int
+      topK: Int,
+      requireAll: Boolean = false
   ): DataFrame = {
     require(query.nonEmpty, "query must contain at least one term")
     require(topK >= 1)
@@ -251,9 +259,13 @@ object Retrieval {
     // df per term from the probed postings (complete by bucketing); tiny
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val idf = ((lit(n) - pmod(lit(n), col("__df"))) / col("__df")).cast("long")
-    tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(broadcast(dfreq), "term")
       .groupBy(col("doc"))
-      .agg(sum(col("tf") * idf).as("score"))
+      .agg(sum(col("tf") * idf).as("score"),
+        countDistinct(col("term")).as("__nt")) // distinct, not row count:
+        // defensive against a doc's postings ever splitting across commits
+    (if (requireAll) scored.where(col("__nt") === terms.size) else scored)
+      .select(col("doc"), col("score"))
       .orderBy(desc("score"), col("doc"))
       .limit(topK)
   }

@@ -30,6 +30,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("requireAll keeps only documents containing every query term, both paths") {
+    // only doc 1 has both "rare" and "common"
+    val direct = Retrieval.termSearch(docs, "doc_id", "text", Seq("rare", "common"),
+      topK = 10, requireAll = true).as[(Long, Long)].collect().toSeq
+    assert(direct == Seq((1L, 9L)), direct)
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-all").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir, numBuckets = 4)
+    val probed = Retrieval.indexSearch(spark, dir, Seq("rare", "common"),
+      topK = 10, requireAll = true).as[(Long, Long)].collect().toSeq
+    assert(probed == direct, s"indexed AND-search diverged: $probed")
+    // no document has both "rare" and "absent"
+    assert(Retrieval.termSearch(docs, "doc_id", "text", Seq("rare", "absent"),
+      topK = 10, requireAll = true).count() == 0)
+  }
+
   test("query terms are case-normalized and deduplicated") {
     val a = Retrieval.termSearch(docs, "doc_id", "text", Seq("RARE", "rare"), topK = 10)
       .as[(Long, Long)].collect().toSeq
