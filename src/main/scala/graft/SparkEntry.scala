@@ -1094,6 +1094,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- token-budgeted epoch mix: keep each language's hash-ordered
+    //     document prefix while the running TOKEN total fits the budget
+    //     (how training mixes are specified); bucketed prefix-sum keeps
+    //     every group 256-way parallel ---
+    "doc_token_budget" -> ((s, dir) => {
+      val tf = graft.functions.TextFunctions
+      val staged = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("doc_id"), tf.tokenCount(col("text")).as("__ntok"))
+      graft.operators.Sampling
+        .tokenBudgetSample(staged, "doc_id", "lang", "__ntok",
+          Map("en" -> 3000L, "fr" -> 1000L), defaultBudget = 500L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // --- stratified deterministic sample: k per language stratum ---
     "doc_stratified" -> ((s, dir) =>
       graft.operators.Sampling
@@ -2437,6 +2452,19 @@ object SparkEntry {
                      WHEN md5(CAST(rep AS VARCHAR)) < '50' THEN 'test'
                      ELSE 'train' END AS split
          FROM rep ORDER BY doc_id""",
+    "doc_token_budget" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+                  len(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS ntok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT *, sum(ntok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT lang, doc_id FROM c
+         WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 1000 ELSE 500 END
+         ORDER BY lang, doc_id""",
     "doc_stratified" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,

@@ -87,6 +87,61 @@ object Sampling {
     hashSplit(withRep, "__rep", bounds, defaultSplit, splitCol).drop("__rep")
   }
 
+  /** Deterministic TOKEN-budgeted sampling per group — epoch composition
+    * the way training mixes are actually specified ("20M tokens of en,
+    * 5M of fr"), not by document count: within each group, documents are
+    * ordered by their md5 hash and kept while the running token total
+    * stays within the group's budget (inclusive; groups absent from
+    * `budgets` get `defaultBudget`). Selection is reproducible in any
+    * engine (same hash order, same cumsum) and monotone in the budget —
+    * raising a group's budget only appends documents.
+    *
+    * Scale shape: the naive form is one window partitioned by GROUP —
+    * a single reducer per group, a straggler when one group is most of
+    * the corpus. Here the hash's first two hex digits split every group
+    * into 256 sub-partitions: per-bucket token sums (≤ groups×256 rows)
+    * come to the driver, bucket offsets prefix-sum there, and the
+    * within-bucket window runs 256-way parallel per group. Because the
+    * bucket is a PREFIX of the ordering hash, bucket-offset + in-bucket
+    * cumsum equals the global per-group cumsum exactly.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L
+  ): DataFrame = {
+    require(budgets.nonEmpty || defaultBudget > 0, "no budget given")
+    val h = samplingHash(col(keyCol))
+    val staged = df.withColumn("__h", h).withColumn("__hb", substring(col("__h"), 1, 2))
+    val perBucket = staged.groupBy(col(groupCol), col("__hb"))
+      .agg(sum(col(tokensCol)).as("__bsum"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val offsets = perBucket.keys.groupBy(_._1).flatMap { case (g, ks) =>
+      var acc = 0L
+      ks.toSeq.sortBy(_._2).map { k =>
+        val o = (k._1, k._2, acc); acc += perBucket(k); o
+      }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF(groupCol, "__hb", "__boff"))
+    val budgetOf = coalesce(
+      element_at(typedlit(budgets), col(groupCol)), lit(defaultBudget))
+    val win = Window.partitionBy(col(groupCol), col("__hb"))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .join(offDf, Seq(groupCol, "__hb"))
+      .withColumn("__cum", col("__boff") + sum(col(tokensCol)).over(win))
+      .where(col("__cum") <= budgetOf)
+      .drop("__h", "__hb", "__boff", "__cum")
+  }
+
   /** Per-group sampling fractions — the data-MIXING step of corpus
     * assembly (e.g. "50% of en, 25% of zh, all the rest"): keep a row
     * iff its 60-bit md5 hash of `keyCol` falls below

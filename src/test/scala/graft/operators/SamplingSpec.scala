@@ -73,6 +73,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(sampledSubset == half.filter(_ < 1000))
   }
 
+  test("tokenBudgetSample: hash-order prefix under budget, bucket-parallel == naive, monotone") {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b", 1L + i % 5))
+      .toDF("id", "g", "ntok")
+    val got = Sampling.tokenBudgetSample(df, "id", "g", "ntok",
+      Map("a" -> 50L, "b" -> 120L)).select($"id").as[Long].collect().toSet
+    // naive reference: global per-group cumsum over md5 order, inclusive
+    val rows = df.select($"id", $"g", $"ntok").as[(Long, String, Long)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val budget = Map("a" -> 50L, "b" -> 120L)(g)
+      var acc = 0L
+      rs.sortBy(r => (md5hex(r._1.toString), r._1)).takeWhile { r =>
+        acc += r._3; acc <= budget
+      }.map(_._1).toSeq
+    }.toSet
+    assert(got == expected, s"bucketed != naive: extra=${got -- expected} missing=${expected -- got}")
+    // monotone: a bigger budget strictly extends the sample
+    val bigger = Sampling.tokenBudgetSample(df, "id", "g", "ntok",
+      Map("a" -> 100L, "b" -> 200L)).select($"id").as[Long].collect().toSet
+    assert(got.subsetOf(bigger) && bigger.size > got.size)
+    // absent group falls back to defaultBudget 0 => excluded entirely
+    val only = Sampling.tokenBudgetSample(df, "id", "g", "ntok", Map("a" -> 50L))
+      .select($"g").distinct().as[String].collect().toSeq
+    assert(only == Seq("a"))
+  }
+
   test("leakageSafeSplit keeps every duplicate cluster inside one split") {
     val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters: {0,1,2} (chained), {10,11}; everything else singleton
