@@ -1151,6 +1151,23 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // --- span-level exact dedup (substring dedup at 4-token-span
+    //     granularity): a span occurring anywhere else in the corpus
+    //     survives only at its first (doc_id, idx); docs reassembled
+    //     from surviving spans, emptied docs dropped ---
+    "doc_span_dedup" -> ((s, dir) =>
+      graft.operators.SpanDedup
+        .dedupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", spanTokens = 4)
+        .orderBy(col("doc_id"))),
+
+    // --- boilerplate scrub: every occurrence of a span repeated more
+    //     than maxOccurrences times corpus-wide is removed outright ---
+    "doc_span_scrub" -> ((s, dir) =>
+      graft.operators.SpanDedup
+        .scrubFrequentSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          spanTokens = 4, maxOccurrences = 2)
+        .orderBy(col("doc_id"))),
+
     // --- MinHash-LSH near-dup with exact jaccard verification ---
     // banding r=6/b=20: S-curve midpoint (1/20)^(1/6)≈0.61, so recall at
     // the 0.9 query threshold is 1-(1-0.9^6)^20 ≈ 1-2.6e-7 (safe for an
@@ -1659,20 +1676,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // --- ANN: IVF bucketed variant (rows-only; approximate by design) ---
-    "emb_knn_ivf" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.operators.Similarity
-        .ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10,
-          nCentroids = 16, nProbe = 6, kmeansIterations = 2)
-        .select(col("qid"), col("nid"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
-    }),
-
-    // --- ANN: IVF recall gate — joins the approximate result against
-    //     the in-engine exact result and asserts mean recall@10 >= 0.75
-    //     (the bound SimilaritySpec verifies); the oracle grounds
-    //     n_queries/n_exact in the data and pins recall_ok = true ---
+    // --- ANN: IVF recall gate — runs the approximate ivfTopK plan and
+    //     joins it against the in-engine exact result, asserting mean
+    //     recall@10 >= 0.75 (the bound SimilaritySpec verifies; it
+    //     sweeps nProbe to >= 0.9). This IS the gate for the IVF
+    //     operator: a rows-only entry for the raw approximate output
+    //     would certify nothing the recall contract doesn't, so the
+    //     approximate plan is registered only through this oracle-
+    //     pinned form. The oracle grounds n_queries/n_exact in the
+    //     data and pins recall_ok = true ---
     "emb_knn_ivf_recall" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 5)
@@ -2483,6 +2495,29 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keeper_id""",
     "doc_exact_dedup_rows" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+    "doc_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         idxs AS (SELECT doc_id, t,
+                  unnest(generate_series(0, CAST(ceil(len(t)/4.0) AS BIGINT)-1)) AS idx
+                  FROM toks),
+         spans AS (SELECT doc_id, idx,
+                   array_to_string(t[(idx*4+1):(idx*4+4)], ' ') AS span FROM idxs),
+         keep AS (SELECT doc_id, idx, span,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+                  FROM spans)
+         SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
+         FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "doc_span_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         idxs AS (SELECT doc_id, t,
+                  unnest(generate_series(0, CAST(ceil(len(t)/4.0) AS BIGINT)-1)) AS idx
+                  FROM toks),
+         spans AS (SELECT doc_id, idx,
+                   array_to_string(t[(idx*4+1):(idx*4+4)], ' ') AS span FROM idxs),
+         freq AS (SELECT span, count(*) AS n FROM spans GROUP BY span)
+         SELECT s.doc_id, string_agg(s.span, ' ' ORDER BY s.idx) AS text
+         FROM spans s JOIN freq f ON s.span = f.span
+         WHERE f.n <= 2 GROUP BY s.doc_id ORDER BY doc_id""",
     "doc_near_dup" ->
       """WITH s AS (
            SELECT doc_id,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def result(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("keep-first removes later occurrences, keeps the first, drops emptied docs") {
+    val docs = Seq(
+      (0L, "a b c d a b c d"), // span1 duplicates span0 within the doc
+      (1L, "a b c d x y"),     // span0 duplicates doc0's; tail span unique
+      (2L, "a b c d")          // entirely duplicate text -> doc vanishes
+    ).toDF("doc_id", "text")
+    val out = result(SpanDedup.dedupSpans(docs, "doc_id", "text", 4))
+    assert(out == Map(0L -> "a b c d", 1L -> "x y"))
+  }
+
+  test("unique corpus passes through unchanged (incl. short tail spans)") {
+    val docs = Seq((0L, "a b c"), (1L, "d e f g h")).toDF("doc_id", "text")
+    val out = result(SpanDedup.dedupSpans(docs, "doc_id", "text", 2))
+    assert(out == Map(0L -> "a b c", 1L -> "d e f g h"))
+  }
+
+  test("spanTokens=1 is token-level global dedup, order preserved") {
+    val docs = Seq((0L, "x y x z"), (1L, "y w")).toDF("doc_id", "text")
+    val out = result(SpanDedup.dedupSpans(docs, "doc_id", "text", 1))
+    // doc0 keeps first x, y, z; second x dropped. doc1's y lost to doc0, keeps w.
+    assert(out == Map(0L -> "x y z", 1L -> "w"))
+  }
+
+  test("keep-first matches a driver-side brute force on the fixture corpus") {
+    val k = 4
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = rows.flatMap { case (id, t) =>
+      val spans = t.split(" ").grouped(k).map(_.mkString(" ")).toSeq
+      val keep = spans.filter(s => seen.add(s))
+      if (keep.nonEmpty) Some(id -> keep.mkString(" ")) else None
+    }.toMap
+    val out = result(SpanDedup.dedupSpans(docs, "doc_id", "text", k))
+    assert(out == expected)
+  }
+
+  test("scrubFrequentSpans removes every occurrence above the cap") {
+    val docs = Seq(
+      (0L, "a b a b c d"), // "a b" occurs 3x corpus-wide (2 here, 1 in doc1)
+      (1L, "a b e f"),
+      (2L, "c d c d")      // "c d" occurs 3x too
+    ).toDF("doc_id", "text")
+    val out = result(SpanDedup.scrubFrequentSpans(docs, "doc_id", "text", 2, maxOccurrences = 2))
+    // "a b" (3 occurrences) and "c d" (3) both exceed the cap of 2 ->
+    // every occurrence removed; doc0 and doc2 lose all spans and vanish
+    assert(out == Map(1L -> "e f"))
+  }
+
+  test("scrub with maxOccurrences=1 strips all duplicated text") {
+    val docs = Seq((0L, "p q r s"), (1L, "p q t u")).toDF("doc_id", "text")
+    val out = result(SpanDedup.scrubFrequentSpans(docs, "doc_id", "text", 2, maxOccurrences = 1))
+    assert(out == Map(0L -> "r s", 1L -> "t u"))
+  }
+}
