@@ -489,6 +489,31 @@ object SparkEntry {
         .orderBy(col("r_name"))
     }),
 
+    // --- TPC-H Q18 shape (large-volume customer): HAVING-aggregate
+    //     semi-join into the fact, 3-way join, global top-k. The
+    //     qualifying-order set is an aggregate of lineitem (map-side
+    //     combined) and is small by construction — it broadcasts into
+    //     the lineitem probe as a semi join, and the top-100 is a
+    //     TakeOrdered, never a full sort ---
+    "rel_q18" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      val big = lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("__sumq"))
+        .where(col("__sumq") > 250)
+        .select(col("l_orderkey"))
+      lineitem
+        .join(broadcast(big), Seq("l_orderkey"), "left_semi")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // --- scalar subquery: customers above the global average balance ---
     // planned exactly as Catalyst plans a scalar subquery: broadcast the
     // 1-row aggregate and filter against it
@@ -1536,6 +1561,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- bigram LM surprise (CCNet-shaped perplexity filter): fit the
+    //     bigram model on the even-doc_id half (the "reference corpus"),
+    //     score everything — integer inverse-probability points with
+    //     penalized unigram backoff for unseen pairs ---
+    "doc_bigram_surprise" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lm = graft.operators.BigramModel.fit(docs.where(col("doc_id") % 2 === 0), "text")
+      graft.operators.BigramModel.score(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- RAG-style chunking: overlapping 32-token windows, stride 24
     //     (8-token overlap), pure projection+explode per document ---
     "doc_chunks" -> ((s, dir) => {
@@ -2377,6 +2413,16 @@ object SparkEntry {
          JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderstatus <> 'P'
          GROUP BY r_name ORDER BY r_name""",
+    "rel_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
     "rel_subquery_scalar" ->
       """SELECT c_mktsegment, count(*) AS n_above, min(c_custkey) AS min_key
          FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
@@ -2817,6 +2863,33 @@ object SparkEntry {
          FROM walk ORDER BY doc_id""",
     "doc_unigram_rarity" -> unigramRarityOracle,
     "doc_unigram_rarity_join" -> unigramRarityOracle,
+    "doc_bigram_surprise" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id, ts[idx] || ' ' || ts[idx+1] AS g,
+                  ts[idx] AS w1, ts[idx+1] AS w2
+           FROM (SELECT doc_id, ts,
+                 unnest(generate_series(1, len(ts)-1)) AS idx FROM tok)),
+         uni AS (
+           SELECT t AS w, count(*) AS n
+           FROM (SELECT unnest(ts) AS t FROM tok WHERE doc_id % 2 = 0)
+           GROUP BY t),
+         bic AS (SELECT g, count(*) AS n FROM bg WHERE doc_id % 2 = 0 GROUP BY g),
+         tot AS (SELECT sum(n) AS total FROM uni)
+         SELECT b.doc_id,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS unseen_rate,
+                round(CAST(sum(CASE WHEN c.n IS NOT NULL THEN u1.n // c.n
+                               ELSE 2 * ((SELECT total FROM tot) // coalesce(u2.n, 1))
+                               END) AS DOUBLE) / count(*), 6) AS mean_points
+         FROM bg b
+         LEFT JOIN bic c ON b.g = c.g
+         LEFT JOIN uni u1 ON b.w1 = u1.w
+         LEFT JOIN uni u2 ON b.w2 = u2.w
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "doc_chunks" ->
       """WITH tok AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts
