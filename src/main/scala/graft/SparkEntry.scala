@@ -324,6 +324,33 @@ object SparkEntry {
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_key"))),
 
+    // --- DSv2 WRITE path: df.write.format("bigtable") encodes rows
+    //     back into cells (inverse of the read pivot) through the
+    //     MutateRows surface, mode("overwrite") truncating first; the
+    //     read-back through the same connector must reproduce the
+    //     parquet source exactly ---
+    "bt_write_roundtrip" -> ((s, dir) => {
+      val name = s"${GraftTables.storeName(dir)}-writeback"
+      if (!graft.store.BigtableStores.contains(name))
+        graft.store.BigtableStores.register(name, new graft.store.ConcurrentBigtable)
+      val opts = Map(
+        "store" -> name, "table" -> "nation", "columnFamily" -> "f",
+        "partitionCols" -> "n_key", "qualifiers" -> "n_name:string,n_regionkey:long")
+      val w = s.read.parquet(s"$dir/nation.parquet")
+        .select(
+          lpad(col("n_nationkey").cast("string"), 4, "0").as("n_key"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.format("bigtable").mode("overwrite")
+      opts.foreach { case (k, v) => w.option(k, v) }
+      w.save()
+      val r = s.read.format("bigtable").option("allowFullScan", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))
+    }),
+
     // --- runtime filtering (DPP): no static key predicate on the fact
     //     side — the broadcast dim's keys narrow the scan to point
     //     lookups at runtime via SupportsRuntimeV2Filtering ---
@@ -2192,6 +2219,10 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation WHERE n_regionkey BETWEEN 1 AND 3 ORDER BY n_key""",
+    "bt_write_roundtrip" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_key""",
     "bt_prefix" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE lpad(CAST(n_nationkey AS VARCHAR), 4, '0') LIKE '000%'

@@ -53,7 +53,14 @@ final case class BigtableConfig(
       * (datasource.rs:81-88). Default off: in local[*] the registry is
       * shared and shipping the snapshot would bloat every task binary.
       */
-    shipStore: Boolean = false
+    shipStore: Boolean = false,
+    /** Cell timestamp for writes when the input has no `_timestamp`
+      * column (µs since epoch). Pinned by default so re-executed writer
+      * tasks upsert the SAME cell coordinates — idempotent retries.
+      */
+    writeTimestampMicros: Long = 0L,
+    /** Rows buffered per MutateRows call by each writer task. */
+    writeBatchRows: Int = 512
 ) extends Serializable {
 
   /** Fixed schema in the reference's column order (datasource.rs:68-79):
@@ -153,7 +160,9 @@ object BigtableConfig {
       maxPartitions = opt("maxPartitions", "32").toInt,
       maxComposedRanges = opt("maxComposedRanges", "4096").toInt,
       streamStepMicros = Option(opts.get("streamStepMicros")).filter(_.nonEmpty).map(_.toLong),
-      shipStore = opt("shipStore", "false").toBoolean
+      shipStore = opt("shipStore", "false").toBoolean,
+      writeTimestampMicros = opt("writeTimestampMicros", "0").toLong,
+      writeBatchRows = opt("writeBatchRows", "512").toInt
     )
   }
 }

@@ -45,7 +45,9 @@ class BigtableTableProvider extends TableProvider with DataSourceRegister {
     new BigtableTable(BigtableConfig.fromOptions(properties))
 }
 
-final class BigtableTable(cfg: BigtableConfig) extends Table with SupportsRead {
+final class BigtableTable(cfg: BigtableConfig)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   /** With `shipStore=true`, capture the registered store handle now —
     * table creation happens on the driver, where the registry is
     * populated — so scans built from this table carry it to executors
@@ -60,9 +62,20 @@ final class BigtableTable(cfg: BigtableConfig) extends Table with SupportsRead {
   override def name(): String = s"bigtable.${cfg.table}"
   override def schema(): StructType = cfg.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    // ACCEPT_ANY_SCHEMA: a write needn't carry every declared qualifier
+    // (absent column = no cells, reads back NULL) nor `_timestamp`
+    // (pinned writeTimestampMicros then applies). Spark's by-name
+    // output resolution would demand the full read schema; the
+    // BatchWrite validates what IS provided driver-side instead.
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BigtableScanBuilder(cfg, shippedStore)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BigtableWriteBuilder(cfg, info.schema())
 }
 
 /** Pushdown surface: equivalent of `TableProvider::scan` receiving

@@ -138,6 +138,14 @@ final class InMemoryBigtable private (
     * (execute_plan.rs:175-180): each filter narrows the surviving cells.
     */
   private def applyFilters(cells: Vector[BtCell], filters: Seq[RowFilter]): Vector[BtCell] =
+    CellFilters(cells, filters)
+}
+
+/** The server-side cell filter chain, shared by every emulator-backed
+  * [[BigtableStore]] (immutable snapshot and mutable alike).
+  */
+private[store] object CellFilters {
+  def apply(cells: Vector[BtCell], filters: Seq[RowFilter]): Vector[BtCell] =
     filters.foldLeft(cells) { (cs, f) =>
       f match {
         case RowFilter.FamilyNameRegex(re) =>

@@ -1,0 +1,133 @@
+package graft.store
+
+import graft.model._
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentSkipListMap}
+import scala.jdk.CollectionConverters._
+
+/** A [[BigtableStore]] that also accepts writes — the `MutateRows` RPC
+  * surface of the Bigtable data API, which the read-only reference
+  * never exposes (its insert path is an offline Python script,
+  * /root/reference/script/insert_rows.py). Each cell is a SetCell
+  * UPSERT addressed by `(rowKey, family, qualifier, timestampMicros)`:
+  * writing the same coordinates twice replaces the value, which is what
+  * makes Spark task retries safe — a re-executed writer task re-sets
+  * identical cells instead of duplicating them (the idempotence real
+  * Bigtable gives timestamp-pinned mutations).
+  */
+trait MutableBigtableStore extends BigtableStore {
+
+  /** Apply one batch of row mutations: for each `(rowKey, cells)`,
+    * upsert every cell at its own coordinates. A batch is NOT atomic
+    * across rows (Bigtable MutateRows semantics) — only idempotent.
+    */
+  def mutateRows(table: String, mutations: Seq[(String, Seq[BtCell])]): Unit
+
+  /** Drop every row of `table` (the admin API's DropRowRange over the
+    * whole table) — the truncate behind `mode("overwrite")`.
+    */
+  def truncateTable(table: String): Unit
+}
+
+/** Thread-safe mutable Bigtable emulator: tables are concurrent
+  * skip-list maps in UTF-8-byte key order (so range reads stream in
+  * Bigtable key order without a sort), rows are concurrent maps from
+  * cell coordinates to value (so concurrent writer tasks interleave
+  * safely and SetCell idempotence is structural). Reads see a live,
+  * weakly-consistent view — matching the non-transactional reality of
+  * reading a table that is being written.
+  */
+final class ConcurrentBigtable extends MutableBigtableStore {
+
+  private type Row = ConcurrentHashMap[(String, String, Long), Array[Byte]]
+  private val tables =
+    new ConcurrentHashMap[String, ConcurrentSkipListMap[String, Row]]()
+
+  private def newTable(): ConcurrentSkipListMap[String, Row] =
+    new ConcurrentSkipListMap[String, Row](
+      (a: String, b: String) => RowRange.compareKeys(a, b))
+
+  override def mutateRows(table: String, mutations: Seq[(String, Seq[BtCell])]): Unit = {
+    val t = tables.computeIfAbsent(table, _ => newTable())
+    mutations.foreach { case (key, cells) =>
+      val row = t.computeIfAbsent(key, _ => new Row())
+      cells.foreach(c => row.put((c.family, c.qualifier, c.timestampMicros), c.value))
+    }
+  }
+
+  override def truncateTable(table: String): Unit =
+    tables.remove(table): Unit
+
+  private def cellsOf(row: Row): Vector[BtCell] =
+    row.entrySet().iterator().asScala.map { e =>
+      val (fam, qual, ts) = e.getKey
+      BtCell(fam, qual, ts, e.getValue)
+    }.toVector.sortBy(c => (c.family, c.qualifier, -c.timestampMicros))
+
+  override def readRows(
+      table: String,
+      ranges: Seq[RowRange],
+      filters: Seq[RowFilter]
+  ): Iterator[BtRow] = {
+    require(
+      ranges.nonEmpty,
+      "readRows requires at least one RowRange; use Seq(RowRange.full) for an explicit full scan"
+    )
+    val data = tables.get(table)
+    if (data == null)
+      throw new IllegalArgumentException(s"unknown bigtable table: $table")
+    RowRange.normalize(ranges).iterator.flatMap { r =>
+      data.tailMap(r.startKey, true).entrySet().iterator().asScala
+        .takeWhile { e =>
+          r.endKey match {
+            case None    => true
+            case Some(end) =>
+              val c = RowRange.compareKeys(e.getKey, end)
+              if (r.endInclusive) c <= 0 else c < 0
+          }
+        }
+        .flatMap { e =>
+          val kept = CellFilters(cellsOf(e.getValue), filters)
+          if (kept.isEmpty) None else Some(BtRow(e.getKey, kept))
+        }
+    }
+  }
+
+  override def sampleRowKeys(table: String): Seq[String] = {
+    val data = tables.get(table)
+    if (data == null) return Nil
+    val keys = data.keySet().iterator().asScala.toVector
+    val n = keys.size
+    val targetSamples = 32
+    if (n <= 1) Nil
+    else {
+      val step = math.max(1, n / targetSamples)
+      keys.zipWithIndex.collect { case (k, i) if i > 0 && i % step == 0 => k }
+    }
+  }
+
+  override def estimateSize(table: String, ranges: Seq[RowRange]): Option[(Long, Long)] = {
+    val data = tables.get(table)
+    if (data == null) return Some((0L, 0L))
+    var rows = 0L
+    var bytes = 0L
+    RowRange.normalize(ranges).foreach { r =>
+      data.tailMap(r.startKey, true).entrySet().iterator().asScala
+        .takeWhile { e =>
+          r.endKey match {
+            case None    => true
+            case Some(end) =>
+              val c = RowRange.compareKeys(e.getKey, end)
+              if (r.endInclusive) c <= 0 else c < 0
+          }
+        }
+        .foreach { e =>
+          rows += 1
+          bytes += e.getKey.length +
+            e.getValue.entrySet().iterator().asScala
+              .map(c => 16L + c.getKey._2.length + c.getValue.length).sum
+        }
+    }
+    Some((rows, bytes))
+  }
+}
