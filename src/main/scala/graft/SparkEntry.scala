@@ -113,6 +113,42 @@ object SparkEntry {
       dir
     })
 
+  /** Events replayed as a file stream INTO a mutable store through
+    * `writeStream.format("bigtable")` — once per JVM per scale factor;
+    * the gate then batch-reads the store back through the connector.
+    */
+  private val btStreamWriteStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def btStreamWriteStore(s: SparkSession, sfDir: String): String =
+    btStreamWriteStores.computeIfAbsent(sfDir, { _ =>
+      val name = s"${GraftTables.storeName(sfDir)}-streamwrite"
+      graft.store.BigtableStores.register(name, new graft.store.ConcurrentBigtable)
+      val work = java.nio.file.Files.createTempDirectory("graft-btsw").toString
+      // explicit schema omitting ts: events.parquet's TIMESTAMP(NANOS)
+      // is rejected by Spark's parquet reader (the doc_salted_count
+      // idiom); cell timestamps pin to writeTimestampMicros instead
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).parquet(s"$sfDir/events.parquet")
+        .repartition(4).write.parquet(s"$work/src") // 4 files -> several epochs
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/src")
+        .select(
+          lpad(col("event_id").cast("string"), 8, "0").as("e_key"),
+          col("event_type"), col("user_id"), col("value"))
+        .writeStream.format("bigtable")
+        .option("store", name).option("table", "events_w").option("columnFamily", "f")
+        .option("partitionCols", "e_key")
+        .option("qualifiers", "event_type:string,user_id:long,value:double")
+        .option("checkpointLocation", s"$work/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      name
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2A A4: partition pruning, equality (composer.rs:163-192) ---
     "bt_key_eq" -> ((s, dir) =>
@@ -349,6 +385,21 @@ object SparkEntry {
       r.load()
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_key"))
+    }),
+
+    // --- STREAMING write: events replayed as a multi-epoch file stream
+    //     through writeStream.format("bigtable") (effectively-once via
+    //     pinned cell coordinates), then batch-read back ---
+    "stream_bt_write" -> ((s, dir) => {
+      val store = btStreamWriteStore(s, dir)
+      s.read.format("bigtable")
+        .option("store", store).option("table", "events_w").option("columnFamily", "f")
+        .option("partitionCols", "e_key")
+        .option("qualifiers", "event_type:string,user_id:long,value:double")
+        .option("allowFullScan", "true")
+        .load()
+        .select(col("e_key"), col("event_type"), col("user_id"), col("value"))
+        .orderBy(col("e_key"))
     }),
 
     // --- runtime filtering (DPP): no static key predicate on the fact
@@ -2223,6 +2274,10 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation ORDER BY n_key""",
+    "stream_bt_write" ->
+      """SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS e_key, event_type,
+         user_id, value
+         FROM events ORDER BY e_key""",
     "bt_prefix" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation WHERE lpad(CAST(n_nationkey AS VARCHAR), 4, '0') LIKE '000%'

@@ -69,8 +69,8 @@ final class BigtableTable(cfg: BigtableConfig)
     // BatchWrite validates what IS provided driver-side instead.
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BigtableScanBuilder(cfg, shippedStore)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

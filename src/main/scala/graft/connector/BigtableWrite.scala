@@ -44,6 +44,8 @@ final class BigtableWriteBuilder(cfg: BigtableConfig, inputSchema: StructType)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BigtableBatchWrite(cfg, inputSchema, doTruncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new BigtableStreamingWrite(cfg, inputSchema, doTruncate)
     override def description(): String =
       s"BigtableWrite ${cfg.table}${if (doTruncate) " (truncate)" else ""}"
   }
@@ -53,7 +55,51 @@ final class BigtableBatchWrite(cfg: BigtableConfig, inputSchema: StructType, doT
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side schema validation: fail the job before any task runs.
+    val store = BigtableWriteSupport.prepare(cfg, inputSchema)
+    if (doTruncate) store.truncateTable(cfg.table)
+    new BigtableDataWriterFactory(cfg, inputSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Mutations already flushed by failed tasks stay — MutateRows is
+    * non-transactional; correctness comes from SetCell idempotence on
+    * the retry, not rollback.
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** `df.writeStream.format("bigtable")`: each epoch's rows upsert
+  * through the same per-partition writers as a batch write. There is
+  * no per-epoch transaction — delivery is effectively-once because
+  * cell coordinates are pinned (input `_timestamp` or
+  * `writeTimestampMicros`), so a replayed epoch re-sets identical
+  * cells; this is exactly how real Bigtable streaming ingest behaves,
+  * and the store-level alternative for pipelines that need manifest
+  * atomicity is `CommitLog.sink`. Truncate-on-start applies once,
+  * driver-side, when the sink is created with outputMode that
+  * requested it.
+  */
+final class BigtableStreamingWrite(cfg: BigtableConfig, inputSchema: StructType, doTruncate: Boolean)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    val store = BigtableWriteSupport.prepare(cfg, inputSchema)
+    if (doTruncate) store.truncateTable(cfg.table)
+    new BigtableStreamingDataWriterFactory(cfg, inputSchema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[connector] object BigtableWriteSupport {
+
+  /** Driver-side schema validation + store resolution: fail the job
+    * before any task runs.
+    */
+  def prepare(cfg: BigtableConfig, inputSchema: StructType): MutableBigtableStore = {
     val nonKey = inputSchema.fields.filterNot(f => cfg.isPartitionCol(f.name))
     cfg.partitionCols.foreach { k =>
       val f = inputSchema.fields.find(_.name == k).getOrElse(
@@ -77,23 +123,9 @@ final class BigtableBatchWrite(cfg: BigtableConfig, inputSchema: StructType, doT
             s"declared ${declared._2.simpleString}")
       }
     }
-    // Truncate driver-side, before any writer task launches — also
-    // verifies early that the store exists and is writable.
-    val store = BigtableWriteBuilderSupport.writableStore(cfg)
-    if (doTruncate) store.truncateTable(cfg.table)
-    new BigtableDataWriterFactory(cfg, inputSchema)
+    writableStore(cfg)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-
-  /** Mutations already flushed by failed tasks stay — MutateRows is
-    * non-transactional; correctness comes from SetCell idempotence on
-    * the retry, not rollback.
-    */
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
-}
-
-private[connector] object BigtableWriteBuilderSupport {
   def writableStore(cfg: BigtableConfig): MutableBigtableStore =
     BigtableStores.get(cfg.storeName) match {
       case m: MutableBigtableStore => m
@@ -109,10 +141,20 @@ final class BigtableDataWriterFactory(cfg: BigtableConfig, inputSchema: StructTy
     new BigtableDataWriter(cfg, inputSchema)
 }
 
+/** Standalone (serializable) factory — epoch-agnostic because writer
+  * idempotence comes from pinned cell coordinates, not epoch fencing.
+  */
+final class BigtableStreamingDataWriterFactory(cfg: BigtableConfig, inputSchema: StructType)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new BigtableDataWriter(cfg, inputSchema)
+}
+
 final class BigtableDataWriter(cfg: BigtableConfig, inputSchema: StructType)
     extends DataWriter[InternalRow] {
 
-  private val store = BigtableWriteBuilderSupport.writableStore(cfg)
+  private val store = BigtableWriteSupport.writableStore(cfg)
 
   private val keyOrdinals: Array[Int] =
     cfg.partitionCols.map(inputSchema.fieldIndex).toArray

@@ -124,6 +124,28 @@ class BigtableWriteSpec extends AnyFunSuite {
       Seq(("a", 1L, "m")))
   }
 
+  test("writeStream.format(bigtable): epochs upsert, replayed data is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    in.addData(("a", 1L), ("b", 2L))
+    val cp = java.nio.file.Files.createTempDirectory("bt-stream-write").toString
+    def run(): Unit =
+      in.toDF().toDF("k", "v").writeStream.format("bigtable")
+        .option("store", store).option("table", "t").option("columnFamily", "f")
+        .option("partitionCols", "k").option("qualifiers", "v:long")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    in.addData(("b", 20L), ("c", 3L)) // second epoch updates b, inserts c
+    run()
+    val back = reader(store, "v:long").select($"k", $"v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+  }
+
   test("writing to a read-only store is rejected") {
     val name = s"write-spec-ro-${System.identityHashCode(this)}"
     BigtableStores.register(name, new InMemoryBigtable.Builder().build())
