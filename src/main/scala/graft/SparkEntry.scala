@@ -1098,6 +1098,33 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- incremental SPAN dedup over the documents change stream:
+    //     spans claimed by earlier arrival batches drop, keep-first
+    //     within each batch, result + span index exactly-once in a
+    //     CommitLog. Arrival order is the 8 (doc_id % 8) slots, so the
+    //     oracle is keep-first under (slot, doc_id, idx) ---
+    "stream_span_dedup" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "documents")
+        .option("columnFamily", "f")
+        .option("partitionCols", "d_key")
+        .option("qualifiers", "text:string")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "1000000") // 1s = one arrival slot per batch
+        .load()
+      val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-sspan").toString
+      graft.streaming.StreamingSpanDedup.incrementalSpanDedup(
+        docs, "doc_id", "text", work, spanTokens = 4,
+        checkpoint = s"$work/_checkpoint")
+        .awaitTermination()
+      graft.streaming.StreamingSpanDedup.docs(s, work)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- streaming index maintenance: the documents change stream feeds
     //     Retrieval.indexSink (one batch-keyed append commit per
     //     micro-batch, exactly-once, periodic manifest folding); the
@@ -2636,6 +2663,19 @@ object SparkEntry {
                    array_to_string(t[(idx*4+1):(idx*4+4)], ' ') AS span FROM idxs),
          keep AS (SELECT doc_id, idx, span,
                   row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+                  FROM spans)
+         SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
+         FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "stream_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         idxs AS (SELECT doc_id, t,
+                  unnest(generate_series(0, CAST(ceil(len(t)/4.0) AS BIGINT)-1)) AS idx
+                  FROM toks),
+         spans AS (SELECT doc_id, idx,
+                   array_to_string(t[(idx*4+1):(idx*4+4)], ' ') AS span FROM idxs),
+         keep AS (SELECT doc_id, idx, span,
+                  row_number() OVER (PARTITION BY span
+                                     ORDER BY doc_id % 8, doc_id, idx) AS rn
                   FROM spans)
          SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
          FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",

@@ -43,7 +43,7 @@ object SpanDedup {
     * or null token arrays surface as one null span row and are dropped
     * per-SPAN, which is free.
     */
-  private def explodedSpans(
+  private[graft] def explodedSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -89,6 +89,14 @@ object SpanDedup {
       .join(keepers, Seq("__sh"), "left_outer")
       .where(col("__keep").isNull ||
         (col("__keep.__doc") === col("__doc") && col("__keep.__idx") === col("__idx")))
+    reassemble(kept, idCol, textCol)
+  }
+
+  /** Surviving (__doc, __idx, __span) rows → (idCol, textCol) documents,
+    * spans rejoined in order. One shuffle on doc id; per-doc state is
+    * bounded by document length.
+    */
+  private[graft] def reassemble(kept: DataFrame, idCol: String, textCol: String): DataFrame =
     kept
       .groupBy(col("__doc"))
       .agg(array_join(
@@ -97,7 +105,6 @@ object SpanDedup {
           s => s.getField("__span")),
         " ").as("__text"))
       .select(col("__doc").as(idCol), col("__text").as(textCol))
-  }
 
   /** Scrub variant: instead of keep-first, REMOVE every occurrence of a
     * span whose corpus-wide count exceeds `maxOccurrences` — the C4/
@@ -120,15 +127,10 @@ object SpanDedup {
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxOccurrences)
       .select(col("__sh"), lit(true).as("__drop"))
-    exploded
-      .join(frequent, Seq("__sh"), "left_outer")
-      .where(col("__drop").isNull)
-      .groupBy(col("__doc"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("__idx"), col("__span")))),
-          s => s.getField("__span")),
-        " ").as("__text"))
-      .select(col("__doc").as(idCol), col("__text").as(textCol))
+    reassemble(
+      exploded
+        .join(frequent, Seq("__sh"), "left_outer")
+        .where(col("__drop").isNull),
+      idCol, textCol)
   }
 }

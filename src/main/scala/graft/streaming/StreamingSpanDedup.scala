@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.operators.SpanDedup
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental span-level exact dedup — [[SpanDedup.dedupSpans]] for a
+  * corpus that arrives on a change stream: each micro-batch's documents
+  * are cut into k-token spans, spans already claimed by ANY earlier
+  * batch are dropped, first occurrences within the batch are kept
+  * (smallest `(doc, idx)`), and the surviving text is appended to a
+  * result table while the batch's new span hashes extend the
+  * accumulated index. Keep-first under arrival order: a span's survivor
+  * is its first occurrence in `(arrival batch, doc, idx)` order — the
+  * batch operator's `(doc, idx)` rule with arrival time prepended,
+  * which is what "first" means when the corpus is a stream.
+  *
+  * Scale shape: per batch, the span index is probed with a join on the
+  * 8-byte span hash — batch-sized probe side against the accumulated
+  * index (bucket-partitioned by the hash join), never a corpus rescan;
+  * the in-batch keeper aggregate map-combines exactly like the batch
+  * operator. Both result and index live in a [[CommitLog]] (atomic
+  * manifest publish + per-batch replay skip), so a crash replays to
+  * exactly the missing commits: EXACTLY-ONCE end to end.
+  */
+object StreamingSpanDedup {
+
+  private def indexSchema = StructType(Seq(StructField("sh", LongType)))
+  private def docsSchema(idCol: String, textCol: String) = StructType(Seq(
+    StructField(idCol, LongType), StructField(textCol, StringType)))
+
+  /** Start the incremental span dedup over a STREAMING (idCol, textCol)
+    * frame. Surviving documents land under `workDir`/docs; the span
+    * index accumulates under `workDir`/spans. `checkpoint` is REQUIRED
+    * (same contract as [[StreamingDedup]]: batch ids are only
+    * meaningful relative to a query checkpoint, and without one the
+    * replay-skip guard would discard a second run's data).
+    */
+  def incrementalSpanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      workDir: String,
+      spanTokens: Int,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: String
+  ): StreamingQuery = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
+    val spark = docs.sparkSession
+    init(spark, workDir, idCol, textCol)
+    docs
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(batch, idCol, textCol, workDir, spanTokens, Some(bid))
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Create the result + index logs (idempotent across restarts). */
+  def init(spark: SparkSession, workDir: String, idCol: String, textCol: String): Unit = {
+    CommitLog.init(s"$workDir/spans", indexSchema)
+    CommitLog.init(s"$workDir/docs", docsSchema(idCol, textCol))
+  }
+
+  /** One arrival batch: drop spans the index already holds, keep-first
+    * within the batch, append survivors + new span hashes (both commits
+    * keyed by `batchId` — idempotent replays).
+    */
+  def processBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      workDir: String,
+      spanTokens: Int,
+      batchId: Option[Long]
+  ): Unit = {
+    val spark = batch.sparkSession
+    val exploded = SpanDedup.explodedSpans(batch, idCol, textCol, spanTokens)
+    val index = CommitLog.read(spark, s"$workDir/spans")
+    // new = never seen by any earlier batch; localCheckpoint pins the
+    // frame because THREE consumers read it (keepers, kept join, index
+    // append) and the anti-join must not re-probe the index per consumer
+    val fresh = exploded
+      .join(index, exploded("__sh") === index("sh"), "left_anti")
+      .localCheckpoint()
+    // keeper per span hash: min (doc, idx) — single occurrences are
+    // their own keepers, so no count>1 filter here (unlike the batch
+    // operator, every fresh span must consult the keeper map)
+    val keepers = fresh
+      .groupBy(col("__sh"))
+      .agg(min(struct(col("__doc"), col("__idx"))).as("__keep"))
+    val kept = fresh
+      .join(keepers, Seq("__sh"))
+      .where(col("__keep.__doc") === col("__doc") && col("__keep.__idx") === col("__idx"))
+    val outDocs = SpanDedup.reassemble(kept, idCol, textCol)
+    val newHashes = fresh.select(col("__sh").as("sh")).distinct()
+    // COMMIT ORDER INVARIANT: docs BEFORE spans. A crash between the
+    // two replays this batch with the index still unchanged, so the
+    // docs append replay-skips and the spans append completes. The
+    // reverse order would let a replay see its own hashes in the index,
+    // compute fresh = empty, and commit an EMPTY docs batch — data loss.
+    batchId match {
+      case Some(bid) =>
+        CommitLog.append(outDocs, s"$workDir/docs", bid): Unit
+        CommitLog.append(newHashes, s"$workDir/spans", bid): Unit
+      case None =>
+        CommitLog.appendAlways(outDocs, s"$workDir/docs")
+        CommitLog.appendAlways(newHashes, s"$workDir/spans")
+    }
+  }
+
+  /** The accumulated deduplicated documents. */
+  def docs(spark: SparkSession, workDir: String): DataFrame =
+    CommitLog.read(spark, s"$workDir/docs")
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsMap(work: String): Map[Long, String] =
+    StreamingSpanDedup.docs(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("earlier batches claim spans; within-batch keep-first; emptied docs vanish") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val work = java.nio.file.Files.createTempDirectory("sspan-spec").toString
+    val q = StreamingSpanDedup.incrementalSpanDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", work, spanTokens = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      checkpoint = s"$work/ckpt")
+    // batch 1: doc 5 and doc 2 share "a b" -> doc 2 (smaller id) keeps it
+    in.addData((5L, "a b x y"), (2L, "a b c d"))
+    q.processAllAvailable()
+    // batch 2: doc 1 is all batch-1 text -> vanishes, despite smaller id
+    // (arrival order outranks doc order); doc 9 keeps only its new tail
+    in.addData((1L, "a b c d"), (9L, "x y q r"))
+    q.processAllAvailable()
+    q.stop()
+    assert(docsMap(work) == Map(2L -> "a b c d", 5L -> "x y", 9L -> "q r"))
+  }
+
+  test("matches the batch operator when everything arrives in one batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "a b c d a b c d"), (1L, "a b c d x y"), (2L, "a b c d"))
+    val in = MemoryStream[(Long, String)]
+    val work = java.nio.file.Files.createTempDirectory("sspan-one").toString
+    val q = StreamingSpanDedup.incrementalSpanDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", work, spanTokens = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      checkpoint = s"$work/ckpt")
+    in.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.SpanDedup
+      .dedupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docsMap(work) == batch)
+  }
+
+  test("replaying a committed batch changes nothing (exactly-once)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sspan-replay").toString
+    StreamingSpanDedup.init(spark, work, "doc_id", "text")
+    val b = Seq((1L, "p q r s"), (2L, "p q z z")).toDF("doc_id", "text")
+    StreamingSpanDedup.processBatch(b, "doc_id", "text", work, 2, Some(0L))
+    val first = docsMap(work)
+    StreamingSpanDedup.processBatch(b, "doc_id", "text", work, 2, Some(0L)) // replay
+    assert(docsMap(work) == first)
+    assert(first == Map(1L -> "p q r s", 2L -> "z z"))
+  }
+}
