@@ -118,4 +118,19 @@ object StreamingSpanDedup {
   /** The accumulated deduplicated documents. */
   def docs(spark: SparkSession, workDir: String): DataFrame =
     CommitLog.read(spark, s"$workDir/docs")
+
+  /** Fold each log's one-file-per-batch accretion into
+    * `targetRecordsPerFile`-sized files behind an atomic replace commit
+    * ([[CommitLog.compact]]); the span index re-sorts on the hash so
+    * probe joins benefit from row-group min/max skipping. Single-writer:
+    * run with the stream quiesced. Returns dataset -> (before, after).
+    */
+  def compactIndex(
+      spark: SparkSession,
+      workDir: String,
+      targetRecordsPerFile: Long = 5000000L
+  ): Map[String, (Long, Long)] = Map(
+    "spans" -> CommitLog.compact(
+      spark, s"$workDir/spans", targetRecordsPerFile, sortBy = Seq("sh")),
+    "docs" -> CommitLog.compact(spark, s"$workDir/docs", targetRecordsPerFile))
 }

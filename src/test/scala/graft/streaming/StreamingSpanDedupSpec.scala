@@ -51,6 +51,26 @@ class StreamingSpanDedupSpec extends AnyFunSuite {
     assert(docsMap(work) == batch)
   }
 
+  test("compactIndex folds batch files; results and index behavior unchanged") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sspan-compact").toString
+    StreamingSpanDedup.init(spark, work, "doc_id", "text")
+    (0 to 2).foreach { b =>
+      StreamingSpanDedup.processBatch(
+        Seq((b * 10L, s"w$b x$b y$b z$b")).toDF("doc_id", "text"),
+        "doc_id", "text", work, 2, Some(b.toLong))
+    }
+    val before = docsMap(work)
+    val stats = StreamingSpanDedup.compactIndex(spark, work, targetRecordsPerFile = 1000000L)
+    assert(stats("spans")._2 <= stats("spans")._1)
+    assert(docsMap(work) == before)
+    // the folded index still claims its spans: replayed text drops entirely
+    StreamingSpanDedup.processBatch(
+      Seq((99L, "w0 x0 y0 z0")).toDF("doc_id", "text"),
+      "doc_id", "text", work, 2, Some(3L))
+    assert(docsMap(work) == before)
+  }
+
   test("replaying a committed batch changes nothing (exactly-once)") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("sspan-replay").toString
