@@ -1256,6 +1256,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // --- END-TO-END curation pipeline: the composition a real corpus
+    //     build runs as ONE query — exact-dedup survivors, minus
+    //     benchmark-contaminated docs (13-gram overlap), length floor,
+    //     deterministic 50% mixture gate. Each stage is an
+    //     independently-gated operator; this certifies they compose ---
+    "doc_curate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.where(col("doc_id") % 11 =!= 0)
+      val bench = docs.where(col("doc_id") % 11 === 0)
+      val keepers = graft.operators.Dedup
+        .exact(corpus, Seq("text"), "doc_id").select(col("doc_id"))
+      val contaminated = graft.operators.Decontaminate
+        .contaminated(corpus, "doc_id", "text", bench, "text", n = 13)
+        .select(col("doc_id"))
+      graft.operators.Sampling
+        .mixtureSample(corpus, "doc_id", "lang", Map.empty, defaultFraction = 0.5)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .where(graft.functions.TextFunctions.tokenCount(col("text")) >= 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- text analysis: token / punctuation / length stats ---
     "doc_token_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -2802,6 +2825,30 @@ object SparkEntry {
     "doc_heavy_hitters" ->
       """SELECT source AS item, count(*) AS cnt
          FROM documents GROUP BY source ORDER BY cnt DESC, item""",
+    "doc_curate" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+         tok AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+                 FROM documents),
+         grams AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(ts) - 13 + 1, 0) + 1),
+                                                i -> array_to_string(ts[i:i+12], ' '))) AS gs
+                   FROM tok),
+         g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 11 = 0),
+         contam AS (SELECT DISTINCT t.doc_id
+                    FROM (SELECT doc_id, g FROM g WHERE doc_id % 11 <> 0) t
+                    JOIN bench USING (g))
+         SELECT c.doc_id, c.lang
+         FROM corpus c
+         JOIN keep USING (doc_id)
+         WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND len(regexp_extract_all(c.text, '\S+')) >= 30
+           AND ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT <
+               576460752303423488
+         ORDER BY c.doc_id""",
     "doc_mixture" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT <
