@@ -146,6 +146,23 @@ class BigtableWriteSpec extends AnyFunSuite {
     assert(back == Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE through the TableCatalog") {
+    val store = freshStore()
+    spark.conf.set("spark.sql.catalog.btw", classOf[BigtableCatalog].getName)
+    BigtableCatalogDefs.register("btw", "kv", BigtableConfig(
+      storeName = store, table = "t", columnFamily = "f",
+      partitionCols = Seq("k"), separator = "#",
+      qualifiers = Seq(("v", org.apache.spark.sql.types.LongType)),
+      onlyReadLatest = true, allowFullScan = true, maxPartitions = 8))
+    spark.sql("INSERT INTO btw.default.kv (k, v) VALUES ('a', CAST(1 AS BIGINT))")
+    spark.sql("INSERT INTO btw.default.kv (k, v) VALUES ('b', CAST(2 AS BIGINT))")
+    val twoRows = spark.sql("SELECT k, v FROM btw.default.kv ORDER BY k").collect()
+    assert(twoRows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L), ("b", 2L)))
+    spark.sql("INSERT OVERWRITE btw.default.kv (k, v) VALUES ('z', CAST(9 AS BIGINT))")
+    val afterOverwrite = spark.sql("SELECT k, v FROM btw.default.kv").collect()
+    assert(afterOverwrite.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("z", 9L)))
+  }
+
   test("writing to a read-only store is rejected") {
     val name = s"write-spec-ro-${System.identityHashCode(this)}"
     BigtableStores.register(name, new InMemoryBigtable.Builder().build())
