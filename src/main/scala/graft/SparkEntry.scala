@@ -1304,6 +1304,24 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // --- quality-aware dedup: crude near-dup key (5-token prefix
+    //     fingerprint), keep the HIGHEST-quality copy per group (ties →
+    //     smallest id). max_by aggregate, so candidates combine
+    //     map-side — no full-row window shuffle ---
+    "doc_dedup_best" -> ((s, dir) => {
+      // keepBest survives whole input rows — prune to the needed columns
+      // BEFORE it so the parquet scan reads 2 columns, not the table
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+      val prefix = concat_ws(" ",
+        slice(regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 1, 5))
+      graft.operators.Dedup
+        .keepBest(docs, Seq(prefix), col("quality"), col("doc_id"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- span-level exact dedup (substring dedup at 4-token-span
     //     granularity): a span occurring anywhere else in the corpus
     //     survives only at its first (doc_id, idx); docs reassembled
@@ -2677,6 +2695,23 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keeper_id""",
     "doc_exact_dedup_rows" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+    "doc_dedup_best" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             array_to_string((regexp_extract_all(text, '\S+'))[1:5], ' ') AS pfx,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ntoks
+           FROM documents),
+         scored AS (
+           SELECT doc_id, pfx,
+             round(least(nchars/200.0, 1.0)*0.25 +
+                   (CASE WHEN nchars/ntoks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+                   (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
+                   least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
+           FROM base)
+         SELECT doc_id, quality FROM scored
+         QUALIFY row_number() OVER (PARTITION BY pfx ORDER BY quality DESC, doc_id) = 1
+         ORDER BY doc_id""",
     "doc_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          idxs AS (SELECT doc_id, t,

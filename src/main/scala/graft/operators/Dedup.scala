@@ -37,6 +37,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Quality-aware dedup: keep the row maximizing `score` per distinct
+    * `keys` combination, ties broken by the SMALLEST `tieBreaker`
+    * (numeric, unique — e.g. a doc id — so the order is total and the
+    * survivor deterministic). Keys may be computed columns (a content
+    * fingerprint, a token prefix), which is how crude near-dup
+    * "keep the best copy" passes run.
+    *
+    * Shaped as an aggregate (`max_by` over a lexicographic struct), not
+    * a window: partial aggregation combines map-side, so the shuffle
+    * carries at most one candidate row per (group × input partition)
+    * instead of every row, and no per-partition sort happens — the
+    * shape that survives a 100 TB corpus where dup groups are shallow
+    * but row count is not.
+    */
+  def keepBest(df: DataFrame, keys: Seq[Column], score: Column, tieBreaker: Column): DataFrame = {
+    val row = struct(df.columns.map(col): _*)
+    df.groupBy(keys: _*)
+      .agg(max_by(row, struct(score, negate(tieBreaker))).as("__best"))
+      .select(col("__best.*"))
+  }
+
   /** Duplicate groups: per distinct key, the surviving id and the copy
     * count. Partial (map-side) aggregation makes this one shuffle of
     * pre-aggregated groups.

@@ -27,6 +27,28 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.where($"n_copies" =!= 2).count() == 0)
   }
 
+  test("keepBest keeps the max-score copy, ties to the smallest id") {
+    val rows = Seq(
+      (1L, "a", 0.5), (2L, "a", 0.9), (3L, "a", 0.9), // tie at 0.9 → id 2
+      (4L, "b", 0.1),                                 // singleton survives
+      (6L, "c", 0.3), (5L, "c", 0.3)                  // tie, input order reversed → id 5
+    ).toDF("doc_id", "key", "score")
+    val kept = Dedup.keepBest(rows, Seq($"key"), $"score", $"doc_id")
+      .select($"doc_id", $"key", $"score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(kept == Set((2L, "a", 0.9), (4L, "b", 0.1), (5L, "c", 0.3)))
+  }
+
+  test("keepBest on a doubled corpus with a boosted copy keeps the boost") {
+    // duplicate every doc; the copy (id+100000) carries the higher score,
+    // so unlike exact() the SURVIVORS are all the high-id copies.
+    val scored = docs.select($"doc_id", $"text", lit(0.0).as("score"))
+      .union(docs.select(($"doc_id" + 100000).as("doc_id"), $"text", lit(1.0).as("score")))
+    val kept = Dedup.keepBest(scored, Seq($"text"), $"score", $"doc_id")
+    assert(kept.count() == docs.count())
+    assert(kept.agg(min($"doc_id")).collect().head.getLong(0) >= 100000)
+  }
+
   test("minhash LSH finds every exact duplicate pair (recall on identical text = 1)") {
     val pairs = Dedup.nearDuplicates(doubled, "doc_id", "text", threshold = 0.9)
     val n = docs.count()
