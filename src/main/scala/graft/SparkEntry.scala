@@ -1363,6 +1363,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- the dedup pass a real curation run executes: near-dup pairs
+    //     (LSH-banded) → connected components → keep the HIGHEST-quality
+    //     doc per cluster (singletons survive as their own cluster).
+    //     The component labels are pair-graph-sized (far smaller than
+    //     the corpus), so the label join broadcasts; keepBest combines
+    //     map-side ---
+    "doc_near_dup_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pairs = graft.operators.Dedup
+        .nearDuplicates(docs, "doc_id", "text", threshold = 0.9,
+          numHashes = 120, bands = 20, persistIntermediate = true)
+      val comps = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+      val labeled = docs
+        .join(broadcast(comps), docs("doc_id") === comps("id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+        .drop("id")
+      graft.operators.Dedup
+        .keepBest(labeled, Seq(col("component")), col("quality"), col("doc_id"))
+        .select(col("doc_id"), col("component"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- word-ngram Jaccard near-dup: EXACT prefix-filtered set-
     //     similarity join (AllPairs/PPJoin family) — recall 1 by
     //     construction, so the exhaustive-oracle equality gate can't
@@ -2376,6 +2400,41 @@ object SparkEntry {
            SELECT a AS doc_id, least(a, min(b)) AS component
            FROM reach GROUP BY a)
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "doc_near_dup_best" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents),
+         prs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
+         und AS (
+           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+         base AS (
+           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, text,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ntoks
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         scored AS (
+           SELECT doc_id, component,
+             round(least(nchars/200.0, 1.0)*0.25 +
+                   (CASE WHEN nchars/ntoks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+                   (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
+                   least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
+           FROM base)
+         SELECT doc_id, component, quality FROM scored
+         QUALIFY row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1
+         ORDER BY doc_id""",
     "doc_ngram_near_dup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS t FROM documents),
