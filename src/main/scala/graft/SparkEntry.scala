@@ -570,9 +570,10 @@ object SparkEntry {
     // --- TPC-H Q18 shape (large-volume customer): HAVING-aggregate
     //     semi-join into the fact, 3-way join, global top-k. The
     //     qualifying-order set is an aggregate of lineitem (map-side
-    //     combined) and is small by construction — it broadcasts into
-    //     the lineitem probe as a semi join, and the top-100 is a
-    //     TakeOrdered, never a full sort ---
+    //     combined) whose size grows with scale factor, so the semi
+    //     join is left UNHINTED: AQE broadcasts it while it fits and
+    //     falls back to a shuffled hash join when it doesn't. The
+    //     top-100 is a TakeOrdered, never a full sort ---
     "rel_q18" -> ((s, dir) => {
       val customer = s.read.parquet(s"$dir/customer.parquet")
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -582,7 +583,7 @@ object SparkEntry {
         .where(col("__sumq") > 250)
         .select(col("l_orderkey"))
       lineitem
-        .join(broadcast(big), Seq("l_orderkey"), "left_semi")
+        .join(big, Seq("l_orderkey"), "left_semi")
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
@@ -1366,9 +1367,11 @@ object SparkEntry {
     // --- the dedup pass a real curation run executes: near-dup pairs
     //     (LSH-banded) → connected components → keep the HIGHEST-quality
     //     doc per cluster (singletons survive as their own cluster).
-    //     The component labels are pair-graph-sized (far smaller than
-    //     the corpus), so the label join broadcasts; keepBest combines
-    //     map-side ---
+    //     The label join is UNHINTED: on a real web crawl 30-50% of
+    //     documents sit in duplicate clusters, so the label table is
+    //     corpus-scale and a forced broadcast would OOM the driver —
+    //     AQE broadcasts it when small and shuffles when not; keepBest
+    //     combines map-side either way ---
     "doc_near_dup_best" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -1377,7 +1380,7 @@ object SparkEntry {
           numHashes = 120, bands = 20, persistIntermediate = true)
       val comps = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
       val labeled = docs
-        .join(broadcast(comps), docs("doc_id") === comps("id"), "left")
+        .join(comps, docs("doc_id") === comps("id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
         .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
         .drop("id")

@@ -49,6 +49,36 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.agg(min($"doc_id")).collect().head.getLong(0) >= 100000)
   }
 
+  test("keepBest-per-cluster completes when the label table exceeds autoBroadcastJoinThreshold") {
+    // The doc_near_dup_best composition: LSH pairs → CC labels → left join
+    // labels onto the corpus → arg-max per component. On a real crawl the
+    // label table is corpus-scale, so the join must NOT depend on a
+    // broadcast: with the threshold floored to 1 byte the planner has to
+    // pick a shuffled join, and the result must be unchanged.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val corpus = doubled
+      val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.9)
+      val comps = Dedup.connectedComponents(pairs, "id1", "id2")
+      val labeled = corpus
+        .join(comps, corpus("doc_id") === comps("id"), "left")
+        .withColumn("component", coalesce($"component", $"doc_id"))
+        .withColumn("quality", lit(1.0))
+        .drop("id")
+      val kept = Dedup.keepBest(labeled, Seq($"component"), $"quality", $"doc_id")
+      val plan = kept.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "label join must survive without a broadcast:\n" + plan)
+      // one survivor per component (the corpus has its own near-dups on
+      // top of the doubling, so compare against the component count, not
+      // docs.count()); quality ties → min id, and every component holds
+      // at least one original doc, so no high-id copy survives
+      assert(kept.count() == labeled.select($"component").distinct().count())
+      assert(kept.agg(max($"doc_id")).collect().head.getLong(0) < 100000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minhash LSH finds every exact duplicate pair (recall on identical text = 1)") {
     val pairs = Dedup.nearDuplicates(doubled, "doc_id", "text", threshold = 0.9)
     val n = docs.count()
