@@ -146,7 +146,7 @@ object Retrieval {
     // exactly-once for a checkpointed stream: a replayed micro-batch's
     // commit is already in the log — skip it (and the corpus-count
     // advance) entirely
-    if (batchId.exists(graft.streaming.CommitLog.committedBatchIds(dir).contains)) return
+    if (batchId.exists(graft.streaming.CommitLog.isCommitted(dir, _))) return
     val added = newDocs.count()
     if (added == 0) return
     val tf = newDocs
@@ -284,12 +284,17 @@ private[operators] object CommitLogAccess {
     * fileset; append adds to it), with `meta` JSON recorded beside the
     * schema. The meta write precedes the commit: on a crash between the
     * two the table keeps its old fileset with an advanced corpus count —
-    * an idf perturbation, never a wrong posting.
+    * an idf perturbation, never a wrong posting. Sidecar state that MUST
+    * stay consistent with the fileset (e.g. the IVF centroids the row
+    * buckets were derived from) goes in `extraFiles`: written into the
+    * same data/<uuid>/ dir BEFORE the commit, so the atomic manifest
+    * rename publishes data and sidecar together — a crash in between
+    * leaves only an orphaned, unreferenced uuid dir.
     */
   def publishBucketed(
       df: DataFrame, bucketCol: String, numBuckets: Int, dir: String, meta: String,
       replace: Boolean = true, sortCols: Seq[String] = Seq("term"),
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, extraFiles: Seq[(String, String)] = Nil): Unit = {
     graft.streaming.CommitLog.init(dir, df.drop(bucketCol).schema)
     Files.write(Paths.get(dir, "_index.json"), meta.getBytes(StandardCharsets.UTF_8))
     val uuid = java.util.UUID.randomUUID().toString
@@ -297,6 +302,9 @@ private[operators] object CommitLogAccess {
     df.repartition(numBuckets, col(bucketCol))
       .sortWithinPartitions((bucketCol +: sortCols).map(col): _*)
       .write.partitionBy(bucketCol).parquet(dataDir)
+    extraFiles.foreach { case (name, contents) =>
+      Files.write(Paths.get(dataDir, name), contents.getBytes(StandardCharsets.UTF_8)): Unit
+    }
     val prefix = Paths.get(dir).toAbsolutePath
     val files = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(s"$bucketCol="))

@@ -115,31 +115,38 @@ object Sampling {
   ): DataFrame = {
     require(budgets.nonEmpty || defaultBudget > 0, "no budget given")
     val h = samplingHash(col(keyCol))
+    // the group key is staged as (string rendering, is-null): the string
+    // cast makes any group column type drive the string-keyed budget map,
+    // and the null flag keeps NULL-group rows flowing through the offsets
+    // equi-join (a raw null key matches nothing) so they draw
+    // defaultBudget instead of silently vanishing
     val staged = df.withColumn("__h", h).withColumn("__hb", substring(col("__h"), 1, 2))
-    val perBucket = staged.groupBy(col(groupCol), col("__hb"))
+      .withColumn("__gs", coalesce(col(groupCol).cast("string"), lit("")))
+      .withColumn("__gn", col(groupCol).isNull)
+    val perBucket = staged.groupBy(col("__gs"), col("__gn"), col("__hb"))
       .agg(sum(col(tokensCol)).as("__bsum"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)) -> r.getLong(3))
       .toMap
-    val offsets = perBucket.keys.groupBy(_._1).flatMap { case (g, ks) =>
+    val offsets = perBucket.keys.groupBy(k => (k._1, k._2)).flatMap { case (_, ks) =>
       var acc = 0L
-      ks.toSeq.sortBy(_._2).map { k =>
-        val o = (k._1, k._2, acc); acc += perBucket(k); o
+      ks.toSeq.sortBy(_._3).map { k =>
+        val o = (k._1, k._2, k._3, acc); acc += perBucket(k); o
       }
     }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offsets.toDF(groupCol, "__hb", "__boff"))
+    val offDf = broadcast(offsets.toDF("__gs", "__gn", "__hb", "__boff"))
     val budgetOf = coalesce(
-      element_at(typedlit(budgets), col(groupCol)), lit(defaultBudget))
-    val win = Window.partitionBy(col(groupCol), col("__hb"))
+      element_at(typedlit(budgets), col(groupCol).cast("string")), lit(defaultBudget))
+    val win = Window.partitionBy(col("__gs"), col("__gn"), col("__hb"))
       .orderBy(col("__h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     staged
-      .join(offDf, Seq(groupCol, "__hb"))
+      .join(offDf, Seq("__gs", "__gn", "__hb"))
       .withColumn("__cum", col("__boff") + sum(col(tokensCol)).over(win))
       .where(col("__cum") <= budgetOf)
-      .drop("__h", "__hb", "__boff", "__cum")
+      .drop("__h", "__hb", "__gs", "__gn", "__boff", "__cum")
   }
 
   /** Per-group sampling fractions — the data-MIXING step of corpus

@@ -277,24 +277,46 @@ object Similarity {
         c.orderBy(col("nid")).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
     val bucketed = c.withColumn("__b",
       nearestCentroidBuckets(col("cvec"), centroids, 1).getItem(0))
+    // centroid vectors ride the SAME atomic commit as the fileset they
+    // bucketed (exact-round-trip text, java.lang.Double syntax): a crash
+    // or concurrent search around a rebuild can never pair new bucket
+    // files with old centroids — the manifest rename swaps both at once
+    val body = centroids.map(_.mkString(",")).mkString("\n")
     CommitLogAccess.publishBucketed(
       bucketed, "__b", centroids.size, dir,
       meta = s"""{"numBuckets":${centroids.size},"corpusSize":0}""",
-      sortCols = Seq("nid"))
-    // centroid vectors, exact-round-trip text (java.lang.Double syntax)
-    val body = centroids.map(_.mkString(",")).mkString("\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_centroids.txt"),
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      sortCols = Seq("nid"),
+      extraFiles = Seq("_centroids.txt" -> body))
   }
 
-  /** The centroids recorded by [[buildIvfIndex]]. */
-  def loadCentroids(dir: String): Seq[Seq[Double]] =
+  /** The centroids recorded by [[buildIvfIndex]], resolved THROUGH the
+    * current commit: the manifest's fileset names exactly one build dir
+    * (`data/<uuid>/`) carrying `_centroids.txt` (appends add vector
+    * files but never centroids), so readers always see the centroid set
+    * that produced the files they are about to prune. Falls back to the
+    * legacy table-root location for indexes built before versioning.
+    */
+  def loadCentroids(dir: String): Seq[Seq[Double]] = {
+    val buildDirs = graft.streaming.CommitLog.currentFiles(dir)
+      .flatMap { f =>
+        val i = f.indexOf("/__b=")
+        if (i > 0 && f.startsWith("data/")) Some(f.substring(0, i)) else None
+      }
+      .distinct
+      .map(d => java.nio.file.Paths.get(dir, d, "_centroids.txt"))
+      .filter(java.nio.file.Files.exists(_))
+    val path = buildDirs match {
+      case Seq(one) => one
+      case Seq() => java.nio.file.Paths.get(dir, "_centroids.txt") // legacy layout
+      case many => throw new IllegalStateException(
+        s"ambiguous IVF centroids: ${many.size} build dirs in the current fileset of $dir")
+    }
     new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_centroids.txt")),
+      java.nio.file.Files.readAllBytes(path),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
       .map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+  }
 
   /** Add NEW vectors to a [[buildIvfIndex]] table as one batch-keyed
     * append commit: each vector assigns to its nearest EXISTING centroid
@@ -311,7 +333,7 @@ object Similarity {
       dir: String,
       batchId: Option[Long] = None
   ): Unit = {
-    if (batchId.exists(graft.streaming.CommitLog.committedBatchIds(dir).contains)) return
+    if (batchId.exists(graft.streaming.CommitLog.isCommitted(dir, _))) return
     val centroids = loadCentroids(dir)
     val c = newVecs.select(
       col(idCol).as("nid"),

@@ -49,15 +49,20 @@ object SpanDedup {
       textCol: String,
       k: Int
   ): DataFrame = {
+    // empty tokens (consecutive/leading/trailing spaces) are dropped so
+    // they can't pad spans, and a token-LESS document yields zero spans
+    // (not one "" span — that would alias every blank document onto a
+    // single hash and dedup all but the first of them away)
     val toks = docs.select(
       col(idCol).as("__doc"),
-      split(col(textCol), " ").as("__t"))
+      filter(split(col(textCol), " "), t => t =!= "").as("__t"))
     val nSpans = ceil(size(col("__t")).cast("double") / lit(k.toDouble)).cast("int")
     val staged = toks.select(
       col("__doc"),
-      transform(
-        sequence(lit(0), greatest(nSpans, lit(1)) - 1),
-        i => array_join(slice(col("__t"), i * k + 1, lit(k)), " "))
+      when(nSpans <= 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), nSpans - 1),
+          i => array_join(slice(col("__t"), i * k + 1, lit(k)), " ")))
         .as("__spans"))
     staged
       .select(col("__doc"), posexplode_outer(col("__spans")).as(Seq("__idx", "__span")))

@@ -48,13 +48,57 @@ object CommitLog {
     */
   val DefaultCheckpointEvery = 32
 
+  /** Sorted, disjoint, inclusive ranges of committed batch ids. A
+    * healthy checkpointed stream's ids are contiguous, so this is ONE
+    * range no matter how many batches ever committed — membership is a
+    * binary search over range endpoints, never an O(total-batches)
+    * Set[Long] materialization on every loadState (a long-running
+    * frequent-trigger stream reaches millions of ids within weeks).
+    */
+  private[streaming] final case class IdRanges(rs: Vector[(Long, Long)]) {
+    def contains(id: Long): Boolean = {
+      var lo = 0
+      var hi = rs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (a, b) = rs(mid)
+        if (id < a) hi = mid - 1
+        else if (id > b) lo = mid + 1
+        else return true
+      }
+      false
+    }
+    def add(id: Long): IdRanges = IdRanges.normalize(rs :+ ((id, id)))
+    def isEmpty: Boolean = rs.isEmpty
+    /** Expanded view for diagnostics/compat — NOT on any hot path. */
+    def toSet: Set[Long] = rs.iterator.flatMap { case (a, b) => (a to b).iterator }.toSet
+  }
+
+  private[streaming] object IdRanges {
+    val empty: IdRanges = IdRanges(Vector.empty)
+    /** Merge overlapping/adjacent ranges into canonical sorted form. */
+    def normalize(pairs: Seq[(Long, Long)]): IdRanges =
+      if (pairs.isEmpty) empty
+      else {
+        val sorted = pairs.sortBy(_._1)
+        val out = Vector.newBuilder[(Long, Long)]
+        var (lo, hi) = sorted.head
+        sorted.tail.foreach { case (a, b) =>
+          if (a <= hi + 1) hi = math.max(hi, b)
+          else { out += ((lo, hi)); lo = a; hi = b }
+        }
+        out += ((lo, hi))
+        IdRanges(out.result())
+      }
+  }
+
   /** Everything a reader/writer needs, reconstructed from the latest
     * checkpoint plus the manifest tail after it.
     */
   private case class LogState(
       maxSeq: Long,
       files: Seq[String],
-      batchIds: Set[Long],
+      batchIds: IdRanges,
       lastBatchId: Option[Long],
       tailManifests: Int)
 
@@ -75,8 +119,16 @@ object CommitLog {
       new String(Files.readAllBytes(Paths.get(dir, "_schema.json")), StandardCharsets.UTF_8))
       .asInstanceOf[StructType]
 
-  /** Micro-batch ids already committed (the replay-skip set). */
-  def committedBatchIds(dir: String): Set[Long] = loadState(dir).batchIds
+  /** Micro-batch ids already committed, expanded to a Set — a
+    * diagnostic/compat view. Replay-skip checks should use
+    * [[isCommitted]], which answers from the range encoding without
+    * materializing every id ever committed.
+    */
+  def committedBatchIds(dir: String): Set[Long] = loadState(dir).batchIds.toSet
+
+  /** Was micro-batch `batchId` already committed? O(log ranges). */
+  def isCommitted(dir: String, batchId: Long): Boolean =
+    loadState(dir).batchIds.contains(batchId)
 
   /** (sequence, batchId) of the highest-sequence commit, None on an
     * empty log. The batchId survives checkpoint folding (checkpoints
@@ -351,7 +403,7 @@ object CommitLog {
     val cp = cps.lastOption
     val cpSeq = cp.map(_._1).getOrElse(0L)
     val seed = cp.map(c => parseCheckpoint(c._2))
-      .getOrElse(LogState(0L, Nil, Set.empty, None, 0))
+      .getOrElse(LogState(0L, Nil, IdRanges.empty, None, 0))
     val tail = manifests.filter(_._1 > cpSeq)
     val folded = tail.foldLeft(seed) { case (st, (seq, f)) =>
       val lines = readLines(f)
@@ -360,7 +412,7 @@ object CommitLog {
       LogState(
         maxSeq = seq,
         files = if (replace) files else st.files ++ files,
-        batchIds = st.batchIds ++ bid,
+        batchIds = bid.fold(st.batchIds)(st.batchIds.add),
         lastBatchId = bid,
         tailManifests = st.tailManifests + 1)
     }
@@ -395,32 +447,23 @@ object CommitLog {
 
   /** Batch ids as compact sorted ranges ("0-41,43"): a checkpointed
     * stream's ids are contiguous, so the encoding is O(1) regardless of
-    * how many batches ever committed.
+    * how many batches ever committed. [[IdRanges]] is already canonical
+    * (sorted, disjoint, adjacent-merged), so both directions are a
+    * straight transcription — the ranges are never expanded.
     */
-  private def encodeIds(ids: Set[Long]): String =
+  private def encodeIds(ids: IdRanges): String =
     if (ids.isEmpty) "-"
-    else {
-      val s = ids.toSeq.sorted
-      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-      var lo = s.head
-      var hi = s.head
-      s.tail.foreach { v =>
-        if (v == hi + 1) hi = v
-        else { out += ((lo, hi)); lo = v; hi = v }
-      }
-      out += ((lo, hi))
-      out.map { case (a, b) => if (a == b) a.toString else s"$a-$b" }.mkString(",")
-    }
+    else ids.rs.map { case (a, b) => if (a == b) a.toString else s"$a-$b" }.mkString(",")
 
-  private def decodeIds(s: String): Set[Long] =
-    if (s == "-") Set.empty
-    else s.split(",").iterator.flatMap { r =>
+  private def decodeIds(s: String): IdRanges =
+    if (s == "-") IdRanges.empty
+    else IdRanges.normalize(s.split(",").toSeq.map { r =>
       r.split("-") match {
-        case Array(a) => Iterator.single(a.toLong)
-        case Array(a, b) => (a.toLong to b.toLong).iterator
+        case Array(a) => (a.toLong, a.toLong)
+        case Array(a, b) => (a.toLong, b.toLong)
         case _ => throw new IllegalStateException(s"corrupt batch-id range: $r")
       }
-    }.toSet
+    })
 
   private def relativeFiles(base: String, dataDir: String): Seq[String] = {
     val prefix = Paths.get(base).toAbsolutePath

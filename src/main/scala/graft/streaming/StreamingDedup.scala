@@ -117,7 +117,7 @@ object StreamingDedup {
     // stream replayed a fully-processed batch, nothing to recompute
     if (batchId.exists(b =>
         Seq("pairs", "bands", "shingles").forall(d =>
-          CommitLog.committedBatchIds(s"$workDir/$d").contains(b)))) return
+          CommitLog.isCommitted(s"$workDir/$d", b)))) return
     val rowsPerBand = numHashes / bands
     val base = batch.select(
       col("id"),

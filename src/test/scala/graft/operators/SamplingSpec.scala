@@ -100,6 +100,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(only == Seq("a"))
   }
 
+  test("tokenBudgetSample: integer group column and NULL groups draw the default budget") {
+    // group is an INT column: the budget map is keyed on the string
+    // rendering, and NULL-group rows must receive defaultBudget rather
+    // than vanish at the offsets join
+    val df = (0L until 60L)
+      .map(i => (i, if (i % 5 == 0) None else Some((i % 2).toInt), 1L))
+      .toDF("id", "g", "ntok")
+    val got = Sampling.tokenBudgetSample(df, "id", "g", "ntok",
+      Map("0" -> 10L, "1" -> 10L), defaultBudget = 4L)
+    val byGroup = got.groupBy($"g").count().collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1)).toMap
+    assert(byGroup == Map(0 -> 10L, 1 -> 10L, -1 -> 4L), s"got $byGroup")
+    // defaultBudget 0 drops the NULL group entirely but keeps the others
+    val noDefault = Sampling.tokenBudgetSample(df, "id", "g", "ntok",
+      Map("0" -> 10L, "1" -> 10L))
+    assert(noDefault.where($"g".isNull).count() == 0 && noDefault.count() == 20)
+  }
+
   test("leakageSafeSplit keeps every duplicate cluster inside one split") {
     val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters: {0,1,2} (chained), {10,11}; everything else singleton

@@ -156,6 +156,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"single query nProbe=2 read ${one.inputFiles.length} bucket files")
   }
 
+  test("IVF rebuild publishes centroids atomically with the fileset they bucketed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-v").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 4, kmeansIterations = 1)
+    val c1 = Similarity.loadCentroids(dir)
+    assert(c1.size == 4)
+    // the centroids live INSIDE the committed build dir, not at the table
+    // root: the manifest rename that publishes the fileset publishes them
+    // too, so a crash or concurrent read around a rebuild can never pair
+    // new bucket files with old centroids
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_centroids.txt")),
+      "centroids must not be a root-level sidecar")
+    val buildDirs1 = graft.streaming.CommitLog.currentFiles(dir)
+      .map(f => f.substring(0, f.indexOf("/__b="))).distinct
+    assert(buildDirs1.size == 1 &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, buildDirs1.head, "_centroids.txt")))
+    // rebuild with a different centroid count: readers resolve the NEW
+    // centroids through the new commit, and search agrees with the
+    // rebuild-per-call path under the new clustering
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIterations = 2)
+    val c2 = Similarity.loadCentroids(dir)
+    assert(c2.size == 8, s"stale centroids after rebuild: ${c2.size}")
+    val queries = emb.where($"vec_id" < 3)
+    val fromIndex = Similarity
+      .ivfSearchIndexed(spark, dir, queries, "vec_id", "embedding", K, nProbe = 3)
+      .orderBy($"qid", $"rank").collect().map(_.toString).toSeq
+    val direct = Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", K,
+        nCentroids = 8, nProbe = 3, kmeansIterations = 2)
+      .orderBy($"qid", $"rank").collect().map(_.toString).toSeq
+    assert(fromIndex == direct, "post-rebuild indexed search diverged")
+  }
+
   test("IVF appends: streamed vectors join the index; probing all buckets is exact") {
     val work = java.nio.file.Files.createTempDirectory("graft-ivfidx-s").toString
     val src = s"$work/src"; val dir = s"$work/idx"; val cp = s"$work/cp"

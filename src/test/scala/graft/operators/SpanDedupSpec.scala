@@ -21,6 +21,28 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out == Map(0L -> "a b c d", 1L -> "x y"))
   }
 
+  test("blank and multi-space documents don't alias onto a shared empty span") {
+    // split-on-space used to keep empty tokens: every blank/whitespace doc
+    // shared the single span "" and all but one were silently dropped, and
+    // "a  b" (double space) span-hashed differently from "a b"
+    val docs = Seq(
+      (0L, "a  b"),   // double space: empty token must not pad the span
+      (1L, "a b"),    // same content as 0 after token cleanup -> duplicate
+      (2L, ""),       // blank: no spans, dropped (no content to keep)
+      (3L, "   "),    // whitespace-only: same
+      (4L, "x y")     // untouched bystander
+    ).toDF("doc_id", "text")
+    val out = result(SpanDedup.dedupSpans(docs, "doc_id", "text", 2))
+    // doc 0 keeps the span (first occurrence, normalized to single space),
+    // doc 1 is its duplicate and vanishes; blanks vanish without eating
+    // each other's slot; doc 4 survives untouched
+    assert(out == Map(0L -> "a b", 4L -> "x y"))
+    // scrub path: blanks produce no span rows either (dropped), and the
+    // duplicated span is scrubbed from BOTH docs at maxOccurrences=1
+    val scrubbed = result(SpanDedup.scrubFrequentSpans(docs, "doc_id", "text", 2, 1))
+    assert(scrubbed == Map(4L -> "x y"))
+  }
+
   test("unique corpus passes through unchanged (incl. short tail spans)") {
     val docs = Seq((0L, "a b c"), (1L, "d e f g h")).toDF("doc_id", "text")
     val out = result(SpanDedup.dedupSpans(docs, "doc_id", "text", 2))

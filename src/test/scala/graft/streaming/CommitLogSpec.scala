@@ -90,6 +90,9 @@ class CommitLogSpec extends AnyFunSuite {
     assert(metaFiles <= every + 1, s"metadata not bounded: $metaFiles files after 200 commits")
     // nothing was lost in the folds: every id replay-skips, every row reads
     assert(CommitLog.committedBatchIds(dir) == (0L until 200L).toSet)
+    // range-encoded membership (the non-materializing hot path) agrees
+    assert((0L until 200L).forall(CommitLog.isCommitted(dir, _)))
+    assert(!CommitLog.isCommitted(dir, 200L) && !CommitLog.isCommitted(dir, -1L))
     assert(CommitLog.read(spark, dir).count() == 200)
     assert(!CommitLog.append(Seq((5L, "dup")).toDF("k", "v"), dir, batchId = 5L))
     assert(CommitLog.latestCommit(dir).exists(_._2.contains(199L)))
