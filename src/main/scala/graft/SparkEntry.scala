@@ -1332,6 +1332,26 @@ object SparkEntry {
         .dedupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", spanTokens = 4)
         .orderBy(col("doc_id"))),
 
+    // --- OFFSET-ROBUST span dedup: content-anchored span boundaries
+    //     (md5-of-token predicate) instead of a fixed k-grid, so a
+    //     duplicate passage shifted by <k tokens still dedups — the
+    //     fidelity gap of the grid variant vs a suffix array. The gate
+    //     corpus plants that exact hazard: a one-token-padded copy of
+    //     every doc_id<50 document, which the fixed grid provably
+    //     misses (every grid span misaligns by one token) and the
+    //     anchored variant reduces to the pad plus a pre-anchor head
+    //     fragment ---
+    "doc_span_dedup_anchored" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("zzpad "), col("text")).as("text")))
+      graft.operators.SpanDedup
+        .dedupSpansAnchored(corpus, "doc_id", "text", spanTokens = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- boilerplate scrub: every occurrence of a span repeated more
     //     than maxOccurrences times corpus-wide is removed outright ---
     "doc_span_scrub" -> ((s, dir) =>
@@ -2784,6 +2804,32 @@ object SparkEntry {
          keep AS (SELECT doc_id, idx, span,
                   row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
                   FROM spans)
+         SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
+         FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "doc_span_dedup_anchored" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, 'zzpad ' || text AS text
+           FROM documents WHERE doc_id < 50),
+         toks AS (
+           SELECT doc_id, t.tok, t.pos
+           FROM corpus, LATERAL (
+             SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+                    GENERATE_SUBSCRIPTS(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+           ) t),
+         seg AS (
+           SELECT doc_id, tok, pos,
+             MAX(CASE WHEN pos = 1 OR substr(md5(tok), 1, 1) = '0' THEN pos END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS seg_start
+           FROM toks),
+         spans AS (
+           SELECT doc_id, MIN(pos) AS idx, string_agg(tok, ' ' ORDER BY pos) AS span
+           FROM seg GROUP BY doc_id, seg_start, (pos - seg_start) // 16),
+         keep AS (
+           SELECT doc_id, idx, span,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+           FROM spans)
          SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
          FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "stream_span_dedup" ->

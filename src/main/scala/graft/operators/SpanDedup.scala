@@ -83,7 +83,14 @@ object SpanDedup {
       spanTokens: Int
   ): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
-    val exploded = explodedSpans(docs, idCol, textCol, spanTokens)
+    keepFirst(explodedSpans(docs, idCol, textCol, spanTokens), idCol, textCol)
+  }
+
+  /** Keep-first over any (__doc, __idx, __span, __sh) span frame:
+    * duplicated span hashes survive only at the smallest (doc, idx),
+    * then documents reassemble from their surviving spans.
+    */
+  private def keepFirst(exploded: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = exploded
       .groupBy(col("__sh"))
       .agg(min(struct(col("__doc"), col("__idx"))).as("__keep"),
@@ -95,6 +102,75 @@ object SpanDedup {
       .where(col("__keep").isNull ||
         (col("__keep.__doc") === col("__doc") && col("__keep.__idx") === col("__idx")))
     reassemble(kept, idCol, textCol)
+  }
+
+  /** (__doc, __idx, __span, __sh) with CONTENT-DEFINED span boundaries:
+    * a new span starts at every anchor token — one whose `md5` hex
+    * rendering starts with '0' (probability 1/16 per distinct token) —
+    * and anchor-free runs are sub-split every `k` tokens FROM THE RUN'S
+    * START. Both rules depend only on the text, never on absolute
+    * position, so a duplicate passage shifted by any offset inside its
+    * document produces the same interior spans — the fidelity gap the
+    * fixed grid of [[explodedSpans]] leaves (a <k-token offset
+    * misaligns every grid span) closes to at most one partial span at
+    * each edge of the duplicated region. This is winnowing-style
+    * anchoring reduced to a per-token predicate, which keeps the oracle
+    * computation engine-portable (`md5` is bit-identical everywhere).
+    *
+    * Scale shape: one shuffle on doc id for the running-max window that
+    * assigns tokens to their segment (per-doc state, bounded by document
+    * length — same bound as [[reassemble]]), then the span texts form in
+    * a map-side-combined aggregate keyed by (doc, segment, sub-span).
+    * The extra shuffle over the grid variant is the price of shift
+    * invariance; at 100 TB it is doc-id-partitioned and skew-bounded by
+    * the longest document, not by span popularity.
+    */
+  private[graft] def anchoredSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(
+        col(idCol).as("__doc"),
+        filter(split(col(textCol), " "), t => t =!= "").as("__t"))
+      .select(col("__doc"), posexplode_outer(col("__t")).as(Seq("__pos", "__tok")))
+      .where(col("__tok").isNotNull)
+    val runningSeg = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = toks.withColumn(
+      "__segStart",
+      max(when(col("__pos") === 0 ||
+        substring(md5(col("__tok")), 1, 1) === "0", col("__pos"))).over(runningSeg))
+    seg
+      .groupBy(
+        col("__doc"), col("__segStart"),
+        ((col("__pos") - col("__segStart")) / lit(k)).cast("int").as("__sub"))
+      .agg(
+        min(col("__pos")).as("__idx"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("__span"))
+      .select(col("__doc"), col("__idx"), col("__span"), xxhash64(col("__span")).as("__sh"))
+  }
+
+  /** [[dedupSpans]] with the content-anchored spans of
+    * [[anchoredSpans]]: exact substring dedup that still fires when the
+    * duplicate passage sits at a different token offset in each
+    * document. `spanTokens` caps span length inside anchor-free runs.
+    */
+  def dedupSpansAnchored(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int
+  ): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
+    keepFirst(anchoredSpans(docs, idCol, textCol, spanTokens), idCol, textCol)
   }
 
   /** Surviving (__doc, __idx, __span) rows → (idCol, textCol) documents,

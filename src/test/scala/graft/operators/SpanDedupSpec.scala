@@ -71,6 +71,55 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("anchored spans catch an offset duplicate the fixed grid provably misses") {
+    // doc 1 repeats doc 0's passage shifted by ONE token: every fixed-grid
+    // span of doc 1 misaligns with doc 0's grid, so the grid variant finds
+    // nothing; content-anchored boundaries re-synchronize after the first
+    // anchor, so the shared passage dedups away
+    val passage = (0 until 64).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, passage),
+      (1L, "pad " + passage)
+    ).toDF("doc_id", "text")
+    val grid = result(SpanDedup.dedupSpans(docs, "doc_id", "text", 8))
+    assert(grid == Map(0L -> passage, 1L -> ("pad " + passage)),
+      s"fixed grid unexpectedly deduped the shifted copy: $grid")
+    val anchored = result(SpanDedup.dedupSpansAnchored(docs, "doc_id", "text", 8))
+    assert(anchored(0L) == passage, "the first occurrence must survive whole")
+    val survivors1 = anchored.getOrElse(1L, "").split(" ").filter(_.nonEmpty)
+    // doc 1 keeps the pad and at most the pre-anchor head fragment of the
+    // passage (tokens before the first content anchor); everything after
+    // the first anchor is recognized as duplicate text and removed
+    assert(survivors1.length < 64 / 2,
+      s"anchored variant kept ${survivors1.length} of 65 shifted tokens: ${anchored.get(1L)}")
+    assert(survivors1.headOption.contains("pad"))
+  }
+
+  test("anchored span boundaries are shift-invariant (same interior spans at any offset)") {
+    // the same passage at three different offsets inside otherwise-unique
+    // documents: all interior copies dedup to the first occurrence
+    val passage = (0 until 48).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, passage),
+      (1L, "x1 " + passage),
+      (2L, "y1 y2 y3 " + passage)
+    ).toDF("doc_id", "text")
+    val out = result(SpanDedup.dedupSpansAnchored(docs, "doc_id", "text", 8))
+    assert(out(0L) == passage)
+    // boundaries re-synchronize exactly at the first anchor token of the
+    // passage (md5 hex digit '0' — p22 for this vocabulary): each shifted
+    // copy keeps precisely the passage tokens BEFORE that anchor, and
+    // everything from the anchor on dedups to doc 0's copy
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val firstAnchor = (0 until 48).indexWhere(i => md5hex(s"p$i").startsWith("0"))
+    assert(firstAnchor > 0 && firstAnchor < 48, "test vocabulary needs an interior anchor")
+    val kept1 = out.getOrElse(1L, "").split(" ").count(_.startsWith("p"))
+    val kept2 = out.getOrElse(2L, "").split(" ").count(_.startsWith("p"))
+    assert(kept1 == firstAnchor && kept2 == firstAnchor,
+      s"shifted copies kept $kept1/$kept2, expected the $firstAnchor pre-anchor tokens")
+  }
+
   test("scrubFrequentSpans removes every occurrence above the cap") {
     val docs = Seq(
       (0L, "a b a b c d"), // "a b" occurs 3x corpus-wide (2 here, 1 in doc1)
