@@ -1862,6 +1862,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "text", minCount = 5L)
         .orderBy(col("w1"), col("w2"))),
 
+    // --- the same mining with the unigram joins UNHINTED
+    //     (broadcastThreshold = 0 forces the web-scale-vocabulary plan,
+    //     where forcing a broadcast of the count table would OOM the
+    //     driver): shares doc_phrases' oracle, certifying the two plans
+    //     agree ---
+    "doc_phrases_join" -> ((s, dir) =>
+      graft.operators.Phrases.bigramLift(
+        s.read.parquet(s"$dir/documents.parquet"), "text", minCount = 5L,
+        broadcastThreshold = 0L)
+        .orderBy(col("w1"), col("w2"))),
+
     // --- word2phrase APPLY: greedily fuse the top-5 mined bigrams into
     //     single tokens (left-to-right, no overlap) — the pure-projection
     //     rewrite a vocabulary build runs after phrase mining ---
@@ -2230,6 +2241,24 @@ object SparkEntry {
        SELECT doc_id, CAST(SUM(tf * (n.n // df.df)) AS BIGINT) AS score
        FROM tf JOIN df USING (t) CROSS JOIN n GROUP BY doc_id
        ORDER BY score DESC, doc_id LIMIT 25"""
+
+  /** Shared by doc_phrases and doc_phrases_join (broadcast-hinted vs
+    * unhinted unigram joins — plan variants of one computation).
+    */
+  private val phrasesOracle =
+    """WITH toks AS (
+         SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
+       uni AS (SELECT w, count(*) AS n_w
+               FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
+       tot AS (SELECT sum(len(ts)) AS n FROM toks),
+       big AS (
+         SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
+         FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks) g
+         GROUP BY 1, 2 HAVING count(*) >= 5)
+       SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+              round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
+       FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot
+       ORDER BY w1, w2"""
 
   /** Shared by doc_phrase_fuse and doc_phrase_fuse_join (literal walk vs
     * broadcast-join plan). The stateful greedy fusion is SQL-expressible
@@ -3023,20 +3052,8 @@ object SparkEntry {
     "doc_term_search_incr" -> termSearchOracle,
     "doc_term_search_indexed" -> termSearchOracle,
     "stream_term_index" -> termSearchOracle,
-    "doc_phrases" ->
-      """WITH toks AS (
-           SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS ts FROM documents),
-         uni AS (SELECT w, count(*) AS n_w
-                 FROM (SELECT unnest(ts) AS w FROM toks) u GROUP BY w),
-         tot AS (SELECT sum(len(ts)) AS n FROM toks),
-         big AS (
-           SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS n_pair
-           FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks) g
-           GROUP BY 1, 2 HAVING count(*) >= 5)
-         SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
-                round((CAST(n_pair AS DOUBLE) * tot.n) / (CAST(u1.n_w AS DOUBLE) * u2.n_w), 6) AS lift
-         FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot
-         ORDER BY w1, w2""",
+    "doc_phrases" -> phrasesOracle,
+    "doc_phrases_join" -> phrasesOracle,
     "doc_phrase_fuse" -> phraseFuseOracle,
     "doc_phrase_fuse_join" -> phraseFuseOracle,
     "doc_redact" ->

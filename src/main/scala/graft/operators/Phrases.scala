@@ -34,8 +34,21 @@ object Phrases {
   /** (w1, w2, n_pair, n_w1, n_w2, lift) for every adjacent token pair
     * occurring at least `minCount` times. Duplicate-preserving bigrams
     * (collocation counts need the multiset, not the distinct set).
+    *
+    * The two unigram-count joins are broadcast-HINTED only while the
+    * vocabulary is at most `broadcastThreshold` rows; above that the
+    * join is left unhinted — same model-size discipline as
+    * [[UnigramModel.scoreLarge]]/[[Vocab.encodeLarge]], so no corpus
+    * statistic is ever forced through the driver at 100 TB (a web-scale
+    * vocabulary runs 10^8 tokens; AQE still broadcasts it whenever it
+    * measures small).
     */
-  def bigramLift(docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+  def bigramLift(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      broadcastThreshold: Long = 4096L
+  ): DataFrame = {
     require(minCount >= 1)
     // one pass: every document contributes its tokens AND its space-joined
     // adjacent pairs to a single exploded count. The counts frame is
@@ -59,9 +72,13 @@ object Phrases {
         split_part(col("g"), lit(" "), lit(1)).as("w1"),
         split_part(col("g"), lit(" "), lit(2)).as("w2"),
         col("n").as("n_pair"))
+    // vocabulary size off the localCheckpointed counts — no corpus re-scan
+    val hint =
+      if (uni.count() <= broadcastThreshold) (d: DataFrame) => broadcast(d)
+      else (d: DataFrame) => d
     pairs
-      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
+      .join(hint(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
+      .join(hint(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
         round(col("n_pair").cast("double") * nTotal /
           (col("n_w1").cast("double") * col("n_w2")), 6).as("lift"))
@@ -138,9 +155,11 @@ object Phrases {
       idCol: String,
       textCol: String,
       phrasesDf: DataFrame,
-      literalThreshold: Int = 4096
+      literalThreshold: Int = 4096,
+      broadcastThreshold: Long = 1L << 22
   ): DataFrame = {
-    if (phrasesDf.count() <= literalThreshold) {
+    val phraseCount = phrasesDf.count()
+    if (phraseCount <= literalThreshold) {
       val ps = phrasesDf.select(col("w1"), col("w2")).collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
       if (ps.isEmpty)
@@ -155,10 +174,14 @@ object Phrases {
     val staged = toks.select(col(idCol),
       zip_with(slice(col("__ts"), lit(1), n1), slice(col("__ts"), lit(2), n1),
         (a, b) => concat_ws(" ", a, b)).as("__pairs"))
+    // a mined phrase table is normally bounded (top-N by lift), so the
+    // semi join broadcasts by hint up to broadcastThreshold pairs; past
+    // that the hint drops and AQE picks the strategy from measured size
+    val phraseKeys = phrasesDf.select(concat_ws(" ", col("w1"), col("w2")).as("__pair"))
+    val hinted = if (phraseCount <= broadcastThreshold) broadcast(phraseKeys) else phraseKeys
     val hits = staged
       .select(col(idCol), posexplode(col("__pairs")).as(Seq("__pos", "__pair")))
-      .join(broadcast(phrasesDf.select(
-        concat_ws(" ", col("w1"), col("w2")).as("__pair"))), Seq("__pair"), "leftsemi")
+      .join(hinted, Seq("__pair"), "leftsemi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__mp"))
     toks

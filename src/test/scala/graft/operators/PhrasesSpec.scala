@@ -78,6 +78,30 @@ class PhrasesSpec extends AnyFunSuite {
     assert(none(1L) == Seq("new", "york", "city", "hall") && none(6L) == Seq.empty)
   }
 
+  test("bigramLift with broadcastThreshold 0 is value-exact and drops the broadcast hint") {
+    // a web-scale vocabulary can't be force-broadcast; the unhinted plan
+    // must produce identical counts/lifts and carry no BroadcastHashJoin
+    // introduced by OUR hint (AQE may still choose one from measured
+    // sizes at runtime, which is the point — so assert on the hint-free
+    // logical plan, not the executed one)
+    val docs = Seq(
+      (1L, "new york is big"), (2L, "is big is big"),
+      (3L, "new york is big"), (4L, "is big is big"),
+      (5L, "new york is big"), (6L, "is big is big")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"w1", $"w2").collect().map(_.toString).toSeq
+    val hinted = Phrases.bigramLift(docs, "text", minCount = 2L)
+    val unhinted = Phrases.bigramLift(docs, "text", minCount = 2L, broadcastThreshold = 0L)
+    assert(rows(hinted) == rows(unhinted), "plans disagree on values")
+    def hintCount(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hintCount(hinted) == 2 && hintCount(unhinted) == 0,
+      s"expected 2 vs 0 broadcast hints, got ${hintCount(hinted)} vs ${hintCount(unhinted)}")
+  }
+
   test("lift > 1 flags attraction, < 1 flags repulsion") {
     // "a b" always adjacent (attraction); "a z" never adjacent
     val docs = Seq.fill(5)("a b filler").toDF("text")
