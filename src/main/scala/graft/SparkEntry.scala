@@ -1313,6 +1313,29 @@ object SparkEntry {
           length(col("text")).as("len_chars"))
         .orderBy(col("doc_id"))),
 
+    // --- a curation step written ENTIRELY in SQL over the registered
+    //     function surface (SqlFunctions.register): quality-filter,
+    //     per-language corpus stats, KMV distinct-text estimate — the
+    //     reference's pure-SQL user model (README.md:25) extended to the
+    //     text tier. The scalar calls are expression builders, so this
+    //     plans identically to the DataFrame form (codegen, no UDF
+    //     wall); kmv_distinct is exact below k=1024 per group, which
+    //     the 500-doc fixture guarantees, so the oracle pins it to
+    //     count(DISTINCT) ---
+    "doc_sql_pipeline" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents_sql")
+      s.sql("""
+        SELECT lang, count(*) AS n_docs,
+               sum(token_count(text)) AS total_toks,
+               kmv_distinct(fingerprint64(text)) AS n_distinct_texts,
+               round(min(quality_score(text)), 6) AS min_quality,
+               round(max(quality_score(text)), 6) AS max_quality
+        FROM documents_sql
+        WHERE quality_score(text) >= 0.5
+        GROUP BY lang ORDER BY lang""")
+    }),
+
     // --- exact dedup: duplicate groups (keeper id + copy count) ---
     "doc_exact_dedup" -> ((s, dir) =>
       graft.operators.Dedup
@@ -2813,6 +2836,27 @@ object SparkEntry {
          CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
          CAST(length(text) AS INT) AS len_chars
          FROM documents ORDER BY doc_id""",
+    "doc_sql_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id, lang, text,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ntoks
+           FROM documents),
+         scored AS (
+           SELECT lang, text,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks,
+             round(least(nchars/200.0, 1.0)*0.25 +
+               (CASE WHEN nchars/ntoks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+               (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
+               least((CAST(len(regexp_extract_all(text,'\p{L}')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
+           FROM base)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS total_toks,
+                count(DISTINCT text) AS n_distinct_texts,
+                round(min(quality), 6) AS min_quality,
+                round(max(quality), 6) AS max_quality
+         FROM scored WHERE quality >= 0.5
+         GROUP BY lang ORDER BY lang""",
     "doc_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",
