@@ -106,4 +106,120 @@ object Decontaminate {
     val flagged = if (broadcastFlagged) broadcast(flagged0) else flagged0
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  // ---------------------------------------------------------------------
+  // Semantic (embedding-space) decontamination
+  // ---------------------------------------------------------------------
+
+  /** Training documents whose embedding sits within cosine `threshold` of
+    * ANY benchmark embedding: (idCol, n_matched, max_cosine). The
+    * embedding-space counterpart of [[contaminated]] — n-gram overlap
+    * misses paraphrased or translated test-set leakage; cosine over a
+    * shared embedding model catches it.
+    *
+    * Shape for 100 TB: same argument as the n-gram path — an eval suite
+    * is thousands of vectors, so the benchmark side is BROADCAST and the
+    * corpus is probed map-side in one scan with a codegen'd dot product
+    * ([[Similarity.cosine]] compiles to a tight loop, not an interpreted
+    * lambda). The join is a BroadcastNestedLoopJoin by construction
+    * (cosine is not an equi-condition); cost is |corpus| x |benchmark|
+    * cosine evaluations with nothing but flagged (id, sim) rows leaving
+    * the scan stage — exact, shuffle-free on the corpus side, and
+    * embarrassingly parallel. For benchmark sets too large to broadcast,
+    * use [[semanticContaminatedIvf]], which buckets both sides by
+    * coarse centroid so each corpus row is scored only against the
+    * benchmark vectors probing its bucket.
+    */
+  def semanticContaminated(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val bench0 = benchmark.select(
+      transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    val sim = Similarity.cosine(col("__tvec"), col("__bvec"))
+    train
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__tvec"))
+      .join(bench, sim >= threshold)
+      .select(col(idCol), sim.as("__sim"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), max(col("__sim")).as("max_cosine"))
+  }
+
+  /** The training corpus with semantically contaminated documents
+    * removed. A LEFT ANTI BroadcastNestedLoopJoin on the cosine
+    * condition directly: per corpus row the benchmark scan short-circuits
+    * at the first match, and no flagged-id table is ever materialized —
+    * cheaper than [[semanticContaminated]] + anti join when only the
+    * surviving corpus is wanted.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val bench0 = benchmark.select(
+      transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    val probe = train.withColumn(
+      "__tvec", transform(col(vecCol), x => x.cast("double")))
+    probe
+      .join(bench, Similarity.cosine(col("__tvec"), col("__bvec")) >= threshold, "left_anti")
+      .drop("__tvec")
+  }
+
+  /** IVF-bucketed [[semanticContaminated]] for benchmark sets too large
+    * to broadcast-scan against every corpus row: corpus vectors are
+    * assigned to their single nearest coarse centroid
+    * ([[Similarity.kmeansCentroids]] — centroids are the ONLY
+    * driver-side collect, bounded by `nCentroids`), each benchmark
+    * vector probes its `nProbe` nearest buckets, and cosine is evaluated
+    * only on bucket-colocated pairs — ~nProbe/nCentroids of the
+    * all-pairs work. Approximate by construction (a contaminated pair
+    * whose benchmark vector does not probe the corpus row's bucket is
+    * missed); the `doc_semantic_decontam_ivf_recall` gate pins the
+    * flagged-set recall against the exact path.
+    */
+  def semanticContaminatedIvf(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      kmeansIterations: Int = 0
+  ): DataFrame = {
+    val c = train.select(
+      col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__tvec"))
+    val centroids =
+      if (kmeansIterations > 0)
+        Similarity.kmeansCentroids(train, idCol, vecCol, nCentroids, kmeansIterations)
+      else
+        c.orderBy(col(idCol)).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
+    val bucketed = c.withColumn(
+      "__b", Similarity.nearestCentroidBuckets(col("__tvec"), centroids, 1).getItem(0))
+    val probes = benchmark
+      .select(transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
+      .select(col("__bvec"),
+        explode(Similarity.nearestCentroidBuckets(col("__bvec"), centroids, nProbe)).as("__b"))
+    val sim = Similarity.cosine(col("__tvec"), col("__bvec"))
+    bucketed
+      .join(probes, "__b")
+      .where(sim >= threshold)
+      .select(col(idCol), sim.as("__sim"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), max(col("__sim")).as("max_cosine"))
+  }
 }
