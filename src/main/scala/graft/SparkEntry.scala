@@ -1838,6 +1838,65 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- SEMANTIC decontamination: the embedding-space counterpart of
+    //     doc_decontaminate — n-gram overlap misses paraphrased or
+    //     translated test-set leakage; cosine >= 0.35 against the
+    //     benchmark's embeddings (fixture: label 0) catches it. The
+    //     benchmark side is BROADCAST (an eval suite is bounded by
+    //     nature, same argument as the 13-gram path) and the corpus is
+    //     scored map-side in one scan — a BroadcastNestedLoopJoin by
+    //     construction (cosine is not an equi-condition) with a
+    //     codegen'd dot product; only flagged (id, sim) rows leave the
+    //     scan stage. Threshold 0.35 sits >= 1e-4 from every actual
+    //     pair cosine in the fixture, so the engine/oracle boundary
+    //     cannot flip membership ---
+    "doc_semantic_decontam" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Decontaminate.semanticContaminated(
+        emb, "vec_id", "embedding",
+        emb.where(col("label") === 0), "embedding", threshold = 0.35)
+        .select(col("vec_id"), col("n_matched"),
+          round(col("max_cosine"), 6).as("max_cosine"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- the surviving corpus after semantic decontamination: LEFT
+    //     ANTI on the cosine condition directly — the per-row benchmark
+    //     scan short-circuits at the first hit and no flagged-id table
+    //     is ever materialized ---
+    "doc_semantic_decontam_keep" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Decontaminate.semanticDecontaminate(
+        emb, "vec_id", "embedding",
+        emb.where(col("label") === 0), "embedding", threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- IVF-bucketed semantic decontamination for the large-benchmark
+    //     regime (benchmark too big to broadcast-scan per corpus row):
+    //     corpus rows sit in their nearest-centroid bucket, each
+    //     benchmark vector probes its nProbe closest buckets, cosine is
+    //     evaluated only on bucket-colocated pairs. Approximate by
+    //     construction -> gated on flagged-set recall vs the exact
+    //     path, the same discipline as emb_knn_ivf_recall ---
+    "doc_semantic_decontam_ivf_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val bench = emb.where(col("label") === 0)
+      val exact = graft.operators.Decontaminate.semanticContaminated(
+        emb, "vec_id", "embedding", bench, "embedding", threshold = 0.35)
+        .select(col("vec_id"))
+      val approx = graft.operators.Decontaminate.semanticContaminatedIvf(
+        emb, "vec_id", "embedding", bench, "embedding", threshold = 0.35,
+        nCentroids = 16, nProbe = 8, kmeansIterations = 2)
+        .select(col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_hit") / col("n_exact") >= 0.85).as("recall_ok"))
+    }),
+
     // --- term retrieval: integer-exact df-weighted scoring (BM25-family
     //     shape, no floats); tokens filter to the query's terms BEFORE
     //     any shuffle, final top-k is TakeOrdered ---
@@ -3321,6 +3380,32 @@ object SparkEntry {
          JOIN bench USING (g)
          GROUP BY t.doc_id
          ORDER BY t.doc_id""",
+    "doc_semantic_decontam" ->
+      """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+                    FROM embeddings WHERE label = 0),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings)
+         SELECT vec_id, count(*) AS n_matched,
+                round(max(list_cosine_similarity(cv, bv)), 6) AS max_cosine
+         FROM c, b
+         WHERE list_cosine_similarity(cv, bv) >= 0.35
+         GROUP BY vec_id ORDER BY vec_id""",
+    "doc_semantic_decontam_keep" ->
+      """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+                    FROM embeddings WHERE label = 0)
+         SELECT vec_id, label FROM embeddings c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM b
+           WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), bv) >= 0.35)
+         ORDER BY vec_id""",
+    "doc_semantic_decontam_ivf_recall" ->
+      """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+                    FROM embeddings WHERE label = 0),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            f AS (SELECT DISTINCT vec_id FROM c, b
+                  WHERE list_cosine_similarity(cv, bv) >= 0.35)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM f""",
     "doc_simhash_near_dup" ->
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t

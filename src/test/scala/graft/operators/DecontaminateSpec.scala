@@ -100,4 +100,63 @@ class DecontaminateSpec extends AnyFunSuite {
     val joinShuffles = bhj.head.collect { case s: ShuffleExchangeExec => s }
     assert(joinShuffles.isEmpty, "corpus side must not shuffle before the gram join")
   }
+
+  // ---- semantic (embedding-space) decontamination ----
+
+  private val semBench = Seq(
+    (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (101L, Seq(0.0, 1.0, 0.0, 0.0))
+  ).toDF("vec_id", "embedding")
+  private val semTrain = Seq(
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // exact copy of bench 100 -> cos 1.0
+    (2L, Seq(0.9, 0.1, 0.0, 0.0)),   // cos vs bench 100 = 0.9939 -> flagged at 0.9
+    (3L, Seq(0.0, 0.0, 1.0, 0.0)),   // orthogonal to both -> clean
+    (4L, Seq(0.6, 0.8, 0.0, 0.0))    // cos 0.6 / 0.8 -> clean at 0.9
+  ).toDF("vec_id", "embedding")
+
+  test("semanticContaminated flags exactly the docs within cosine threshold of any bench vector") {
+    val out = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - 1.0) < 1e-9)
+    assert(math.abs(out(2L)._2 - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("semanticDecontaminate keeps exactly the complement") {
+    val kept = Decontaminate.semanticDecontaminate(
+      semTrain, "vec_id", "embedding", semBench, "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("semantic exact path: broadcastBenchmark=false returns identical rows") {
+    val a = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9)
+      .collect().map(_.toSeq).toSet
+    val b = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9,
+      broadcastBenchmark = false)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("semanticContaminatedIvf never invents matches, and probing every bucket equals exact") {
+    // bucket pruning can only LOSE pairs (a bench vector not probing the
+    // corpus row's bucket), never add them: flagged(ivf) must be a subset
+    // of flagged(exact) at any nProbe, and equal at nProbe = nCentroids.
+    val exact = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val pruned = Decontaminate.semanticContaminatedIvf(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9,
+      nCentroids = 2, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned.subsetOf(exact))
+    val full = Decontaminate.semanticContaminatedIvf(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9,
+      nCentroids = 2, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+  }
 }
