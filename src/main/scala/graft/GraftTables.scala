@@ -4,6 +4,8 @@ import graft.model.{BtCell, CellCodec}
 import graft.store.{BigtableStores, InMemoryBigtable}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Seeds the in-memory Bigtable store from the driver's parquet test
   * tables (TESTDATA.md) so connector-level queries are checkable
@@ -44,33 +46,42 @@ object GraftTables {
     if (!BigtableStores.contains(name)) {
       val b = new InMemoryBigtable.Builder
 
-      spark.read.parquet(s"$sfDir/nation.parquet").collect().foreach { r =>
-        val key = f"${r.getAs[Int]("n_nationkey")}%04d"
-        b.put("nation", key, BtCell("f", "n_name", FixedTs, CellCodec.encodeString(r.getAs[String]("n_name"))))
-        b.put("nation", key, BtCell("f", "n_regionkey", FixedTs, CellCodec.encodeLong(r.getAs[Int]("n_regionkey").toLong)))
-        // multi-family variant: same data, one family per qualifier
-        b.put("nation_mf", key, BtCell("meta", "n_name", FixedTs, CellCodec.encodeString(r.getAs[String]("n_name"))))
-        b.put("nation_mf", key, BtCell("stats", "n_regionkey", FixedTs, CellCodec.encodeLong(r.getAs[Int]("n_regionkey").toLong)))
-      }
+      // Every seeded column is cast DataFrame-side to its canonical type
+      // BEFORE collect(): the driver regenerates the fixtures between
+      // rounds and has already drifted physical widths once (events.ts),
+      // so `Row.getAs` must never depend on what the file happens to hold.
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name").cast("string").as("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .collect().foreach { r =>
+          val key = f"${r.getAs[Long]("n_nationkey")}%04d"
+          b.put("nation", key, BtCell("f", "n_name", FixedTs, CellCodec.encodeString(r.getAs[String]("n_name"))))
+          b.put("nation", key, BtCell("f", "n_regionkey", FixedTs, CellCodec.encodeLong(r.getAs[Long]("n_regionkey"))))
+          // multi-family variant: same data, one family per qualifier
+          b.put("nation_mf", key, BtCell("meta", "n_name", FixedTs, CellCodec.encodeString(r.getAs[String]("n_name"))))
+          b.put("nation_mf", key, BtCell("stats", "n_regionkey", FixedTs, CellCodec.encodeLong(r.getAs[Long]("n_regionkey"))))
+        }
 
-      spark.read.parquet(s"$sfDir/orders.parquet").collect().foreach { r =>
-        val key = s"${r.getAs[String]("o_orderstatus")}#${r.getAs[String]("o_orderpriority")}#" +
-          f"${r.getAs[Long]("o_orderkey")}%010d"
-        b.put("orders", key, BtCell("f", "o_custkey", FixedTs, CellCodec.encodeLong(r.getAs[Long]("o_custkey"))))
-        b.put("orders", key, BtCell("f", "o_totalprice", FixedTs,
-          CellCodec.encodeString(r.getAs[Double]("o_totalprice").toString)))
-      }
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .collect().foreach { r =>
+          val key = s"${r.getAs[String]("o_orderstatus")}#${r.getAs[String]("o_orderpriority")}#" +
+            f"${r.getAs[Long]("o_orderkey")}%010d"
+          b.put("orders", key, BtCell("f", "o_custkey", FixedTs, CellCodec.encodeLong(r.getAs[Long]("o_custkey"))))
+          b.put("orders", key, BtCell("f", "o_totalprice", FixedTs,
+            CellCodec.encodeString(r.getAs[Double]("o_totalprice").toString)))
+        }
 
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and truncate to Bigtable's
-      // microsecond cell-timestamp resolution.
-      val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try {
+      {
         var maxMicros = 0L
-        spark.read.parquet(s"$sfDir/events.parquet").collect().foreach { r =>
+        eventsWithMicros(spark, s"$sfDir/events.parquet").foreach { r =>
           val key = f"${r.getAs[Long]("user_id")}%06d"
-          val micros = math.floorDiv(r.getAs[Long]("ts"), 1000L)
+          val micros = r.getAs[Long]("ts_us")
           maxMicros = math.max(maxMicros, micros)
           b.put("events", key, BtCell("f", "event_type", micros, CellCodec.encodeString(r.getAs[String]("event_type"))))
           b.put("events", key, BtCell("f", "value", micros, CellCodec.encodeString(r.getAs[Double]("value").toString)))
@@ -89,26 +100,65 @@ object GraftTables {
             b.put("events_flush", key, BtCell("f", "event_type", ts, CellCodec.encodeString("flush")))
             b.put("events_flush", key, BtCell("f", "value", ts, CellCodec.encodeString("0.0")))
           }
-      } finally {
-        prevNanos match {
-          case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-          case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        }
       }
 
       // documents as a change stream: one cell per doc, timestamps spread
       // over 8 one-second slots so the micro-batch replay steps through 8
       // arrival batches at any scale factor (stream_doc_near_dup)
-      spark.read.parquet(s"$sfDir/documents.parquet").collect().foreach { r =>
-        val docId = r.getAs[Long]("doc_id")
-        val key = f"$docId%08d"
-        val ts = FixedTs + (docId % 8) * 1000000L
-        b.put("documents", key, BtCell("f", "text", ts, CellCodec.encodeString(r.getAs[String]("text"))))
-      }
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("string").as("text"))
+        .collect().foreach { r =>
+          val docId = r.getAs[Long]("doc_id")
+          val key = f"$docId%08d"
+          val ts = FixedTs + (docId % 8) * 1000000L
+          b.put("documents", key, BtCell("f", "text", ts, CellCodec.encodeString(r.getAs[String]("text"))))
+        }
 
       BigtableStores.register(name, b.build())
     }
     seeded += sfDir
+  }
+
+  /** `events.parquet` with `ts` decoded to epoch microseconds (`ts_us`),
+    * schema-driven: the driver's generator has shipped this column as
+    * int64 TIMESTAMP(NANOS) and as timestamp[us] across regenerations, so
+    * the decode branches on the physical type rather than assuming one.
+    * `nanosAsLong` is a no-op for non-nanos files but required to read
+    * the nanos variants at all, so it is pinned for the duration of the
+    * read either way:
+    *   - read as `LongType` (int64 nanos, or timestamp[ns] under the
+    *     conf) → integral-divide to µs;
+    *   - read as TIMESTAMP / TIMESTAMP_NTZ (timestamp[us]/[ms]) →
+    *     `unix_micros` after a cast that is exact because every session
+    *     in this repo pins `spark.sql.session.timeZone=UTC` — matching
+    *     the DuckDB oracle's `epoch_us(ts)` wall-clock-as-UTC reading.
+    * Remaining columns are cast to canonical types for the same reason.
+    * Returns collected rows (this is the test-fixture seeding path, see
+    * the object Scaladoc) so the conf stays pinned across execution, not
+    * just planning — SQLConf is captured when the job RUNS.
+    */
+  private[graft] def eventsWithMicros(spark: SparkSession, path: String): Array[org.apache.spark.sql.Row] = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val raw = spark.read.parquet(path)
+      val tsUs = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000")
+        case _        => unix_micros(col("ts").cast(TimestampType))
+      }
+      raw.select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"),
+        tsUs.cast("long").as("ts_us"))
+        .collect()
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
   }
 
   private def reader(spark: SparkSession, sfDir: String) = {

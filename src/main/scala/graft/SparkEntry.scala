@@ -146,9 +146,10 @@ object SparkEntry {
       val name = s"${GraftTables.storeName(sfDir)}-streamwrite"
       graft.store.BigtableStores.register(name, new graft.store.ConcurrentBigtable)
       val work = java.nio.file.Files.createTempDirectory("graft-btsw").toString
-      // explicit schema omitting ts: events.parquet's TIMESTAMP(NANOS)
-      // is rejected by Spark's parquet reader (the doc_salted_count
-      // idiom); cell timestamps pin to writeTimestampMicros instead
+      // explicit schema omitting ts: this stream keys on event_id and
+      // pins cell timestamps to writeTimestampMicros, so the ts column
+      // (whose physical type has drifted across fixture regenerations)
+      // is never read at all
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
@@ -171,6 +172,43 @@ object SparkEntry {
       name
     })
 
+  /** Seeds (once per JVM per scale factor) a two-version `nation_v`
+    * table through the batch WRITE path — v1 at FixedTs, v2 with the
+    * name uppercased one second later, both pinned via the `_timestamp`
+    * column — and returns a configured reader for it. Gives the
+    * version-explosion and latest-filter semantics a gate that does not
+    * depend on `events.parquet` seeding (the r9 dark-gate root cause).
+    */
+  private val btVersionedStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def btVersionedNation(s: SparkSession, dir: String): org.apache.spark.sql.DataFrameReader = {
+    val name = btVersionedStores.computeIfAbsent(dir, { _ =>
+      val storeName = s"${GraftTables.storeName(dir)}-versioned"
+      graft.store.BigtableStores.register(storeName, new graft.store.ConcurrentBigtable)
+      val opts = Map(
+        "store" -> storeName, "table" -> "nation_v", "columnFamily" -> "f",
+        "partitionCols" -> "n_key", "qualifiers" -> "n_name:string")
+      val base = s.read.parquet(s"$dir/nation.parquet")
+        .select(lpad(col("n_nationkey").cast("string"), 4, "0").as("n_key"), col("n_name"))
+      val v1 = base
+        .withColumn("_timestamp", timestamp_micros(lit(GraftTables.FixedTs)))
+      val v2 = base
+        .withColumn("n_name", upper(col("n_name")))
+        .withColumn("_timestamp", timestamp_micros(lit(GraftTables.FixedTs + 1000000L)))
+      val w1 = v1.write.format("bigtable").mode("overwrite")
+      opts.foreach { case (k, v) => w1.option(k, v) }
+      w1.save()
+      val w2 = v2.write.format("bigtable").mode("append")
+      opts.foreach { case (k, v) => w2.option(k, v) }
+      w2.save()
+      storeName
+    })
+    s.read.format("bigtable")
+      .option("store", name).option("table", "nation_v").option("columnFamily", "f")
+      .option("partitionCols", "n_key").option("qualifiers", "n_name:string")
+      .option("allowFullScan", "true")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2A A4: partition pruning, equality (composer.rs:163-192) ---
     "bt_key_eq" -> ((s, dir) =>
@@ -190,13 +228,16 @@ object SparkEntry {
       val name = s"${GraftTables.storeName(dir)}-nation-only"
       if (!graft.store.BigtableStores.contains(name)) {
         val b = new graft.store.InMemoryBigtable.Builder
-        s.read.parquet(s"$dir/nation.parquet").collect().foreach { r =>
-          val key = f"${r.getAs[Int]("n_nationkey")}%04d"
-          b.put("nation", key, graft.model.BtCell("f", "n_name", GraftTables.FixedTs,
-            graft.model.CellCodec.encodeString(r.getAs[String]("n_name"))))
-          b.put("nation", key, graft.model.BtCell("f", "n_regionkey", GraftTables.FixedTs,
-            graft.model.CellCodec.encodeLong(r.getAs[Int]("n_regionkey").toLong)))
-        }
+        s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+          .collect().foreach { r =>
+            val key = f"${r.getAs[Long]("n_nationkey")}%04d"
+            b.put("nation", key, graft.model.BtCell("f", "n_name", GraftTables.FixedTs,
+              graft.model.CellCodec.encodeString(r.getAs[String]("n_name"))))
+            b.put("nation", key, graft.model.BtCell("f", "n_regionkey", GraftTables.FixedTs,
+              graft.model.CellCodec.encodeLong(r.getAs[Long]("n_regionkey"))))
+          }
         graft.store.BigtableStores.register(name, b.build())
       }
       s.read.format("bigtable")
@@ -406,6 +447,27 @@ object SparkEntry {
       opts.foreach { case (k, v) => r.option(k, v) }
       r.load()
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))
+    }),
+
+    // --- §2A A13/A11 versions round trip, events-independent: two
+    //     writes pin two cell versions per key via the _timestamp
+    //     column (v2 = uppercased name one second later), then
+    //     onlyReadLatest=false explodes one row per (key, version) and
+    //     onlyReadLatest=true keeps only v2 — the execute_plan.rs:223-271
+    //     / composer.rs:257-261 semantics gated without touching the
+    //     events fixture that went dark in r9 ---
+    "bt_versions_roundtrip" -> ((s, dir) => {
+      val r = btVersionedNation(s, dir).option("onlyReadLatest", "false")
+      r.load()
+        .select(col("n_key"), unix_micros(col("_timestamp")).as("ts_us"), col("n_name"))
+        .orderBy(col("n_key"), col("ts_us"))
+    }),
+
+    "bt_latest_roundtrip" -> ((s, dir) => {
+      val r = btVersionedNation(s, dir).option("onlyReadLatest", "true")
+      r.load()
+        .select(col("n_key"), col("n_name"))
         .orderBy(col("n_key"))
     }),
 
@@ -1478,8 +1540,9 @@ object SparkEntry {
 
     // --- salted aggregation over a skewed key (events per type) ---
     "doc_salted_count" -> ((s, dir) => {
-      // explicit schema: sidesteps events.parquet's TIMESTAMP(NANOS)
-      // column, which Spark's schema inference rejects
+      // explicit schema: only event_type is needed, and pruning ts at
+      // the schema keeps this gate independent of the fixture
+      // generator's ts physical type (which has drifted across rounds)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
       graft.operators.Skew
@@ -2518,6 +2581,20 @@ object SparkEntry {
     "bt_write_roundtrip" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_key""",
+    "bt_versions_roundtrip" ->
+      """SELECT n_key, ts_us, n_name FROM (
+           SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key,
+                  CAST(1600000000000000 AS BIGINT) AS ts_us, n_name
+           FROM nation
+           UNION ALL
+           SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0'),
+                  CAST(1600000001000000 AS BIGINT), upper(n_name)
+           FROM nation) t
+         ORDER BY n_key, ts_us""",
+    "bt_latest_roundtrip" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key,
+         upper(n_name) AS n_name
          FROM nation ORDER BY n_key""",
     "stream_bt_write" ->
       """SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS e_key, event_type,

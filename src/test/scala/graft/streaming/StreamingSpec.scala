@@ -204,8 +204,9 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("stream_distinct_sketch")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // events.parquet is TIMESTAMP(NANOS) — unreadable by Spark's parquet
-    // reader, so the exact comparison reads through the connector
+    // the exact comparison reads through the connector so it sees the
+    // same decoded fixture the streamed query does, independent of the
+    // generator's ts physical type (which has drifted across rounds)
     graft.GraftTables.ensure(spark, dir)
     val want = spark.read.format("bigtable")
       .option("store", graft.GraftTables.storeName(dir))
