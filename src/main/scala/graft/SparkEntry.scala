@@ -1171,7 +1171,12 @@ object SparkEntry {
         .option("qualifiers", "text:string")
         .option("onlyReadLatest", "false")
         .option("allowFullScan", "true")
-        .option("streamStepMicros", "2000000") // 2s = two arrival slots per batch
+        // 4 slots per batch: the pair SET is batching-invariant (within-
+        // batch banding plus cross-batch index probe find every pair at
+        // any batching), so two batches keep the probe/append/replay-skip
+        // path exercised while halving the per-batch LSH fixed cost —
+        // the same fewer-larger-batches trade stream_term_index makes
+        .option("streamStepMicros", "4000000")
         .load()
       val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
       val work = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
@@ -1186,11 +1191,11 @@ object SparkEntry {
     // --- incremental SPAN dedup over the documents change stream:
     //     spans claimed by earlier arrival batches drop, keep-first
     //     within each batch, result + span index exactly-once in a
-    //     CommitLog. The 8 (doc_id % 8) arrival slots replay two per
+    //     CommitLog. The 8 (doc_id % 8) arrival slots replay four per
     //     micro-batch (fixture replay overhead is micro-batch count ×
-    //     fixed cost; 4 batches still exercise probe/append/replay-skip
+    //     fixed cost; 2 batches still exercise probe/append/replay-skip
     //     exactly like 8 did), so the oracle is keep-first under
-    //     (slot-pair, doc_id, idx) ---
+    //     (slot-quad, doc_id, idx) ---
     "stream_span_dedup" -> ((s, dir) => {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
@@ -1201,7 +1206,7 @@ object SparkEntry {
         .option("qualifiers", "text:string")
         .option("onlyReadLatest", "false")
         .option("allowFullScan", "true")
-        .option("streamStepMicros", "2000000") // 2s = two arrival slots per batch
+        .option("streamStepMicros", "4000000") // 4s = four arrival slots per batch
         .load()
       val docs = stream.select(col("d_key").cast("long").as("doc_id"), col("text"))
       val work = java.nio.file.Files.createTempDirectory("graft-sspan").toString
@@ -3069,7 +3074,7 @@ object SparkEntry {
                    array_to_string(t[(idx*4+1):(idx*4+4)], ' ') AS span FROM idxs),
          keep AS (SELECT doc_id, idx, span,
                   row_number() OVER (PARTITION BY span
-                                     ORDER BY (doc_id % 8) // 2, doc_id, idx) AS rn
+                                     ORDER BY (doc_id % 8) // 4, doc_id, idx) AS rn
                   FROM spans)
          SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
          FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
