@@ -61,6 +61,18 @@ class GraftTablesSpec extends AnyFunSuite {
     writeVariant(s"$root/tsntz",
       timestamp_micros(lit(BaseUs)).cast(org.apache.spark.sql.types.TimestampNTZType))
 
+    // 4) timestamp[ms] — millis-precision generators; sub-ms digits drop
+    //    at write, so use the ms-truncated instant for this variant only
+    val prevMs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try writeVariant(s"$root/tsms", timestamp_micros(lit(BaseUs - BaseUs % 1000)))
+    finally prevMs match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val (msTs, _, _, _) = decodedTs(s"$root/tsms")
+    assert(msTs == BaseUs - BaseUs % 1000, s"timestamp[ms] decoded $msTs")
+
     for (variant <- Seq("nanos", "tsutc", "tsntz")) {
       val (tsUs, userId, eventType, value) = decodedTs(s"$root/$variant")
       assert(tsUs == BaseUs, s"variant=$variant decoded ts_us=$tsUs, want $BaseUs")
