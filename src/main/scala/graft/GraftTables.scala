@@ -128,7 +128,10 @@ object GraftTables {
     * the nanos variants at all, so it is pinned for the duration of the
     * read either way:
     *   - read as `LongType` (int64 nanos, or timestamp[ns] under the
-    *     conf) → integral-divide to µs;
+    *     conf) → floor-divide to µs (`(ts - pmod(ts, 1000)) div 1000`,
+    *     exact in long arithmetic — `floor(ts / 1000.0)` would lose
+    *     precision above 2^53 and `div` alone truncates toward zero,
+    *     shifting pre-epoch values 1 µs against the oracle's floor);
     *   - read as TIMESTAMP / TIMESTAMP_NTZ (timestamp[us]/[ms]) →
     *     `unix_micros` after a cast that is exact because every session
     *     in this repo pins `spark.sql.session.timeZone=UTC` — matching
@@ -144,15 +147,25 @@ object GraftTables {
     try {
       val raw = spark.read.parquet(path)
       val tsUs = raw.schema("ts").dataType match {
-        case LongType => expr("ts div 1000")
+        case LongType => expr("(ts - pmod(ts, 1000L)) div 1000L")
         case _        => unix_micros(col("ts").cast(TimestampType))
       }
-      raw.select(
+      val rows = raw.select(
         col("user_id").cast("long").as("user_id"),
         col("event_type").cast("string").as("event_type"),
         col("value").cast("double").as("value"),
         tsUs.cast("long").as("ts_us"))
         .collect()
+      // Wrong-unit tripwire: an unannotated int64 µs (or s/ms) fixture
+      // would decode through the nanos branch 1000x off. Fail seeding
+      // loudly instead of silently writing wrong cell timestamps.
+      rows.foreach { r =>
+        val us = r.getAs[Long]("ts_us")
+        require(us >= 946684800000000L && us < 4102444800000000L,
+          s"eventsWithMicros: decoded ts_us=$us outside 2000..2100 — " +
+            s"fixture $path likely changed physical unit; update the decode branch")
+      }
+      rows
     } finally {
       prevNanos match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

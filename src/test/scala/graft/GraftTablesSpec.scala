@@ -92,6 +92,30 @@ class GraftTablesSpec extends AnyFunSuite {
       "decoded ts_us outside a plausible epoch-microsecond range — wrong unit branch?")
   }
 
+  test("eventsWithMicros fails loudly on a wrong-unit int64 fixture instead of seeding 1000x-off timestamps") {
+    // unannotated int64 carrying MICROseconds: the nanos branch would
+    // silently decode it 1000x too small — the guard must throw
+    val dir = java.nio.file.Files.createTempDirectory("graft-wrongunit").toString
+    writeVariant(s"$dir/usAsLong", lit(BaseUs))
+    val e = intercept[IllegalArgumentException] {
+      GraftTables.eventsWithMicros(spark, s"$dir/usAsLong")
+    }
+    assert(e.getMessage.contains("outside 2000..2100"), e.getMessage)
+  }
+
+  test("eventsWithMicros int64-nanos branch uses floor division for pre-epoch instants") {
+    // -1 ns is in 1969, so the plausibility guard rejects it — but the
+    // failure message carries the decoded value, which must be the
+    // floor (-1), not the toward-zero truncation (0). Pins the ADVICE
+    // fix without weakening the guard.
+    val dir = java.nio.file.Files.createTempDirectory("graft-floordiv").toString
+    writeVariant(s"$dir/neg", lit(-1L))
+    val e = intercept[IllegalArgumentException] {
+      GraftTables.eventsWithMicros(spark, s"$dir/neg")
+    }
+    assert(e.getMessage.contains("ts_us=-1 "), e.getMessage)
+  }
+
   test("ensure seeds a full synthesized fixture dir whose events.ts is timestamp[us]") {
     // end-to-end: regenerate a tiny fixture dir in the timestamp[us]
     // shape the driver now produces and run the real seeding path on it
