@@ -180,12 +180,14 @@ object GraftTables {
   }
 
   /** nation over the connector: key n_key = lpad(n_nationkey, 4, '0'). */
-  def nation(spark: SparkSession, sfDir: String): DataFrame =
-    reader(spark, sfDir)
-      .option("table", "nation")
-      .option("columnFamily", "f")
-      .option("partitionCols", "n_key")
-      .option("qualifiers", "n_name:string,n_regionkey:long")
+  def nation(spark: SparkSession, sfDir: String, extraOptions: Map[String, String] = Map.empty): DataFrame =
+    extraOptions.foldLeft(
+      reader(spark, sfDir)
+        .option("table", "nation")
+        .option("columnFamily", "f")
+        .option("partitionCols", "n_key")
+        .option("qualifiers", "n_name:string,n_regionkey:long")
+    ) { case (r, (k, v)) => r.option(k, v) }
       .load()
 
   /** nation split across two column families (multi-family extension):
@@ -200,13 +202,15 @@ object GraftTables {
       .load()
 
   /** orders over the connector: composite (o_orderstatus, o_orderpriority, o_key). */
-  def orders(spark: SparkSession, sfDir: String): DataFrame =
-    reader(spark, sfDir)
-      .option("table", "orders")
-      .option("columnFamily", "f")
-      .option("partitionCols", "o_orderstatus,o_orderpriority,o_key")
-      .option("separator", "#")
-      .option("qualifiers", "o_custkey:long,o_totalprice:double")
+  def orders(spark: SparkSession, sfDir: String, extraOptions: Map[String, String] = Map.empty): DataFrame =
+    extraOptions.foldLeft(
+      reader(spark, sfDir)
+        .option("table", "orders")
+        .option("columnFamily", "f")
+        .option("partitionCols", "o_orderstatus,o_orderpriority,o_key")
+        .option("separator", "#")
+        .option("qualifiers", "o_custkey:long,o_totalprice:double")
+    ) { case (r, (k, v)) => r.option(k, v) }
       .load()
 
   /** events over the connector, all cell versions: one row per (u_key, ts). */

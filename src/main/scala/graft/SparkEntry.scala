@@ -45,6 +45,29 @@ object SparkEntry {
         java.nio.file.Files.write(dir.resolve(s"$name.stream.txt"), buf.toByteArray)
     } catch { case _: Throwable => () }
 
+  /** Run a streaming replay gate with a small shuffle-partition count.
+    * Streaming state stores are per shuffle partition PER stateful
+    * operator PER micro-batch (checkpoint delta files, commit fsyncs):
+    * at the session default of 32 partitions a 5-batch replay of a
+    * 2-operator query touches hundreds of state files for kilobytes of
+    * fixture state. 4 partitions cut that fixed overhead ~8× without
+    * changing any result (gates order their output; state semantics are
+    * partition-count-independent). A production deployment sizes
+    * `spark.sql.shuffle.partitions` to its real state volume instead —
+    * this helper only scopes the REPLAY-GATE setting; the conf is
+    * captured by the query at `start()` and restored after the body.
+    */
+  private def withFastStreams[T](s: SparkSession)(body: => T): T = {
+    val conf = s.conf
+    val prev = conf.getOption("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    try body
+    finally prev match {
+      case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
+      case None    => conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+
   /** Inverted-index table for `sfDir`'s documents, built once per JVM
     * per scale factor (the deployment shape: build is a one-time job,
     * queries probe it — so Bench's repeated runs time the PROBE, not a
@@ -311,6 +334,20 @@ object SparkEntry {
         .select(col("n_key"), col("n_name"))
         .orderBy(col("n_name").desc, col("n_key"))),
 
+    // ORDER BY the row key itself: the scan reports its per-partition
+    // (key, ts) order (SupportsReportOrdering), so the per-partition
+    // sort is elided by RemoveRedundantSorts — with the range read as
+    // one partition that IS the total order, and the plan contains no
+    // Sort node at all. (A global `orderBy` would still range-exchange:
+    // Spark 4 reports DSv2 scans as UnknownPartitioning even for one
+    // input partition, so OrderedDistribution is never satisfied
+    // statically.)
+    "bt_orderby_key" -> ((s, dir) =>
+      GraftTables.nation(s, dir, Map("maxPartitions" -> "1"))
+        .where(col("n_key").between("0000", "9999"))
+        .select(col("n_key"), col("n_name"))
+        .sortWithinPartitions(col("n_key"))),
+
     // --- §2B aggregation / GROUP BY over the connector ---
     "bt_groupby_agg" -> ((s, dir) =>
       GraftTables.nation(s, dir)
@@ -398,6 +435,18 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // Aggregate pushdown (SupportsPushDownAggregates, beyond the
+    // reference's roadmap): with the key range reported as EXACTLY
+    // pushed (no residual FilterExec), Catalyst pushes the global
+    // COUNT/MIN/MAX into the scan — each partition folds store-side and
+    // emits ONE partial row; Spark's final agg merges partials. No
+    // per-row transfer out of the scan at any scan volume.
+    "bt_count_pushdown" -> ((s, dir) =>
+      GraftTables.nation(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("n_key").between("0000", "9999"))
+        .agg(count("*").as("cnt"), min(col("n_key")).as("min_key"),
+          max(col("n_key")).as("max_key"), max(col("n_regionkey")).as("max_rk"))),
+
     // --- value-predicate pushdown (reference roadmap README.md:46-47,
     //     unimplemented there): string equality on a qualifier becomes a
     //     server-side per-qualifier value filter; residual keeps exactness ---
@@ -474,7 +523,7 @@ object SparkEntry {
     // --- STREAMING write: events replayed as a multi-epoch file stream
     //     through writeStream.format("bigtable") (effectively-once via
     //     pinned cell coordinates), then batch-read back ---
-    "stream_bt_write" -> ((s, dir) => {
+    "stream_bt_write" -> ((s, dir) => withFastStreams(s) {
       val store = btStreamWriteStore(s, dir)
       s.read.format("bigtable")
         .option("store", store).option("table", "events_w").option("columnFamily", "f")
@@ -505,6 +554,24 @@ object SparkEntry {
       fact.join(broadcast(dim), fact("n_key") === dim("k"))
         .select(col("n_key"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_key"))
+    }),
+
+    // Runtime PREFIX narrowing: the dim pins only the LEADING two of the
+    // three composite-key components, so the probe scan narrows to one
+    // prefix range per surviving (status, priority) pair at RUNTIME —
+    // the partially-pinned shape that previously fell back to a full
+    // scan. The residual join still prunes within each prefix.
+    "bt_dpp_prefix" -> ((s, dir) => {
+      val fact = GraftTables.orders(s, dir, Map("allowFullScan" -> "true"))
+      val dim = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderstatus").as("ds"), col("o_orderpriority").as("dp"))
+        .distinct()
+      fact.join(broadcast(dim),
+          fact("o_orderstatus") === dim("ds") && fact("o_orderpriority") === dim("dp"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count("*").as("cnt"), sum(col("o_custkey")).as("sum_cust"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
     // --- OR of key predicates → range union (beyond the reference) ---
@@ -867,7 +934,7 @@ object SparkEntry {
     // Runs the micro-batch stream to completion (AvailableNow, stepped
     // offsets) into a memory sink, then returns the final result — so
     // the streaming path sits inside the same oracle gate.
-    "stream_windowed_counts" -> ((s, dir) => {
+    "stream_windowed_counts" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -900,7 +967,7 @@ object SparkEntry {
     //     stream. Gated in the exact-below-k regime (<=1500 distinct
     //     users per type at every fixture SF), where the final sketch
     //     answer equals DuckDB's exact count(DISTINCT). ---
-    "stream_distinct_sketch" -> ((s, dir) => {
+    "stream_distinct_sketch" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -929,7 +996,7 @@ object SparkEntry {
     //     per event type, mergeable level buffers in the state store
     //     across micro-batches; k=4096 >= any group's count pins the
     //     EXACT nearest-rank regime, hash-matching DuckDB quantile_disc ---
-    "stream_quantiles" -> ((s, dir) => {
+    "stream_quantiles" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -961,7 +1028,7 @@ object SparkEntry {
     //     store across micro-batches (same mergeable-summary property as
     //     the batch gate; k=4096 >= distinct users pins the EXACT
     //     regime, so the final counts hash-match the true GROUP BY) ---
-    "stream_heavy_hitters" -> ((s, dir) => {
+    "stream_heavy_hitters" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -990,7 +1057,7 @@ object SparkEntry {
 
     // --- streaming exact dedup over the change stream: each distinct
     //     (user, event_type) emitted once at first sight (append mode) ---
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1019,7 +1086,7 @@ object SparkEntry {
     //     its own committed offset — the union would under-deliver if the
     //     sources shared a watermark. Gated: counts match DuckDB over the
     //     same two parquet tables. ---
-    "stream_union_counts" -> ((s, dir) => {
+    "stream_union_counts" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       def src(table: String, partitionCols: String, quals: String) =
         s.readStream.format("bigtable")
@@ -1056,7 +1123,7 @@ object SparkEntry {
     //     on an unbounded stream. The replay steps event time forward
     //     monotonically between batches, so no on-time row is dropped
     //     and results are identical to the unwatermarked join. ---
-    "stream_join" -> ((s, dir) => {
+    "stream_join" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       def src() = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1116,7 +1183,7 @@ object SparkEntry {
     //     second forms one more batch so the timers fire — every real
     //     session is flushed, and the result matches the SAME
     //     gaps-and-islands oracle as the batch operator. ---
-    "stream_sessionize" -> ((s, dir) => {
+    "stream_sessionize" -> ((s, dir) => withFastStreams(s) {
       import s.implicits._
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
@@ -1161,7 +1228,7 @@ object SparkEntry {
     //     true Jaccard. Same banding as the batch operator, so the
     //     accumulated pairs match the SAME exhaustive oracle as
     //     doc_near_dup — incremental result == batch result. ---
-    "stream_doc_near_dup" -> ((s, dir) => {
+    "stream_doc_near_dup" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1196,7 +1263,7 @@ object SparkEntry {
     //     fixed cost; 2 batches still exercise probe/append/replay-skip
     //     exactly like 8 did), so the oracle is keep-first under
     //     (slot-quad, doc_id, idx) ---
-    "stream_span_dedup" -> ((s, dir) => {
+    "stream_span_dedup" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1224,7 +1291,7 @@ object SparkEntry {
     //     search at the end probes the streamed index and must match the
     //     WHOLE-corpus oracle — incremental result == batch result, the
     //     stream_doc_near_dup contract applied to retrieval ---
-    "stream_term_index" -> ((s, dir) => {
+    "stream_term_index" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1256,7 +1323,7 @@ object SparkEntry {
     //     keep-latest snapshot through versioned parquet commits (one
     //     Upsert.mergeLatest per micro-batch); final snapshot == the
     //     batch latest-per-user, which the oracle pins ---
-    "stream_upsert" -> ((s, dir) => {
+    "stream_upsert" -> ((s, dir) => withFastStreams(s) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -2507,6 +2574,9 @@ object SparkEntry {
     "bt_orderby" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
          FROM nation ORDER BY n_name DESC, n_key""",
+    "bt_orderby_key" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation ORDER BY n_key""",
     "bt_groupby_agg" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt,
          min(n_name) AS min_name, max(n_name) AS max_name
@@ -2558,6 +2628,11 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY u_key""",
     "bt_full_scan_agg" ->
       """SELECT count(*) AS n, CAST(sum(n_regionkey) AS BIGINT) AS sum_rk FROM nation""",
+    "bt_count_pushdown" ->
+      """SELECT count(*) AS cnt,
+         min(lpad(CAST(n_nationkey AS VARCHAR), 4, '0')) AS min_key,
+         max(lpad(CAST(n_nationkey AS VARCHAR), 4, '0')) AS max_key,
+         CAST(max(n_regionkey) AS BIGINT) AS max_rk FROM nation""",
     "bt_rollup" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",
@@ -2573,6 +2648,12 @@ object SparkEntry {
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation WHERE n_nationkey < 8 ORDER BY n_key""",
+    "bt_dpp_prefix" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "bt_value_eq" ->
       """SELECT u_key, event_type FROM (
            SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key, event_type,

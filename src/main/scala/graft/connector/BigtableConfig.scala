@@ -60,7 +60,17 @@ final case class BigtableConfig(
       */
     writeTimestampMicros: Long = 0L,
     /** Rows buffered per MutateRows call by each writer task. */
-    writeBatchRows: Int = 512
+    writeBatchRows: Int = 512,
+    /** Report provably-exact key filters as fully pushed (no residual
+      * FilterExec) instead of the reference's always-inexact discipline
+      * (A14, datasource.rs:163-165). Only single-component keys and
+      * composition shapes whose range set EQUALS the predicate set
+      * qualify (see [[RowRangeComposer.exactlyPushable]]); everything
+      * else stays residual. Unlocks aggregate pushdown under key
+      * filters — Spark only pushes aggregates past a scan with zero
+      * residual filters. Default off for reference-parity plan shapes.
+      */
+    exactFilterPushdown: Boolean = false
 ) extends Serializable {
 
   /** Fixed schema in the reference's column order (datasource.rs:68-79):
@@ -162,7 +172,8 @@ object BigtableConfig {
       streamStepMicros = Option(opts.get("streamStepMicros")).filter(_.nonEmpty).map(_.toLong),
       shipStore = opt("shipStore", "false").toBoolean,
       writeTimestampMicros = opt("writeTimestampMicros", "0").toLong,
-      writeBatchRows = opt("writeBatchRows", "512").toInt
+      writeBatchRows = opt("writeBatchRows", "512").toInt,
+      exactFilterPushdown = opt("exactFilterPushdown", "false").toBoolean
     )
   }
 }

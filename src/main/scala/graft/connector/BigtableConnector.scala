@@ -90,11 +90,13 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var filters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = cfg.schema
   private var limit: Option[Int] = None
+  private var pushedAggs: Option[Seq[BigtableAgg]] = None
 
   /** A15 improvement: the reference ignores the limit (datasource.rs:148);
     * we cap each partition reader at `limit` rows. Declared partially
@@ -105,7 +107,33 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     this.filters = filters
-    filters // all residual = inexact pushdown
+    if (!cfg.exactFilterPushdown) filters // all residual = inexact pushdown (A14)
+    else {
+      // opt-in: provably-exact key filters need no residual FilterExec —
+      // and a scan with zero residual filters is what lets Catalyst
+      // push aggregates down to the store
+      val exact = RowRangeComposer.exactlyPushable(cfg, filters.toSeq).toSet
+      filters.filterNot(exact.contains)
+    }
+  }
+
+  /** Partial aggregate pushdown (beyond the reference, the natural step
+    * after its never-implemented roadmap pushdowns): global
+    * COUNT/MIN/MAX fold at the store, one partial row per partition,
+    * final (tiny) aggregation in Spark — per-partition aggregation at
+    * the source instead of shipping every row, the shape that matters
+    * at 100 TB scan volume. Catalyst only calls this when no residual
+    * filters remain (so it composes with `exactFilterPushdown` for
+    * range-restricted aggregates).
+    */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // partial: Spark re-aggregates the per-partition folds
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (agg.groupByExpressions().nonEmpty) return false
+    val specs = agg.aggregateExpressions().toSeq.map(BigtableAgg.translate(cfg, _))
+    if (specs.exists(_.isEmpty)) false
+    else { pushedAggs = Some(specs.flatten); true }
   }
 
   /** What `explain` shows as PushedFilters — only the ones the composer
@@ -171,10 +199,18 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
     // Planning-time composition — the mandatory-filter guard (A8,
     // composer.rs:72-77) fires here, failing the query before execution
     // exactly like the reference's TableProvider::scan.
-    val requiredQualifiers = requiredSchema.fieldNames.toSeq.filter(cfg.isQualifier)
+    // With an aggregate pushed, the source columns are the aggregates'
+    // references (requiredSchema still reflects the pre-agg projection).
+    val sourceSchema = pushedAggs match {
+      case None       => requiredSchema
+      case Some(aggs) =>
+        val refs = aggs.flatMap(_.reference).distinct.toSet
+        StructType(cfg.schema.fields.filter(f => refs.contains(f.name)))
+    }
+    val requiredQualifiers = sourceSchema.fieldNames.toSeq.filter(cfg.isQualifier)
     val comp = RowRangeComposer.compose(cfg, filters.toSeq, requiredQualifiers)
     val tsRange = RowRangeComposer.composeTsRange(filters.toSeq)
-    new BigtableScan(cfg, requiredSchema, comp, tsRange, limit, pushedFilters(), shippedStore)
+    new BigtableScan(cfg, sourceSchema, comp, tsRange, limit, pushedFilters(), shippedStore, pushedAggs)
   }
 }
 
@@ -185,10 +221,16 @@ final class BigtableScan(
     tsRange: Option[(Long, Long)] = None,
     limit: Option[Int] = None,
     pushed: Array[Filter] = Array.empty,
-    shippedStore: Option[graft.store.BigtableStore] = None
+    shippedStore: Option[graft.store.BigtableStore] = None,
+    /** Pushed partial aggregates; when set, `requiredSchema` is the
+      * SOURCE schema the fold reads and [[readSchema]] is the aggregate
+      * output (one partial row per partition).
+      */
+    aggs: Option[Seq[BigtableAgg]] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
+    with SupportsReportOrdering
     with SupportsRuntimeV2Filtering {
 
   /** Ranges after runtime (DPP-style) narrowing; starts at the
@@ -196,9 +238,16 @@ final class BigtableScan(
     */
   @volatile private var effectiveRanges: Vector[RowRange] = comp.ranges
 
-  /** Runtime-prunable attributes: the row-key columns. */
+  /** Runtime-prunable attributes: the row-key columns — restricted to
+    * those the scan actually outputs (Spark resolves these against the
+    * scan's output attributes, so a pruned-away component would fail
+    * analysis; a join key is always in the output anyway).
+    */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    cfg.partitionCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    cfg.partitionCols
+      .filter(requiredSchema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
 
   /** Runtime filtering (SPARK-37206 DSv2 API): when this scan sits on
     * the probe side of a join keyed on the row key, Spark hands us the
@@ -207,42 +256,57 @@ final class BigtableScan(
     * with the delivered IN-set. Over-inclusion is safe (the join still
     * filters), so anything untranslatable is ignored.
     *
-    * Composite keys narrow when EVERY key component arrives with an
-    * IN/=-set (joins on all components, the common star-schema shape):
-    * the per-component sets' cartesian product — same composition as the
-    * planning-time composer — yields point keys, budgeted by
-    * `maxComposedRanges` like planned compositions. A partially-pinned
-    * composite key is left unnarrowed: an IN-set on one component does
-    * not factor into lexicographic ranges without the others.
+    * Composite keys narrow from the LONGEST LEADING component prefix
+    * that arrives with IN/=-sets — the same longest-prefix logic as the
+    * static composer:
+    *   - every component pinned → cartesian product of point keys;
+    *   - a leading subset pinned (a join on the first k of n
+    *     components) → one prefix range `[p#, successor(p#))` per
+    *     prefix combination. A non-leading pinned component can't
+    *     factor into lexicographic ranges and is ignored.
+    * Candidate ranges are clipped to the planned composition
+    * ([[RowRange.intersect]]) so narrowing never reads beyond it, and
+    * the combination count is budgeted by `maxComposedRanges`.
     */
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     // no key columns → nothing to narrow on; without this guard the fold
-    // below would vacuously succeed and pin the scan to the point key ""
+    // below would vacuously pin the scan to the point key ""
     if (cfg.partitionCols.isEmpty) return
-    // per-component IN-sets, intersected when a component appears in
-    // several predicates; None if any component never arrives
-    val componentSets: Option[Vector[Set[String]]] =
-      cfg.partitionCols.foldLeft(Option(Vector.empty[Set[String]])) { (acc, c) =>
-        acc.flatMap { v =>
-          val sets = predicates.flatMap(BigtableScan.inSetValues(_, c))
-          if (sets.isEmpty) None else Some(v :+ sets.map(_.toSet).reduce(_ intersect _))
+    // longest leading run of components with per-component IN-sets
+    // (intersected when a component appears in several predicates)
+    val leading: Vector[Set[String]] = cfg.partitionCols.iterator
+      .map { c =>
+        val sets = predicates.flatMap(BigtableScan.inSetValues(_, c))
+        if (sets.isEmpty) None else Some(sets.map(_.toSet).reduce(_ intersect _))
+      }
+      .takeWhile(_.isDefined)
+      .flatten
+      .toVector
+    if (leading.isEmpty) return
+    val product = leading.map(_.size.toLong).product
+    if (product > cfg.maxComposedRanges) return
+    val prefixes = leading
+      .map(_.toVector.sorted)
+      .foldLeft(Vector("")) { (acc, vs) =>
+        for (p <- acc; v <- vs) yield if (p.isEmpty) v else p + cfg.separator + v
+      }
+    val fullPin = leading.size == cfg.partitionCols.size
+    val candidates: Vector[RowRange] =
+      if (fullPin) prefixes.map(RowRange.point)
+      else {
+        // prefix ranges are exact only for ASCII prefixes (successor =
+        // last byte + 1); if ANY prefix can't be bounded exactly we must
+        // not narrow at all — dropping that prefix would lose its rows
+        val bounded = prefixes.map { p =>
+          val pre = p + cfg.separator
+          if (pre.forall(_ < 0x80)) Some(RowRangeComposer.prefixRange(pre)) else None
         }
+        if (bounded.exists(_.isEmpty)) return
+        bounded.flatten
       }
-    componentSets.foreach { sets =>
-      val product = sets.map(_.size.toLong).product
-      if (product <= cfg.maxComposedRanges) {
-        val keys = sets
-          .map(_.toVector.sorted)
-          .foldLeft(Vector("")) { (acc, vs) =>
-            for (p <- acc; v <- vs) yield if (p.isEmpty) v else p + cfg.separator + v
-          }
-        // an empty intersection legitimately yields zero partitions
-        effectiveRanges = RowRange.normalize(
-          keys.collect {
-            case k if comp.ranges.exists(_.contains(k)) => RowRange.point(k)
-          })
-      }
-    }
+    // an empty intersection legitimately yields zero partitions
+    effectiveRanges = RowRange.normalize(
+      candidates.flatMap(c => comp.ranges.flatMap(r => RowRange.intersect(c, r))))
   }
 
   /** Visible for tests/metrics: the ranges the scan will actually read. */
@@ -264,7 +328,39 @@ final class BigtableScan(
     }
   }
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType = aggs match {
+    case None     => requiredSchema
+    case Some(as) => StructType(as.map(_.outputField))
+  }
+
+  /** Each partition emits rows in (rowKey asc, cell-timestamp asc)
+    * order: ranges are normalized (sorted, disjoint), grouped
+    * contiguously, and the store streams each range from a key-ordered
+    * seek; the pivot then emits versions ascending (see
+    * [[BigtablePartitionReader]]). Report it so Catalyst's
+    * RemoveRedundantSorts drops `ORDER BY key` sorts (single-partition
+    * scans) and sort-based downstream operators skip their per-partition
+    * sort — a whole sort stage saved at 100 TB scan volume.
+    *
+    * Only sound for single-component keys: Spark's string comparison is
+    * UTF-8-byte order on the COMPONENT, while the store orders the
+    * CONCATENATED key — a component containing bytes below the
+    * separator would order differently (e.g. keys "a!#b" < "a#z" but
+    * components ("a!","b") > ("a","z")), so composite tables report
+    * nothing rather than an unsound order.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    if (aggs.nonEmpty) return Array.empty // partial-agg rows carry no key order
+    if (cfg.partitionCols.size != 1) return Array.empty
+    val keyCol = cfg.partitionCols.head
+    val names = requiredSchema.fieldNames
+    if (!names.contains(keyCol)) return Array.empty
+    val asc = (c: String) =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+    if (names.contains(BigtableConfig.TimestampCol)) Array(asc(keyCol), asc(BigtableConfig.TimestampCol))
+    else Array(asc(keyCol))
+  }
 
   override def toBatch: Batch = this
 
@@ -275,11 +371,12 @@ final class BigtableScan(
       .mkString(", ")
     val tsDesc = tsRange.map { case (lo, hi) => s" tsWindow=($lo, $hi]µs" }.getOrElse("")
     val limitDesc = limit.map(l => s" limit=$l").getOrElse("")
+    val aggDesc = aggs.map(as => s" agg=[${as.map(_.describe).mkString(", ")}]").getOrElse("")
     // DSv2 explain surfaces only Scan.description(): render the pushed
     // list here (it already mirrors the composer's true acceptance)
     val pushedDesc = s" PushedFilters: [${pushed.mkString(", ")}]"
     s"BigtableScan ${cfg.table} ranges=${comp.ranges.size} ($rangesDesc${if (comp.ranges.size > 4) ", …" else ""}) " +
-      s"rowFilters=${comp.rowFilters.size} cols=${requiredSchema.fieldNames.mkString(",")}$tsDesc$limitDesc$pushedDesc"
+      s"rowFilters=${comp.rowFilters.size} cols=${requiredSchema.fieldNames.mkString(",")}$tsDesc$limitDesc$aggDesc$pushedDesc"
   }
 
   /** One InputPartition per split range group. Composed ranges are split
@@ -299,7 +396,11 @@ final class BigtableScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BigtablePartitionReaderFactory(cfg, requiredSchema, comp.rowFilters, limit, shippedStore)
+    // agg mode ignores the pushed limit: Spark never pushes a limit
+    // below an aggregate, and capping the fold's input would be wrong
+    new BigtablePartitionReaderFactory(
+      cfg, requiredSchema, comp.rowFilters,
+      if (aggs.isDefined) None else limit, shippedStore, aggs)
 
   /** Streaming read: cell versions become a change stream ordered by
     * cell timestamp (micro-batch offsets = timestamp high-watermark).
@@ -404,11 +505,16 @@ final class BigtablePartitionReaderFactory(
       * factory is serialized once into the task binary, not once per
       * InputPartition.
       */
-    shippedStore: Option[graft.store.BigtableStore] = None
+    shippedStore: Option[graft.store.BigtableStore] = None,
+    aggs: Option[Seq[BigtableAgg]] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
-    new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore)
+    val base = new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore)
+    aggs match {
+      case None     => base
+      case Some(as) => new BigtableAggregateReader(base, readSchema, as)
+    }
   }
 }
 

@@ -173,6 +173,67 @@ object RowRangeComposer {
     RowRange.normalize(ranges)
   }
 
+  /** The subset of pushed filters whose composed range set EQUALS their
+    * predicate set — rows emitted by the composed scan are exactly the
+    * rows satisfying them, so Spark may drop its residual FilterExec for
+    * them (opt-in via `exactFilterPushdown`).
+    *
+    * Deliberately conservative: only single-component keys qualify (for
+    * composite keys the concatenated-key ranges over-approximate
+    * per-component predicates), and only compositions where the
+    * composer's semantics are intersection-faithful:
+    *
+    *   - exactly ONE `=`/`IN` arm (several arms UNION in the composer,
+    *     composer.rs:186-189 parity, but conjunction means intersect);
+    *   - or bounds-only with at least one `>=` AND one `<=` (the
+    *     composer tightens repeated bounds — true intersection);
+    *   - or exactly ONE ASCII `LIKE 'p%'` prefix arm (several keep only
+    *     the longest — union-ish, not conjunction).
+    *
+    * Any other conjunct referencing the key column (OR trees, `<`, `>`,
+    * `!=`, non-string literals) disqualifies the whole set, as does an
+    * `IN` list wide enough to trip the `maxComposedRanges` collapse.
+    * Value/timestamp filters are never exact: their cell-level semantics
+    * over-approximate by design (see composeValueFilters).
+    */
+  def exactlyPushable(cfg: BigtableConfig, filters: Seq[Filter]): Seq[Filter] = {
+    if (cfg.partitionCols.size != 1) return Nil
+    val k = cfg.partitionCols.head
+    val conjuncts = filters.flatMap(flattenAnd)
+    val keyRefs = conjuncts.filter(_.references.contains(k))
+    val eqIn = keyRefs.collect {
+      case f @ EqualTo(`k`, _: String) => f
+      case f @ In(`k`, vs) if vs.nonEmpty && vs.length <= cfg.maxComposedRanges &&
+          vs.forall(_.isInstanceOf[String]) => f
+    }
+    val lo = keyRefs.collect { case f @ GreaterThanOrEqual(`k`, _: String) => f }
+    val hi = keyRefs.collect { case f @ LessThanOrEqual(`k`, _: String) => f }
+    val pre = keyRefs.collect {
+      case f @ StringStartsWith(`k`, p) if p.nonEmpty && p.forall(_ < 0x80) => f
+    }
+    // IsNotNull(key) is vacuously exact: the key is declared non-null
+    // and every emitted row has one
+    val notNull = keyRefs.collect { case f @ IsNotNull(`k`) => f }
+    val classified: Set[Filter] = (eqIn ++ lo ++ hi ++ pre ++ notNull).toSet
+    if (keyRefs.exists(f => !classified.contains(f))) return Nil
+    val shape =
+      if (eqIn.size == 1 && lo.isEmpty && hi.isEmpty && pre.isEmpty) eqIn
+      else if (eqIn.isEmpty && lo.nonEmpty && hi.nonEmpty && pre.isEmpty) lo ++ hi
+      else if (eqIn.isEmpty && lo.isEmpty && hi.isEmpty && pre.size == 1) pre
+      else if (eqIn.isEmpty && lo.isEmpty && hi.isEmpty && pre.isEmpty && cfg.allowFullScan) Nil
+      else return Nil
+    notNull ++ shape
+  }
+
+  /** The range covering exactly the keys starting with `prefix`
+    * (exact for ASCII prefixes in UTF-8 byte order).
+    */
+  private[connector] def prefixRange(prefix: String): RowRange =
+    prefixSuccessor(prefix) match {
+      case Some(succ) => RowRange.closedOpen(prefix, succ)
+      case None       => RowRange(prefix, None, endInclusive = false)
+    }
+
   /** Smallest string greater than every string with the given prefix
     * (Bigtable's prefixSuccessor): increment the last non-max char,
     * truncate the rest; None if the prefix is all max chars.

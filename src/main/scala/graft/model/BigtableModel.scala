@@ -78,6 +78,30 @@ object RowRange {
     java.util.Arrays.compareUnsigned(ab, bb)
   }
 
+  /** Intersection of two ranges, None when empty. Used by runtime
+    * (DPP-style) narrowing to clip candidate key ranges to the
+    * planning-time composition — narrowing must never read beyond it.
+    */
+  def intersect(a: RowRange, b: RowRange): Option[RowRange] = {
+    val start = if (compareKeys(a.startKey, b.startKey) >= 0) a.startKey else b.startKey
+    val (end, inc): (Option[String], Boolean) = (a.endKey, b.endKey) match {
+      case (None, None)       => (None, false)
+      case (Some(x), None)    => (Some(x), a.endInclusive)
+      case (None, Some(y))    => (Some(y), b.endInclusive)
+      case (Some(x), Some(y)) =>
+        val c = compareKeys(x, y)
+        if (c < 0) (Some(x), a.endInclusive)
+        else if (c > 0) (Some(y), b.endInclusive)
+        else (Some(x), a.endInclusive && b.endInclusive)
+    }
+    end match {
+      case Some(e) =>
+        val c = compareKeys(start, e)
+        if (c > 0 || (c == 0 && !inc)) None else Some(RowRange(start, Some(e), inc))
+      case None => Some(RowRange(start, None, endInclusive = false))
+    }
+  }
+
   /** Sort ranges by start key and coalesce overlapping/adjacent ones so a
     * reader can scan them back-to-back and see each row key exactly once,
     * in global key order. (The composer's cartesian merge can produce

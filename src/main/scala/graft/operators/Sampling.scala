@@ -100,10 +100,15 @@ object Sampling {
     * a single reducer per group, a straggler when one group is most of
     * the corpus. Here the hash's first two hex digits split every group
     * into 256 sub-partitions: per-bucket token sums (≤ groups×256 rows)
-    * come to the driver, bucket offsets prefix-sum there, and the
-    * within-bucket window runs 256-way parallel per group. Because the
-    * bucket is a PREFIX of the ordering hash, bucket-offset + in-bucket
-    * cumsum equals the global per-group cumsum exactly.
+    * prefix-sum into bucket offsets with a window over that TINY
+    * aggregate (≤256 rows per group — nothing ever comes to the
+    * driver, so a per-domain budget over millions of domains stays
+    * distributed), and the within-bucket window runs 256-way parallel
+    * per group. Because the bucket is a PREFIX of the ordering hash,
+    * bucket-offset + in-bucket cumsum equals the global per-group
+    * cumsum exactly. The offsets join is unhinted: AQE broadcasts it
+    * when small, and a genuinely huge group set shuffle-joins instead
+    * of overwhelming the driver with a broadcast.
     */
   def tokenBudgetSample(
       df: DataFrame,
@@ -125,18 +130,14 @@ object Sampling {
       .withColumn("__gn", col(groupCol).isNull)
     val perBucket = staged.groupBy(col("__gs"), col("__gn"), col("__hb"))
       .agg(sum(col(tokensCol)).as("__bsum"))
-      .collect()
-      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)) -> r.getLong(3))
-      .toMap
-    val offsets = perBucket.keys.groupBy(k => (k._1, k._2)).flatMap { case (_, ks) =>
-      var acc = 0L
-      ks.toSeq.sortBy(_._3).map { k =>
-        val o = (k._1, k._2, k._3, acc); acc += perBucket(k); o
-      }
-    }.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toDF("__gs", "__gn", "__hb", "__boff"))
+    // exclusive prefix sum of bucket sums within each group = bucket
+    // offsets; the window runs over the ≤256-rows-per-group aggregate
+    val offWin = Window.partitionBy(col("__gs"), col("__gn"))
+      .orderBy(col("__hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = perBucket
+      .withColumn("__boff", coalesce(sum(col("__bsum")).over(offWin), lit(0L)))
+      .drop("__bsum")
     val budgetOf = coalesce(
       element_at(typedlit(budgets), col(groupCol).cast("string")), lit(defaultBudget))
     val win = Window.partitionBy(col("__gs"), col("__gn"), col("__hb"))

@@ -49,12 +49,43 @@ class RuntimeFilteringSpec extends AnyFunSuite {
     assert(scan2.currentRanges == comp.ranges, "non-key predicate must not narrow")
   }
 
-  test("partially-pinned composite keys never narrow (IN on one component cannot factor into ranges)") {
+  test("a pinned LEADING component narrows to prefix ranges") {
     val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"))
     val comp = RowRangeComposer.Composition(Vector(RowRange.full), Vector.empty)
     val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
-    scan.filter(Array(v2In("a", "x")))
+    scan.filter(Array(v2In("a", "x", "q")))
+    // one range per prefix value: [q#, q$) ∪ [x#, x$) ('#'+1 = '$')
+    assert(scan.currentRanges == Vector(
+      RowRange.closedOpen("q#", "q$"), RowRange.closedOpen("x#", "x$")),
+      scan.currentRanges.toString)
+  }
+
+  test("prefix narrowing clips to the planned composition") {
+    val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"))
+    val comp = RowRangeComposer.Composition(
+      Vector(RowRange.closed("x#k", "x#p")), Vector.empty)
+    val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
+    scan.filter(Array(v2In("a", "q", "x")))
+    // q's prefix range misses the planned [x#k, x#p]; x's is clipped to it
+    assert(scan.currentRanges == Vector(RowRange.closed("x#k", "x#p")),
+      scan.currentRanges.toString)
+  }
+
+  test("a pinned TRAILING-only component never narrows (cannot factor into ranges)") {
+    val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"))
+    val comp = RowRangeComposer.Composition(Vector(RowRange.full), Vector.empty)
+    val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
+    scan.filter(Array(v2In("b", "x")))
     assert(scan.currentRanges == comp.ranges)
+  }
+
+  test("non-ASCII prefix values leave the scan unnarrowed (successor not exact)") {
+    val compositeCfg = cfg.copy(partitionCols = Seq("a", "b"))
+    val comp = RowRangeComposer.Composition(Vector(RowRange.full), Vector.empty)
+    val scan = new BigtableScan(compositeCfg, compositeCfg.schema, comp)
+    scan.filter(Array(v2In("a", "x", "café")))
+    assert(scan.currentRanges == comp.ranges,
+      "one unboundable prefix must disable narrowing entirely")
   }
 
   test("composite keys narrow to the cartesian of point keys when every component is pinned") {
@@ -116,6 +147,42 @@ class RuntimeFilteringSpec extends AnyFunSuite {
       RowRange.point("2#x"), RowRange.point("2#y"),
       RowRange.point("3#x"), RowRange.point("3#y")),
       s"got ${scans.head.currentRanges}")
+  }
+
+  test("e2e prefix probe: join on only the LEADING component narrows to prefix ranges") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val b = new graft.store.InMemoryBigtable.Builder
+    for (a <- Seq("1", "2", "3"); k <- Seq("x", "y")) {
+      b.put("t3", s"$a#$k", BtCell("f", "q", 1L, CellCodec.encodeString(s"v$a$k")))
+    }
+    graft.store.BigtableStores.register("rf-store3", b.build())
+    val fact = spark.read.format("bigtable")
+      .option("store", "rf-store3").option("table", "t3")
+      .option("columnFamily", "f").option("partitionCols", "a,k")
+      .option("qualifiers", "q:string")
+      .option("allowFullScan", "true")
+      .load()
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("rf-dim3").toString
+    Seq("2", "3", "9").toDF("da").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where($"da" < "3")
+    val joined = fact.join(broadcast(dim), fact("a") === dim("da"))
+      .select(col("a"), col("k"), col("q"))
+    val rows = joined.collect()
+    assert(rows.map(_.getString(2)).sorted.toSeq == Seq("v2x", "v2y"))
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BigtableScan] =
+      p.collect {
+        case bse: BatchScanExec => bse.scan match {
+          case s: BigtableScan => Seq(s)
+          case _               => Nil
+        }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => allScans(q.plan)
+      }.flatten
+    val scans = allScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a BigtableScan in the plan")
+    assert(scans.head.currentRanges == Vector(RowRange.closedOpen("2#", "2$")),
+      s"expected the leading-component prefix range, got ${scans.head.currentRanges}")
   }
 
   test("e2e probe: broadcast join on the row key delivers a runtime filter") {
