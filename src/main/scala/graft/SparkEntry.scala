@@ -435,6 +435,29 @@ object SparkEntry {
         .agg(count("*").as("n"), sum(col("n_regionkey")).as("sum_rk"))
     }),
 
+    // Columnar read path: the same whole-table aggregation as
+    // bt_full_scan_agg but through `vectorized=true` — the scan emits
+    // bounded ColumnarBatches (values decoded straight into column
+    // vectors, no per-row allocation) and feeds codegen through a
+    // vectorized ColumnarToRow, the parquet-reader shape. The sum/count
+    // prevent aggregate pushdown from short-circuiting the scan, so
+    // this times the actual columnar decode.
+    "bt_vectorized_agg" -> ((s, dir) => {
+      GraftTables.ensure(s, dir)
+      s.read.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("allowFullScan", "true")
+        .option("vectorized", "true")
+        .load()
+        .groupBy(col("event_type"))
+        .agg(count("*").as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Aggregate pushdown (SupportsPushDownAggregates, beyond the
     // reference's roadmap): with the key range reported as EXACTLY
     // pushed (no residual FilterExec), Catalyst pushes the global
@@ -2628,6 +2651,14 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY u_key""",
     "bt_full_scan_agg" ->
       """SELECT count(*) AS n, CAST(sum(n_regionkey) AS BIGINT) AS sum_rk FROM nation""",
+    "bt_vectorized_agg" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events)
+         SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM latest WHERE rn = 1
+         GROUP BY event_type ORDER BY event_type""",
     "bt_count_pushdown" ->
       """SELECT count(*) AS cnt,
          min(lpad(CAST(n_nationkey AS VARCHAR), 4, '0')) AS min_key,

@@ -70,7 +70,17 @@ final case class BigtableConfig(
       * filters — Spark only pushes aggregates past a scan with zero
       * residual filters. Default off for reference-parity plan shapes.
       */
-    exactFilterPushdown: Boolean = false
+    exactFilterPushdown: Boolean = false,
+    /** Vectorized read path: readers emit bounded `ColumnarBatch`es
+      * (values decoded straight into column vectors, no per-row
+      * allocation) instead of `InternalRow`s. The reference is also
+      * columnar (Arrow RecordBatch, execute_plan.rs:307) but
+      * materializes ONE batch per scan; ours are bounded at
+      * `vectorizedBatchSize` rows. Default off (row path is the
+      * reference-parity incremental reader).
+      */
+    vectorized: Boolean = false,
+    vectorizedBatchSize: Int = 4096
 ) extends Serializable {
 
   /** Fixed schema in the reference's column order (datasource.rs:68-79):
@@ -173,7 +183,9 @@ object BigtableConfig {
       shipStore = opt("shipStore", "false").toBoolean,
       writeTimestampMicros = opt("writeTimestampMicros", "0").toLong,
       writeBatchRows = opt("writeBatchRows", "512").toInt,
-      exactFilterPushdown = opt("exactFilterPushdown", "false").toBoolean
+      exactFilterPushdown = opt("exactFilterPushdown", "false").toBoolean,
+      vectorized = opt("vectorized", "false").toBoolean,
+      vectorizedBatchSize = opt("vectorizedBatchSize", "4096").toInt
     )
   }
 }

@@ -516,6 +516,20 @@ final class BigtablePartitionReaderFactory(
       case Some(as) => new BigtableAggregateReader(base, readSchema, as)
     }
   }
+
+  /** Vectorized path (`vectorized=true`): batches of decoded columns,
+    * except in agg mode (one partial row per partition — nothing to
+    * vectorize).
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    cfg.vectorized && aggs.isEmpty
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[BigtableInputPartition]
+    new BigtableColumnarPartitionReader(
+      cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore, cfg.vectorizedBatchSize)
+  }
 }
 
 /** Executor-side reader: issues the store read (the reference's one gRPC
