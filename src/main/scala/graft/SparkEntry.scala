@@ -586,8 +586,12 @@ object SparkEntry {
     // scan. The residual join still prunes within each prefix.
     "bt_dpp_prefix" -> ((s, dir) => {
       val fact = GraftTables.orders(s, dir, Map("allowFullScan" -> "true"))
+      // the dim predicate is a RANGE on the join key (an equality would
+      // constant-propagate into a static fact filter and DPP would see
+      // nothing left to prune); at runtime the scan narrows to one
+      // prefix range per surviving (status, priority) pair
       val dim = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderpriority") === "1-URGENT")
+        .where(col("o_orderstatus") < "O")
         .select(col("o_orderstatus").as("ds"), col("o_orderpriority").as("dp"))
         .distinct()
       fact.join(broadcast(dim),
@@ -2682,7 +2686,7 @@ object SparkEntry {
     "bt_dpp_prefix" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
          CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-         FROM orders WHERE o_orderpriority = '1-URGENT'
+         FROM orders WHERE o_orderstatus < 'O'
          GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
     "bt_value_eq" ->
