@@ -58,6 +58,28 @@ object Bench {
         val perRun = scala.collection.mutable.ArrayBuffer.empty[Double]
         var planSaved = false
         var failed = false
+        // one UNTIMED warmup execution: JIT compilation, codegen class
+        // loading, and first-shuffle file creation otherwise land inside
+        // repeat 1's timed window (r11: min total 89.9s vs median 160s —
+        // repeat-1 contamination made min-of-N a lottery). The warmup also
+        // provides the AQE-final plan snapshot. Warmup failures fall
+        // through to the timed loop so error reporting stays unchanged.
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          try {
+            val txt = df.queryExecution.explainString(FormattedMode)
+            Files.write(
+              Paths.get(plansDir, s"$name.txt"),
+              txt.getBytes(StandardCharsets.UTF_8))
+          } catch { case _: Throwable => () }
+          planSaved = true
+        } catch { case _: Throwable => () }
+        finally {
+          spark.catalog.clearCache()
+          try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          catch { case _: Throwable => () }
+        }
         var rep = 0
         while (rep < repeats && !failed) {
           val t0 = System.nanoTime()

@@ -214,13 +214,15 @@ object GraftTables {
       .load()
 
   /** events over the connector, all cell versions: one row per (u_key, ts). */
-  def eventsAllVersions(spark: SparkSession, sfDir: String): DataFrame =
-    reader(spark, sfDir)
-      .option("table", "events")
-      .option("columnFamily", "f")
-      .option("partitionCols", "u_key")
-      .option("qualifiers", "event_type:string,value:double")
-      .option("onlyReadLatest", "false")
+  def eventsAllVersions(spark: SparkSession, sfDir: String, extraOptions: Map[String, String] = Map.empty): DataFrame =
+    extraOptions.foldLeft(
+      reader(spark, sfDir)
+        .option("table", "events")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+    ) { case (r, (k, v)) => r.option(k, v) }
       .load()
 
   /** events over the connector, latest version per column only (A11). */

@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * replicas are de-correlated where correlation would distort the
   * operator under test:
   *
-  *   - entity keys shift by `i * (max+1)` per replica — joins stay
-  *     key-consistent (an order's lineitems move with it);
+  *   - keys shift by `i * stride(domain)` per replica, where the stride
+  *     of a key DOMAIN is `max+1` computed once from its OWNING table
+  *     (customer for custkey, orders for orderkey, part/supplier for
+  *     part/suppkey). Foreign keys shift by the owner's stride — not
+  *     their own per-table max — so a replica's orders reference exactly
+  *     that replica's customers even when not every customer has an
+  *     order (max(o_custkey) < max(c_custkey) in TPC-H);
   *   - document text gets a replica marker token every 8 tokens for
   *     i>0 — shingle/minhash similarity across replicas drops below
   *     near-dup thresholds, keeping near-dup pair density linear in the
@@ -21,8 +26,11 @@ import org.apache.spark.sql.functions._
   *     realistic).
   *
   * Usage: runMain graft.ScaleFixture <srcDir> <outDir> <factor>
-  * Writes one `<table>.parquet` FILE per table (DuckDB-globbable, same
-  * layout as the driver's fixtures).
+  * Writes one `<table>.parquet` DIRECTORY of part files per table —
+  * Spark reads it natively, DuckDB via a glob over the part files
+  * (tools/check_correctness.py handles both layouts). The replicas
+  * write in parallel; nothing funnels through a coalesce(1) straggler,
+  * so sf10+ generation stays minutes, not hours.
   */
 object ScaleFixture {
   def main(args: Array[String]): Unit = {
@@ -39,26 +47,45 @@ object ScaleFixture {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
     def writeOne(df: DataFrame, name: String): Unit = {
-      val tmp = s"$out/.tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for $name"))
-      val dst = java.nio.file.Paths.get(s"$out/$name.parquet")
-      java.nio.file.Files.deleteIfExists(dst)
-      java.nio.file.Files.move(part.toPath, dst)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val dst = s"$out/$name.parquet"
+      // delete a stale single-FILE layout so overwrite-as-directory works
+      val f = new java.io.File(dst)
+      if (f.isFile) java.nio.file.Files.delete(f.toPath)
+      df.write.mode("overwrite").parquet(dst)
     }
+
+    // One stride per key DOMAIN, from the domain's owning table. A
+    // foreign key must shift by its OWNER's stride: in TPC-H not every
+    // customer places orders, so max(o_custkey)+1 != max(c_custkey)+1,
+    // and a per-column stride would point replica-i orders at dangling
+    // or wrong-replica customers.
+    def ownerStride(table: String, keyCol: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(keyCol))).collect()(0).getLong(0) + 1L
+    val stride: Map[String, Long] = Map(
+      "c_custkey" -> ownerStride("customer", "c_custkey"),
+      "s_suppkey" -> ownerStride("supplier", "s_suppkey"),
+      "p_partkey" -> ownerStride("part", "p_partkey"),
+      "o_orderkey" -> ownerStride("orders", "o_orderkey"),
+      "event_id" -> ownerStride("events", "event_id"),
+      "user_id" -> ownerStride("events", "user_id"),
+      "doc_id" -> ownerStride("documents", "doc_id"),
+      "vec_id" -> ownerStride("embeddings", "vec_id")
+    )
+    // column -> its key domain's stride (FKs resolve to the owner's)
+    val colStride: Map[String, Long] = stride ++ Map(
+      "o_custkey" -> stride("c_custkey"),
+      "l_orderkey" -> stride("o_orderkey"),
+      "l_partkey" -> stride("p_partkey"),
+      "l_suppkey" -> stride("s_suppkey")
+    )
 
     def replicate(name: String, shiftCols: Seq[String])(
         transform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      val strides = shiftCols.map { c =>
-        c -> (base.agg(max(col(c))).collect()(0).getLong(0) + 1L)
-      }.toMap
       val reps = (0 until factor).map { i =>
         val shifted = shiftCols.foldLeft(base) { (d, c) =>
-          d.withColumn(c, (col(c) + lit(i * strides(c))).cast("long"))
+          d.withColumn(c, (col(c) + lit(i * colStride(c))).cast("long"))
         }
         transform(shifted, i)
       }

@@ -470,6 +470,35 @@ object SparkEntry {
         .agg(count("*").as("cnt"), min(col("n_key")).as("min_key"),
           max(col("n_key")).as("max_key"), max(col("n_regionkey")).as("max_rk"))),
 
+    // Aggregate pushdown on a COMPOSITE key: all three key components
+    // pinned by =/IN compose to a cartesian of POINT ranges — exact, so
+    // the residual FilterExec drops and the COUNT/MIN/MAX fold happens
+    // inside the scan (one partial row per partition), same as
+    // bt_count_pushdown but over the 3-component orders key.
+    "bt_count_pushdown_composite" -> ((s, dir) =>
+      GraftTables.orders(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("o_orderstatus") === "O" &&
+          col("o_orderpriority").isin("1-URGENT", "3-MEDIUM") &&
+          col("o_key").isin("0000000020", "0000000026", "0000000029",
+            "0000000032", "0000000039", "0000000043"))
+        .agg(count("*").as("cnt"), min(col("o_key")).as("min_key"),
+          max(col("o_key")).as("max_key"),
+          round(max(col("o_totalprice")), 4).as("max_price"))),
+
+    // GROUPED aggregate pushdown on the row key: the per-entity rollup
+    // (versions per user) folds INSIDE the scan — groups are contiguous
+    // in the reader's key-ordered stream (leading-prefix-of-key groups
+    // only), so each partition streams one live accumulator and emits
+    // one partial row per user, never shipping the version rows. Spark's
+    // final agg merges partials across partitions. The plan shows
+    // groupBy=[u_key] agg=[...] in the scan description.
+    "bt_groupby_key_pushdown" -> ((s, dir) =>
+      GraftTables.eventsAllVersions(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("u_key").between("000000", "000050"))
+        .groupBy(col("u_key"))
+        .agg(count("*").as("n_versions"), round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("u_key"))),
+
     // --- value-predicate pushdown (reference roadmap README.md:46-47,
     //     unimplemented there): string equality on a qualifier becomes a
     //     server-side per-qualifier value filter; residual keeps exactness ---
@@ -2668,6 +2697,19 @@ object SparkEntry {
          min(lpad(CAST(n_nationkey AS VARCHAR), 4, '0')) AS min_key,
          max(lpad(CAST(n_nationkey AS VARCHAR), 4, '0')) AS max_key,
          CAST(max(n_regionkey) AS BIGINT) AS max_rk FROM nation""",
+    "bt_count_pushdown_composite" ->
+      """SELECT count(*) AS cnt,
+         min(lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS min_key,
+         max(lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS max_key,
+         round(max(o_totalprice), 4) AS max_price
+         FROM orders
+         WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           AND o_orderkey IN (20, 26, 29, 32, 39, 43)""",
+    "bt_groupby_key_pushdown" ->
+      """SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key,
+         count(*) AS n_versions, round(max(value), 4) AS max_value
+         FROM events WHERE user_id BETWEEN 0 AND 50
+         GROUP BY 1 ORDER BY u_key""",
     "bt_rollup" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",

@@ -72,20 +72,13 @@ object BigtableAgg {
   }
 }
 
-/** Folds the wrapped reader's rows into ONE partial row per partition
-  * in the order of `aggs` — no per-row transfer out of the scan.
-  * `srcSchema` is the source projection the inner reader emits; each
-  * agg's reference is resolved to an ordinal in it.
+/** Reusable accumulator for one run of `aggs` over source rows — shared
+  * by the global ([[BigtableAggregateReader]]) and grouped
+  * ([[BigtableGroupedAggregateReader]]) folds so min/max/count semantics
+  * (NaN ordering, null skipping) cannot drift between the two.
   */
-final class BigtableAggregateReader(
-    inner: PartitionReader[InternalRow],
-    srcSchema: StructType,
-    aggs: Seq[BigtableAgg]
-) extends PartitionReader[InternalRow] {
+private[connector] final class AggFold(srcSchema: StructType, aggs: Seq[BigtableAgg]) {
   import BigtableAgg._
-
-  private var emitted = false
-  private var result: InternalRow = _
 
   private def ordinal(col: String): Int = {
     val i = srcSchema.fieldIndex(col)
@@ -103,37 +96,47 @@ final class BigtableAggregateReader(
 
   private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
     case LongType | TimestampType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-    case DoubleType               => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    // java.lang.Double.compare, not raw '<': Spark's Min/Max order NaN
+    // greater than any double and -0.0 < 0.0, raw '<' is always-false
+    // against NaN — pushed and unpushed plans must agree on NaN cells
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
     case StringType               => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) < 0
     case other                    => throw new IllegalStateException(s"unfoldable agg type $other")
   }
 
-  override def next(): Boolean = {
-    if (emitted) return false
-    val acc = new Array[Any](aggs.size)
-    val counts = new Array[Long](aggs.size)
-    while (inner.next()) {
-      val row = inner.get()
-      var i = 0
-      while (i < plan.length) {
-        val (ord, dt) = plan(i)
-        aggs(i) match {
-          case _: CountStarAgg => counts(i) += 1
-          case _: CountColAgg  => if (!row.isNullAt(ord)) counts(i) += 1
-          case _: MinAgg =>
-            if (!row.isNullAt(ord)) {
-              val v = row.get(ord, dt)
-              if (acc(i) == null || lt(dt, v, acc(i))) acc(i) = v
-            }
-          case _: MaxAgg =>
-            if (!row.isNullAt(ord)) {
-              val v = row.get(ord, dt)
-              if (acc(i) == null || lt(dt, acc(i), v)) acc(i) = v
-            }
-        }
-        i += 1
+  private val acc = new Array[Any](aggs.size)
+  private val counts = new Array[Long](aggs.size)
+
+  def reset(): Unit = {
+    java.util.Arrays.fill(acc.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(counts, 0L)
+  }
+
+  def update(row: InternalRow): Unit = {
+    var i = 0
+    while (i < plan.length) {
+      val (ord, dt) = plan(i)
+      aggs(i) match {
+        case _: CountStarAgg => counts(i) += 1
+        case _: CountColAgg  => if (!row.isNullAt(ord)) counts(i) += 1
+        case _: MinAgg =>
+          if (!row.isNullAt(ord)) {
+            val v = row.get(ord, dt)
+            if (acc(i) == null || lt(dt, v, acc(i))) acc(i) = v
+          }
+        case _: MaxAgg =>
+          if (!row.isNullAt(ord)) {
+            val v = row.get(ord, dt)
+            if (acc(i) == null || lt(dt, acc(i), v)) acc(i) = v
+          }
       }
+      i += 1
     }
+  }
+
+  /** Current accumulator values in `aggs` order (fresh array). */
+  def result(): Array[Any] = {
     val out = new Array[Any](aggs.size)
     var i = 0
     while (i < aggs.size) {
@@ -143,9 +146,125 @@ final class BigtableAggregateReader(
       }
       i += 1
     }
-    result = new GenericInternalRow(out)
+    out
+  }
+}
+
+/** Folds the wrapped reader's rows into ONE partial row per partition
+  * in the order of `aggs` — no per-row transfer out of the scan.
+  * `srcSchema` is the source projection the inner reader emits; each
+  * agg's reference is resolved to an ordinal in it.
+  */
+final class BigtableAggregateReader(
+    inner: PartitionReader[InternalRow],
+    srcSchema: StructType,
+    aggs: Seq[BigtableAgg]
+) extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private var result: InternalRow = _
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val fold = new AggFold(srcSchema, aggs)
+    fold.reset()
+    while (inner.next()) fold.update(inner.get())
+    result = new GenericInternalRow(fold.result())
     emitted = true
     true
+  }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = inner.close()
+}
+
+/** Grouped partial fold: one partial row per distinct group per
+  * partition, group columns first (pushed order) then aggregates —
+  * the output shape Spark's V2ScanRelationPushDown expects for partial
+  * grouped aggregate pushdown; Spark's final aggregation merges the
+  * per-partition partials.
+  *
+  * Scale contract: accepted group columns are a LEADING PREFIX of the
+  * row-key components (enforced at push time), so in the reader's
+  * key-ordered stream every group's rows are CONTIGUOUS — the fold
+  * streams with one live accumulator, O(1) state regardless of group
+  * count, never a per-partition hash map of groups. That is what makes
+  * a per-entity rollup safe at 100 TB: each partition emits one row per
+  * entity in its key span and holds state for exactly one entity at a
+  * time.
+  */
+final class BigtableGroupedAggregateReader(
+    inner: PartitionReader[InternalRow],
+    srcSchema: StructType,
+    groupCols: Seq[String],
+    aggs: Seq[BigtableAgg]
+) extends PartitionReader[InternalRow] {
+
+  private val groupOrds: Array[Int] = groupCols.map(srcSchema.fieldIndex).toArray
+  private val fold = new AggFold(srcSchema, aggs)
+
+  // group key values are UTF8Strings from freshly-allocated
+  // GenericInternalRows (the row reader never reuses buffers), so
+  // holding references across next() calls is safe
+  private var currentGroup: Array[UTF8String] = _
+  private var haveGroup = false
+  private var result: InternalRow = _
+  private var exhausted = false
+
+  private def groupOf(row: InternalRow): Array[UTF8String] = {
+    val g = new Array[UTF8String](groupOrds.length)
+    var i = 0
+    while (i < groupOrds.length) {
+      g(i) = row.getUTF8String(groupOrds(i))
+      i += 1
+    }
+    g
+  }
+
+  private def sameGroup(a: Array[UTF8String], b: Array[UTF8String]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      if (a(i) != b(i) && (a(i) == null || !a(i).equals(b(i)))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def emit(group: Array[UTF8String]): InternalRow = {
+    val aggVals = fold.result()
+    val out = new Array[Any](group.length + aggVals.length)
+    System.arraycopy(group.asInstanceOf[Array[AnyRef]], 0, out.asInstanceOf[Array[AnyRef]], 0, group.length)
+    System.arraycopy(aggVals.asInstanceOf[Array[AnyRef]], 0, out.asInstanceOf[Array[AnyRef]], group.length, aggVals.length)
+    new GenericInternalRow(out)
+  }
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    while (inner.next()) {
+      val row = inner.get()
+      val g = groupOf(row)
+      if (!haveGroup) {
+        currentGroup = g
+        haveGroup = true
+        fold.reset()
+        fold.update(row)
+      } else if (sameGroup(g, currentGroup)) {
+        fold.update(row)
+      } else {
+        // group boundary: emit the finished group, start the new one
+        result = emit(currentGroup)
+        currentGroup = g
+        fold.reset()
+        fold.update(row)
+        return true
+      }
+    }
+    exhausted = true
+    if (haveGroup) {
+      result = emit(currentGroup)
+      haveGroup = false
+      true
+    } else false
   }
 
   override def get(): InternalRow = result

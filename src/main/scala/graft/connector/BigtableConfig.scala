@@ -185,7 +185,11 @@ object BigtableConfig {
       writeBatchRows = opt("writeBatchRows", "512").toInt,
       exactFilterPushdown = opt("exactFilterPushdown", "false").toBoolean,
       vectorized = opt("vectorized", "false").toBoolean,
-      vectorizedBatchSize = opt("vectorizedBatchSize", "4096").toInt
+      vectorizedBatchSize = {
+        val bs = opt("vectorizedBatchSize", "4096").toInt
+        require(bs > 0, s"vectorizedBatchSize must be positive, got $bs")
+        bs
+      }
     )
   }
 }

@@ -96,7 +96,7 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
   private var filters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = cfg.schema
   private var limit: Option[Int] = None
-  private var pushedAggs: Option[Seq[BigtableAgg]] = None
+  private var pushedAggs: Option[(Seq[String], Seq[BigtableAgg])] = None
 
   /** A15 improvement: the reference ignores the limit (datasource.rs:148);
     * we cap each partition reader at `limit` rows. Declared partially
@@ -130,10 +130,33 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
     false // partial: Spark re-aggregates the per-partition folds
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (agg.groupByExpressions().nonEmpty) return false
-    val specs = agg.aggregateExpressions().toSeq.map(BigtableAgg.translate(cfg, _))
-    if (specs.exists(_.isEmpty)) false
-    else { pushedAggs = Some(specs.flatten); true }
+    // GROUP BY pushes only on a LEADING PREFIX of the row-key
+    // components: those groups are contiguous in the reader's
+    // key-ordered stream, so the per-partition fold streams with one
+    // live accumulator (O(1) state at any group cardinality — the shape
+    // that survives a per-entity rollup over 100 TB). Anything else
+    // (qualifiers, _timestamp, gaps in the key) stays in Spark.
+    val groupCols: Option[Seq[String]] =
+      agg.groupByExpressions().toSeq.foldLeft(Option(Vector.empty[String])) { (acc, e) =>
+        acc.flatMap { cols =>
+          e match {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference
+                if r.fieldNames().length == 1 => Some(cols :+ r.fieldNames()(0))
+            case _ => None
+          }
+        }
+      }
+    groupCols match {
+      case None => false
+      case Some(gcols) =>
+        val leading = cfg.partitionCols.take(gcols.length)
+        if (gcols.distinct.size != gcols.size || gcols.sorted != leading.sorted.toVector) false
+        else {
+          val specs = agg.aggregateExpressions().toSeq.map(BigtableAgg.translate(cfg, _))
+          if (specs.exists(_.isEmpty)) false
+          else { pushedAggs = Some((gcols, specs.flatten)); true }
+        }
+    }
   }
 
   /** What `explain` shows as PushedFilters — only the ones the composer
@@ -202,9 +225,9 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
     // With an aggregate pushed, the source columns are the aggregates'
     // references (requiredSchema still reflects the pre-agg projection).
     val sourceSchema = pushedAggs match {
-      case None       => requiredSchema
-      case Some(aggs) =>
-        val refs = aggs.flatMap(_.reference).distinct.toSet
+      case None                => requiredSchema
+      case Some((gcols, aggs)) =>
+        val refs = (gcols ++ aggs.flatMap(_.reference)).toSet
         StructType(cfg.schema.fields.filter(f => refs.contains(f.name)))
     }
     val requiredQualifiers = sourceSchema.fieldNames.toSeq.filter(cfg.isQualifier)
@@ -222,11 +245,13 @@ final class BigtableScan(
     limit: Option[Int] = None,
     pushed: Array[Filter] = Array.empty,
     shippedStore: Option[graft.store.BigtableStore] = None,
-    /** Pushed partial aggregates; when set, `requiredSchema` is the
-      * SOURCE schema the fold reads and [[readSchema]] is the aggregate
-      * output (one partial row per partition).
+    /** Pushed partial aggregates (groupCols, aggs); when set,
+      * `requiredSchema` is the SOURCE schema the fold reads and
+      * [[readSchema]] is group columns ++ aggregate outputs (one
+      * partial row per partition, or per contiguous group per
+      * partition when grouped).
       */
-    aggs: Option[Seq[BigtableAgg]] = None
+    aggs: Option[(Seq[String], Seq[BigtableAgg])] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -329,8 +354,12 @@ final class BigtableScan(
   }
 
   override def readSchema(): StructType = aggs match {
-    case None     => requiredSchema
-    case Some(as) => StructType(as.map(_.outputField))
+    case None               => requiredSchema
+    case Some((gcols, as))  =>
+      // group columns first (pushed order), then aggregates — the
+      // output contract of V2ScanRelationPushDown's partial pushdown
+      val groupFields = gcols.map(c => cfg.schema.fields(cfg.schema.fieldIndex(c)))
+      StructType(groupFields ++ as.map(_.outputField))
   }
 
   /** Each partition emits rows in (rowKey asc, cell-timestamp asc)
@@ -371,7 +400,10 @@ final class BigtableScan(
       .mkString(", ")
     val tsDesc = tsRange.map { case (lo, hi) => s" tsWindow=($lo, $hi]µs" }.getOrElse("")
     val limitDesc = limit.map(l => s" limit=$l").getOrElse("")
-    val aggDesc = aggs.map(as => s" agg=[${as.map(_.describe).mkString(", ")}]").getOrElse("")
+    val aggDesc = aggs.map { case (gcols, as) =>
+      val g = if (gcols.isEmpty) "" else s" groupBy=[${gcols.mkString(", ")}]"
+      s"$g agg=[${as.map(_.describe).mkString(", ")}]"
+    }.getOrElse("")
     // DSv2 explain surfaces only Scan.description(): render the pushed
     // list here (it already mirrors the composer's true acceptance)
     val pushedDesc = s" PushedFilters: [${pushed.mkString(", ")}]"
@@ -506,14 +538,17 @@ final class BigtablePartitionReaderFactory(
       * InputPartition.
       */
     shippedStore: Option[graft.store.BigtableStore] = None,
-    aggs: Option[Seq[BigtableAgg]] = None
+    aggs: Option[(Seq[String], Seq[BigtableAgg])] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
     val base = new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore)
     aggs match {
-      case None     => base
-      case Some(as) => new BigtableAggregateReader(base, readSchema, as)
+      case None                           => base
+      case Some((gcols, as)) if gcols.isEmpty =>
+        new BigtableAggregateReader(base, readSchema, as)
+      case Some((gcols, as)) =>
+        new BigtableGroupedAggregateReader(base, readSchema, gcols, as)
     }
   }
 
@@ -557,32 +592,21 @@ final class BigtablePartitionReader(
     shippedStore: Option[graft.store.BigtableStore] = None
 ) extends PartitionReader[InternalRow] {
 
-  private val sepPattern = Pattern.quote(cfg.separator)
+  // key-split / ts-window / version-explosion / decode all live in
+  // BigtablePivot, shared verbatim with the columnar reader
   private val fields = readSchema.fields
-  // precomputed per-field extraction plan: Left(keyPartIndex) for
-  // partition cols, Right(qualifierName) for data cols, None for _timestamp
-  private sealed trait FieldSrc
-  private case class KeyPart(i: Int) extends FieldSrc
-  private case object Ts extends FieldSrc
-  private case class Qual(family: String, name: String, dt: DataType) extends FieldSrc
-  private val plan: Array[FieldSrc] = fields.map { f =>
-    if (f.name == BigtableConfig.TimestampCol) Ts
-    else {
-      val ki = cfg.partitionCols.indexOf(f.name)
-      if (ki >= 0) KeyPart(ki) else Qual(cfg.familyOf(f.name), f.name, f.dataType)
-    }
-  }
+  private val plan = BigtablePivot.fieldPlan(cfg, readSchema)
 
-  private val rowIter: Iterator[InternalRow] = {
-    val base =
-      if (ranges.isEmpty) Iterator.empty[InternalRow]
-      else
-        BigtableStores
-          .resolve(cfg.storeName, shippedStore)
-          .readRows(cfg.table, ranges, rowFilters)
-          .flatMap(pivot)
-    limit.fold(base)(base.take) // pushed limit (per partition; Spark keeps the global one)
-  }
+  private val rowIter: Iterator[InternalRow] =
+    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore).map { g =>
+      val values = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) {
+        values(i) = BigtablePivot.extract(plan(i), g)
+        i += 1
+      }
+      new GenericInternalRow(values)
+    }
 
   private var current: InternalRow = _
 
@@ -593,54 +617,4 @@ final class BigtablePartitionReader(
   override def get(): InternalRow = current
 
   override def close(): Unit = ()
-
-  /** One Bigtable row → one InternalRow per distinct cell timestamp,
-    * ascending (execute_plan.rs:223-271 pivot, deterministic order).
-    */
-  private def pivot(row: BtRow): Iterator[InternalRow] = {
-    val keyParts: Array[String] =
-      if (cfg.partitionCols.size == 1) Array(row.rowKey)
-      else {
-        val parts = row.rowKey.split(sepPattern, -1)
-        if (parts.length != cfg.partitionCols.size)
-          throw new IllegalStateException(
-            s"row key '${row.rowKey}' does not split into ${cfg.partitionCols.size} components " +
-              s"with separator '${cfg.separator}'"
-          )
-        parts
-      }
-    val cellsInWindow = tsRange match {
-      case None           => row.cells
-      case Some((lo, hi)) => row.cells.filter(c => c.timestampMicros > lo && c.timestampMicros <= hi)
-    }
-    val byTs = cellsInWindow.groupBy(_.timestampMicros).toArray.sortBy(_._1)
-    byTs.iterator.map { case (ts, cells) =>
-      // first cell per (family, qualifier) wins (cells pre-sorted)
-      val byQual = cells.groupBy(c => (c.family, c.qualifier))
-      val values = new Array[Any](fields.length)
-      var i = 0
-      while (i < fields.length) {
-        values(i) = plan(i) match {
-          case KeyPart(ki) => UTF8String.fromString(keyParts(ki))
-          case Ts          => ts // TimestampType = micros since epoch
-          case Qual(fam, name, dt) =>
-            byQual.get((fam, name)).map(_.head.value) match {
-              case None => null
-              case Some(bytes) =>
-                dt match {
-                  case LongType   => CellCodec.decodeLong(bytes).map(java.lang.Long.valueOf).orNull
-                  case DoubleType =>
-                    // reference convention: floats stored as UTF-8 strings
-                    // (datasource.rs:188-189)
-                    CellCodec.decodeString(bytes).flatMap(_.toDoubleOption)
-                      .map(java.lang.Double.valueOf).orNull
-                  case _ => CellCodec.decodeString(bytes).map(UTF8String.fromString).orNull
-                }
-            }
-        }
-        i += 1
-      }
-      new GenericInternalRow(values)
-    }
-  }
 }

@@ -178,10 +178,11 @@ object RowRangeComposer {
     * rows satisfying them, so Spark may drop its residual FilterExec for
     * them (opt-in via `exactFilterPushdown`).
     *
-    * Deliberately conservative: only single-component keys qualify (for
-    * composite keys the concatenated-key ranges over-approximate
-    * per-component predicates), and only compositions where the
-    * composer's semantics are intersection-faithful:
+    * Deliberately conservative: single-component keys here, composite
+    * keys in [[compositeExactlyPushable]] (all-components-pinned point
+    * cartesians only — concatenated-key RANGE shapes over-approximate
+    * per-component predicates). Single-key compositions qualify only
+    * where the composer's semantics are intersection-faithful:
     *
     *   - exactly ONE `=`/`IN` arm (several arms UNION in the composer,
     *     composer.rs:186-189 parity, but conjunction means intersect);
@@ -197,7 +198,7 @@ object RowRangeComposer {
     * over-approximate by design (see composeValueFilters).
     */
   def exactlyPushable(cfg: BigtableConfig, filters: Seq[Filter]): Seq[Filter] = {
-    if (cfg.partitionCols.size != 1) return Nil
+    if (cfg.partitionCols.size != 1) return compositeExactlyPushable(cfg, filters)
     val k = cfg.partitionCols.head
     val conjuncts = filters.flatMap(flattenAnd)
     val keyRefs = conjuncts.filter(_.references.contains(k))
@@ -223,6 +224,51 @@ object RowRangeComposer {
       else if (eqIn.isEmpty && lo.isEmpty && hi.isEmpty && pre.isEmpty && cfg.allowFullScan) Nil
       else return Nil
     notNull ++ shape
+  }
+
+  /** Composite-key exact shape: EVERY key component pinned by exactly
+    * one `=`/`IN` arm composes to a cartesian of POINT ranges `[k, k]`
+    * on the concatenated key — each point matches exactly one stored
+    * key, so the range set equals the predicate set and the residual
+    * FilterExec is droppable (which is what lets Catalyst push
+    * aggregates below a composite-key scan, the `bt_composite` shape).
+    *
+    * Conservative like the single-key path:
+    *   - exactly ONE Eq-or-In arm per component (several arms on one
+    *     column UNION in the composer — not conjunction-faithful);
+    *   - every pinned value a String NOT containing the separator
+    *     (a value with the separator makes the concatenation ambiguous:
+    *     the composed point could fetch a row whose SPLIT components
+    *     differ from the predicate values);
+    *   - cartesian size within `maxComposedRanges` (beyond it the
+    *     composer collapses to one covering range — over-broad);
+    *   - no other key-referencing conjunct (bounds, prefixes, ORs, `!=`
+    *     — the tail-BETWEEN shape stays residual: its closed range over
+    *     the CONCATENATED key over-approximates the per-component
+    *     predicate when the tail values aren't fixed-width).
+    */
+  private def compositeExactlyPushable(cfg: BigtableConfig, filters: Seq[Filter]): Seq[Filter] = {
+    val keyCols = cfg.partitionCols.toSet
+    val conjuncts = filters.flatMap(flattenAnd)
+    val keyRefs = conjuncts.filter(_.references.exists(keyCols.contains))
+    def cleanVal(v: Any): Boolean =
+      v.isInstanceOf[String] && !v.asInstanceOf[String].contains(cfg.separator)
+    val arms: Seq[(String, Filter, Long)] = keyRefs.collect {
+      case f @ EqualTo(c, v) if keyCols.contains(c) && cleanVal(v) => (c, f, 1L)
+      case f @ In(c, vs) if keyCols.contains(c) && vs.nonEmpty && vs.forall(cleanVal) =>
+        (c, f, vs.length.toLong)
+    }
+    val notNull = keyRefs.collect { case f @ IsNotNull(c) if keyCols.contains(c) => f }
+    val classified: Set[Filter] = (arms.map(_._2) ++ notNull).toSet
+    if (keyRefs.exists(f => !classified.contains(f))) return Nil
+    val byCol = arms.groupBy(_._1)
+    // no key predicate at all on an allowFullScan table: the whole-space
+    // scan is trivially exact (mirrors the single-key arm)
+    if (arms.isEmpty && cfg.allowFullScan) return notNull
+    if (!cfg.partitionCols.forall(c => byCol.get(c).exists(_.size == 1))) return Nil
+    val cartesian = arms.map(_._3).product
+    if (cartesian > cfg.maxComposedRanges) return Nil
+    notNull ++ arms.map(_._2)
   }
 
   /** The range covering exactly the keys starting with `prefix`

@@ -170,10 +170,20 @@ object Dedup {
   /** LSH candidate pairs from MinHash signatures: split the signature
     * into `bands`, hash each band, and self-join on (band index, band
     * hash). Only rows sharing a band bucket are ever compared — the
-    * scale path that replaces the quadratic all-pairs join. Buckets
-    * larger than `maxBucket` (degenerate content, e.g. empty strings)
-    * are dropped to bound join fanout, trading recall on pathological
-    * keys for worst-case safety.
+    * scale path that replaces the quadratic all-pairs join.
+    *
+    * Bucket-size guard: a bucket of B docs contributes B² candidate
+    * pairs, so one degenerate bucket (boilerplate, empty strings) can
+    * dominate the whole join at corpus scale. Buckets larger than
+    * `maxBucket` are SPLIT into ceil(B/maxBucket) sub-buckets by a
+    * secondary hash of the id: fanout per original bucket drops from B²
+    * to ~B·maxBucket (linear in B), at the cost of missing pairs that
+    * land in different sub-buckets OF AN OVERSIZED BUCKET ONLY —
+    * normal-sized buckets (a fortiori every bucket in the gated
+    * fixtures) are byte-identical to the unguarded join, and even
+    * oversized ones retain ~1/ceil(B/maxBucket) of their pairs per band
+    * across `bands` independent chances, instead of the total recall
+    * loss of dropping the bucket outright.
     *
     * Returns (id1, id2) with id1 < id2, distinct.
     */
@@ -205,16 +215,23 @@ object Dedup {
       )
     val bounded0 = banded
       .withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bucket"))))
-      .where(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+      // oversized buckets split by a secondary id-hash: nsub = 1 (a
+      // no-op) for every bucket within maxBucket, ceil(B/maxBucket)
+      // sub-buckets otherwise — join fanout stays linear in B
+      .withColumn("__nsub",
+        greatest(
+          ((col("__bucket_n") + lit(maxBucket - 1L)) / lit(maxBucket.toLong)).cast("long"),
+          lit(1L)))
+      .withColumn("__sub", pmod(xxhash64(col("__id")), col("__nsub")))
+      .drop("__bucket_n", "__nsub")
     // both sides of the bucket self-join read this — persist so the
     // shingle+minhash map stage and the bucket-count shuffle run once
     val bounded =
       if (persistIntermediate) bounded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else bounded0
-    val l = bounded.select(col("__band"), col("__bucket"), col("__id").as("id1"))
-    val r = bounded.select(col("__band"), col("__bucket"), col("__id").as("id2"))
-    l.join(r, Seq("__band", "__bucket"))
+    val l = bounded.select(col("__band"), col("__bucket"), col("__sub"), col("__id").as("id1"))
+    val r = bounded.select(col("__band"), col("__bucket"), col("__sub"), col("__id").as("id2"))
+    l.join(r, Seq("__band", "__bucket", "__sub"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()

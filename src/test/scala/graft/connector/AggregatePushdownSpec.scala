@@ -111,6 +111,67 @@ class AggregatePushdownSpec extends AnyFunSuite {
     assert(!hasResidualFilter(df), df.queryExecution.executedPlan.toString)
   }
 
+  test("composite key with every component pinned pushes the aggregate (point cartesian is exact)") {
+    def q(extra: Map[String, String]) =
+      GraftTables.orders(spark, sf, extra)
+        .where(col("o_orderstatus") === "O" &&
+          col("o_orderpriority").isin("1-URGENT", "3-MEDIUM") &&
+          col("o_key").isin("0000000005", "0000000021", "0000000053", "0000000058"))
+        .agg(count("*").as("cnt"), min("o_key").as("min_key"), max("o_key").as("max_key"))
+    val exact = q(Map("exactFilterPushdown" -> "true"))
+    val plain = q(Map.empty)
+    assert(exact.collect()(0) == plain.collect()(0))
+    val desc = scanDesc(exact)
+    assert(desc.contains("agg=[COUNT(*), MIN(o_key), MAX(o_key)]"), desc)
+    assert(!hasResidualFilter(exact), "all-pinned composite conjunction needs no residual")
+    assert(!scanDesc(plain).contains("agg="))
+  }
+
+  test("composite key with a tail RANGE is not exact: concatenated-key range over-approximates") {
+    val df = GraftTables.orders(spark, sf, Map("exactFilterPushdown" -> "true"))
+      .where(col("o_orderstatus") === "O" &&
+        col("o_orderpriority").isin("1-URGENT", "3-MEDIUM") &&
+        col("o_key").between("0000000100", "0000000900"))
+      .agg(count("*").as("cnt"))
+    assert(!scanDesc(df).contains("agg="), "tail-BETWEEN composite must stay residual")
+    assert(hasResidualFilter(df))
+  }
+
+  test("composite pinned value containing the separator stays residual (ambiguous concatenation)") {
+    val df = GraftTables.orders(spark, sf, Map("exactFilterPushdown" -> "true"))
+      .where(col("o_orderstatus") === "O#F" &&
+        col("o_orderpriority") === "1-URGENT" &&
+        col("o_key") === "0000000007")
+      .agg(count("*").as("cnt"))
+    assert(df.collect()(0).getLong(0) == 0L)
+    assert(!scanDesc(df).contains("agg="))
+    assert(hasResidualFilter(df))
+  }
+
+  test("GROUP BY on the row key pushes a grouped fold into the scan and matches the unpushed plan") {
+    def q(extra: Map[String, String]) =
+      GraftTables.eventsAllVersions(spark, sf, extra)
+        .where(col("u_key").between("000000", "000050"))
+        .groupBy(col("u_key"))
+        .agg(count("*").as("n"), min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy(col("u_key"))
+    val pushed = q(Map("exactFilterPushdown" -> "true"))
+    val plain = q(Map.empty)
+    assert(pushed.collect().toSeq == plain.collect().toSeq)
+    val desc = scanDesc(pushed)
+    assert(desc.contains("groupBy=[u_key] agg=[COUNT(*), MIN(value), MAX(value)]"), desc)
+    assert(!scanDesc(plain).contains("agg="))
+  }
+
+  test("GROUP BY on a qualifier (not the key) stays in Spark") {
+    val df = GraftTables.eventsAllVersions(spark, sf, Map("exactFilterPushdown" -> "true"))
+      .where(col("u_key").between("000000", "000050"))
+      .groupBy(col("event_type"))
+      .agg(count("*").as("n"))
+    df.collect()
+    assert(!scanDesc(df).contains("agg="), "qualifier grouping must not push (not key-contiguous)")
+  }
+
   test("AVG/SUM (untranslatable) leave the whole aggregation in Spark") {
     val df = GraftTables.nation(spark, sf, Map("exactFilterPushdown" -> "true"))
       .where(col("n_key").between("0000", "9999"))

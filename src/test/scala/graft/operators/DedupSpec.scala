@@ -259,6 +259,27 @@ class DedupSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("oversized LSH buckets split instead of dropping: pairs survive, fanout stays linear") {
+    // 40 identical docs -> every band puts all 40 in ONE bucket. With
+    // maxBucket=10 the old guard dropped the bucket (zero candidates);
+    // the split guard sub-buckets by id-hash, so candidates survive and
+    // per-(band,sub) fanout is bounded by roughly maxBucket^2, not B^2.
+    val clones = (1L to 40L).map(i => (i, "the exact same degenerate boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(clones, "doc_id", "text", maxBucket = 10)
+    val n = cands.count()
+    assert(n > 0, "split guard must retain some candidates where the drop guard lost all")
+    assert(n < 40L * 39 / 2,
+      "oversized bucket must not produce the full quadratic pair set")
+    // a corpus with no oversized bucket is byte-identical to the unguarded join
+    val distinct = docs.select($"doc_id", $"text").limit(30)
+    val guarded = Dedup.minhashCandidates(distinct, "doc_id", "text", maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = Dedup.minhashCandidates(distinct, "doc_id", "text", maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == unguarded)
+  }
+
   test("connectedComponents matches union-find ground truth on random graphs") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
