@@ -113,6 +113,24 @@ final case class BigtableConfig(
 object BigtableConfig {
   /** Reserved single-key column name (reference datasource.rs:21). */
   val RowKeyCol = "_row_key"
+
+  /** Session-level default for the vectorized read path, consulted only
+    * when the per-reader `vectorized` option is absent — the same
+    * option-wins-over-conf layering as Spark's own
+    * `spark.sql.parquet.enableVectorizedReader`. Lets a deployment (or a
+    * parity test) flip every bigtable scan to columnar without touching
+    * call sites. Read at plan time on the driver (`fromOptions` runs
+    * when the DSv2 Table is instantiated); the parsed config ships to
+    * executors as a value.
+    */
+  val VectorizedDefaultConf = "spark.graft.bigtable.vectorizedDefault"
+
+  /** Current session's value for a free-form conf key, None outside an
+    * active session (e.g. bare unit tests constructing configs directly).
+    */
+  private def sessionDefault(key: String): Option[String] =
+    try Option(org.apache.spark.sql.internal.SQLConf.get.getConfString(key, null)).filter(_.nonEmpty)
+    catch { case _: Throwable => None }
   /** Reserved cell-timestamp column name (reference datasource.rs:22). */
   val TimestampCol = "_timestamp"
 
@@ -184,7 +202,8 @@ object BigtableConfig {
       writeTimestampMicros = opt("writeTimestampMicros", "0").toLong,
       writeBatchRows = opt("writeBatchRows", "512").toInt,
       exactFilterPushdown = opt("exactFilterPushdown", "false").toBoolean,
-      vectorized = opt("vectorized", "false").toBoolean,
+      vectorized = Option(opts.get("vectorized")).filter(_.nonEmpty).map(_.toBoolean)
+        .getOrElse(sessionDefault(VectorizedDefaultConf).exists(_.toBoolean)),
       vectorizedBatchSize = {
         val bs = opt("vectorizedBatchSize", "4096").toInt
         require(bs > 0, s"vectorizedBatchSize must be positive, got $bs")
