@@ -485,6 +485,16 @@ object SparkEntry {
           max(col("o_key")).as("max_key"),
           round(max(col("o_totalprice")), 4).as("max_price"))),
 
+    // Pushed SUM (+COUNT) fold: partial sums accumulate store-side in
+    // scan order — the same per-partition addition order as Spark's own
+    // partial Sum, so results are bit-identical to the unpushed plan —
+    // and only one partial row leaves each partition. ANSI overflow
+    // semantics are captured at plan time (SumAgg.ansi).
+    "bt_sum_pushdown" -> ((s, dir) =>
+      GraftTables.eventsAllVersions(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("u_key").between("000000", "000100"))
+        .agg(count("*").as("cnt"), round(sum(col("value")), 4).as("sum_value"))),
+
     // GROUPED aggregate pushdown on the row key: the per-entity rollup
     // (versions per user) folds INSIDE the scan — groups are contiguous
     // in the reader's key-ordered stream (leading-prefix-of-key groups
@@ -2705,6 +2715,9 @@ object SparkEntry {
          FROM orders
          WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
            AND o_orderkey IN (20, 26, 29, 32, 39, 43)""",
+    "bt_sum_pushdown" ->
+      """SELECT count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events WHERE user_id BETWEEN 0 AND 100""",
     "bt_groupby_key_pushdown" ->
       """SELECT lpad(CAST(user_id AS VARCHAR), 6, '0') AS u_key,
          count(*) AS n_versions, round(max(value), 4) AS max_value

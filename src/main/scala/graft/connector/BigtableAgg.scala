@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A pushed partial aggregate the store-side reader can fold: global
-  * COUNT(*) / COUNT(col) / MIN(col) / MAX(col). Beyond the reference
+  * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) / SUM(col). Beyond the reference
   * (whose roadmap stops at filter pushdown, README.md:44-51); the Spark
   * side re-aggregates the one-partial-row-per-partition output, so the
   * fold is the classic map-side combine pushed all the way into the
@@ -43,6 +43,16 @@ object BigtableAgg {
     def outputField: StructField = StructField(s"max_$col", dt, nullable = true)
     def describe: String = s"MAX($col)"
   }
+  /** Partial SUM over a numeric qualifier. `ansi` is captured from the
+    * session at plan time so the store-side fold overflows exactly like
+    * Spark's own partial Sum would (throw under ANSI, wrap otherwise) —
+    * pushed and unpushed plans must not diverge on pathological data.
+    */
+  final case class SumAgg(col: String, dt: DataType, ansi: Boolean) extends BigtableAgg {
+    def reference: Option[String] = Some(col)
+    def outputField: StructField = StructField(s"sum_$col", dt, nullable = true)
+    def describe: String = s"SUM($col)"
+  }
 
   private def singleRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
@@ -67,7 +77,16 @@ object BigtableAgg {
         singleRef(c.column).flatMap(n => typed(n).map(_ => CountColAgg(n)))
       case m: Min => singleRef(m.column).flatMap(n => typed(n).map(dt => MinAgg(n, dt)))
       case m: Max => singleRef(m.column).flatMap(n => typed(n).map(dt => MaxAgg(n, dt)))
-      case _      => None
+      case s: Sum if !s.isDistinct() =>
+        // numeric only; sum(long) stays LongType and sum(double)
+        // DoubleType in Spark, so the partial's type == the source's
+        val ansi =
+          try org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+          catch { case _: Throwable => true }
+        singleRef(s.column).flatMap(n => typed(n).collect {
+          case dt @ (LongType | DoubleType) => SumAgg(n, dt, ansi)
+        })
+      case _ => None
     }
   }
 }
@@ -88,10 +107,11 @@ private[connector] final class AggFold(srcSchema: StructType, aggs: Seq[Bigtable
 
   /** (ordinal, datatype) per agg; -1 for COUNT(*). */
   private val plan: Array[(Int, DataType)] = aggs.map {
-    case CountStarAgg()  => (-1, LongType)
-    case CountColAgg(c)  => (ordinal(c), LongType)
-    case MinAgg(c, dt)   => (ordinal(c), dt)
-    case MaxAgg(c, dt)   => (ordinal(c), dt)
+    case CountStarAgg()     => (-1, LongType)
+    case CountColAgg(c)     => (ordinal(c), LongType)
+    case MinAgg(c, dt)      => (ordinal(c), dt)
+    case MaxAgg(c, dt)      => (ordinal(c), dt)
+    case SumAgg(c, dt, _)   => (ordinal(c), dt)
   }.toArray
 
   private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
@@ -129,6 +149,19 @@ private[connector] final class AggFold(srcSchema: StructType, aggs: Seq[Bigtable
           if (!row.isNullAt(ord)) {
             val v = row.get(ord, dt)
             if (acc(i) == null || lt(dt, acc(i), v)) acc(i) = v
+          }
+        case s: SumAgg =>
+          if (!row.isNullAt(ord)) {
+            val v = row.get(ord, dt)
+            acc(i) =
+              if (acc(i) == null) v
+              else dt match {
+                case LongType if s.ansi =>
+                  Math.addExact(acc(i).asInstanceOf[Long], v.asInstanceOf[Long])
+                case LongType   => acc(i).asInstanceOf[Long] + v.asInstanceOf[Long]
+                case DoubleType => acc(i).asInstanceOf[Double] + v.asInstanceOf[Double]
+                case other => throw new IllegalStateException(s"unfoldable sum type $other")
+              }
           }
       }
       i += 1

@@ -172,12 +172,46 @@ class AggregatePushdownSpec extends AnyFunSuite {
     assert(!scanDesc(df).contains("agg="), "qualifier grouping must not push (not key-contiguous)")
   }
 
-  test("AVG/SUM (untranslatable) leave the whole aggregation in Spark") {
+  test("SUM(long) and SUM(double) push into the scan and match the row-shipping plan") {
+    def qNation(extra: Map[String, String]) =
+      GraftTables.nation(spark, sf, extra)
+        .where(col("n_key").between("0000", "9999"))
+        .agg(sum("n_regionkey").as("s"), count("*").as("cnt"))
+    val pushed = qNation(Map("exactFilterPushdown" -> "true"))
+    val plain = qNation(Map.empty)
+    assert(pushed.collect()(0) == plain.collect()(0))
+    assert(pushed.collect()(0).getLong(1) == 25L)
+    assert(scanDesc(pushed).contains("agg=[SUM(n_regionkey), COUNT(*)]"), scanDesc(pushed))
+
+    // double: the store fold adds in scan order — the same per-partition
+    // order as Spark's own partial Sum, so the result is bit-identical
+    def qEvents(extra: Map[String, String]) =
+      GraftTables.eventsAllVersions(spark, sf, extra)
+        .where(col("u_key").between("000000", "000100"))
+        .agg(sum("value").as("s"))
+    val pv = qEvents(Map("exactFilterPushdown" -> "true")).collect()(0).getDouble(0)
+    val uv = qEvents(Map.empty).collect()(0).getDouble(0)
+    assert(java.lang.Double.compare(pv, uv) == 0)
+  }
+
+  test("grouped SUM folds per key group inside the scan") {
+    def q(extra: Map[String, String]) =
+      GraftTables.eventsAllVersions(spark, sf, extra)
+        .where(col("u_key").between("000000", "000050"))
+        .groupBy(col("u_key"))
+        .agg(sum("value").as("s"), count("*").as("n"))
+        .orderBy(col("u_key"))
+    val pushed = q(Map("exactFilterPushdown" -> "true"))
+    val plain = q(Map.empty)
+    assert(pushed.collect().toSeq == plain.collect().toSeq)
+    assert(scanDesc(pushed).contains("groupBy=[u_key] agg=[SUM(value), COUNT(*)]"), scanDesc(pushed))
+  }
+
+  test("SUM DISTINCT leaves the whole aggregation in Spark") {
     val df = GraftTables.nation(spark, sf, Map("exactFilterPushdown" -> "true"))
       .where(col("n_key").between("0000", "9999"))
-      .agg(sum("n_regionkey").as("s"), count("*").as("cnt"))
-    val r = df.collect()(0)
-    assert(r.getLong(1) == 25L)
-    assert(!scanDesc(df).contains("agg="), "partial translation must not push")
+      .agg(sum_distinct(col("n_regionkey")).as("s"))
+    assert(df.collect()(0).getLong(0) == 10L) // 0+1+2+3+4
+    assert(!scanDesc(df).contains("agg="), "distinct sums must not push")
   }
 }
