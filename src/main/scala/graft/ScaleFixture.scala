@@ -124,14 +124,24 @@ object ScaleFixture {
       }
     }
 
-    // embeddings: rotate each vector by i so replicas don't collapse
-    // onto their originals in cosine space
+    // embeddings: distinct orthogonal transform per replica so replicas
+    // never collapse onto each other in cosine space — rotate by
+    // i mod dim, and for i >= dim additionally flip the sign of odd
+    // dims (rotation alone wraps at dim=64, so factor > 64 would alias
+    // replica i onto replica i-64). Composition stays distinct up to
+    // 2*dim = 128 replicas; past that, extend the flip pattern.
     replicate("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else {
         val dim = size(col("embedding"))
+        val rot = pmod(lit(i), dim)
+        val rotated = concat(
+          slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), lit(1), rot))
+        val flipOdd = zip_with(rotated, sequence(lit(0), dim - 1),
+          (x, idx) => when(idx % 2 === 1, -x).otherwise(x))
         d.withColumn("embedding",
-          concat(slice(col("embedding"), lit(i + 1), dim - i), slice(col("embedding"), lit(1), lit(i))))
+          when(lit(i) >= dim, flipOdd).otherwise(rotated))
       }
     }
 

@@ -103,9 +103,12 @@ object Dedup {
     checkpointDir.foreach(sc.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = cut(pairs
-      .select(col(col1).as("a"), col(col2).as("b"))
-      .union(pairs.select(col(col2).as("a"), col(col1).as("b")))
+    // materialize the pair frame ONCE before mirroring it: both union
+    // branches would otherwise re-evaluate the (often expensive —
+    // LSH + jaccard verification) pair plan from scratch
+    val p0 = cut(pairs.select(col(col1).as("a"), col(col2).as("b")))
+    val edges = cut(p0
+      .union(p0.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     var labels = cut(edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component")))
