@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Supplemental scale audit for the near-dup family whose DRIVER oracles
+are deliberately naive O(N^2) all-pairs recomputations (auditable at the
+sf0.01 gate, unbounded at sf1+). This tool checks the same engine
+results at scale with LINEAR-cost exact checks:
+
+  PRECISION: every pair the engine reported is recomputed exactly in
+  DuckDB (join on the reported ids only) — the metric value must match
+  the engine's and clear the threshold. Cost O(|reported pairs|).
+
+  SAMPLED RECALL: a deterministic md5-ordered sample of documents is
+  exhaustively paired against the WHOLE corpus in DuckDB (cost
+  O(sample x N), not N^2); every true pair touching the sample must be
+  in the engine's reported set. For the exact-algorithm joins (PPJoin
+  n-gram, simhash) recall must be 1.0; for MinHash-LSH the analytic
+  recall at the gate thresholds is 1-(1-0.9^6)^20 ~ 1-2.6e-7, so 1.0 is
+  still the expected observation.
+
+  CONSISTENCY: cluster / split / keep-best outputs derived from the
+  pair graph must agree with the sampled true pairs (same component,
+  same split).
+
+Usage: audit_pairs_sf1.py <sfDir> <verifyOutDir> [sampleN]
+Writes <verifyOutDir>/../AUDIT_PAIRS.json and prints one line per check.
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+def spark_result(out_dir, name):
+    files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
+    return pd.concat([pd.read_parquet(f) for f in files]) if files else None
+
+def main(sf_dir, out_dir, sample_n=300):
+    con = duckdb.connect()
+    docsrc = os.path.join(sf_dir, "documents.parquet")
+    docsrc = os.path.join(docsrc, "*.parquet") if os.path.isdir(docsrc) else docsrc
+    embsrc = os.path.join(sf_dir, "embeddings.parquet")
+    embsrc = os.path.join(embsrc, "*.parquet") if os.path.isdir(embsrc) else embsrc
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docsrc}')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{embsrc}')")
+    # char-5-gram shingle sets and word-trigram sets, computed once
+    con.execute("""
+      CREATE TABLE sh AS
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(length(text)-4, 1) + 1), i -> text[i:i+4])) AS sh
+      FROM documents""")
+    con.execute("""
+      CREATE TABLE g3 AS
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}'']+') AS t FROM documents)
+      SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks""")
+    con.execute(f"""
+      CREATE TABLE sample_ids AS
+      SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {int(sample_n)}""")
+
+    report = {}
+    failures = 0
+
+    def record(name, ok, detail):
+        nonlocal failures
+        if not ok:
+            failures += 1
+        report[name] = {"ok": bool(ok), **detail}
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}")
+
+    def jacc_precision(gate, table, setcol, thr, metric_col):
+        got = spark_result(out_dir, gate)
+        if got is None:
+            record(f"{gate}.precision", False, {"error": "no spark output"})
+            return None
+        con.register("rep", got[["id1", "id2", metric_col]])
+        bad = con.execute(f"""
+          SELECT count(*) FROM rep r
+          JOIN {table} a ON a.doc_id = r.id1
+          JOIN {table} b ON b.doc_id = r.id2
+          WHERE abs(round(CAST(length(list_intersect(a.{setcol}, b.{setcol})) AS DOUBLE) /
+                    greatest(length(list_distinct(a.{setcol} || b.{setcol})), 1), 6)
+                    - r.{metric_col}) > 1e-6
+             OR CAST(length(list_intersect(a.{setcol}, b.{setcol})) AS DOUBLE) /
+                greatest(length(list_distinct(a.{setcol} || b.{setcol})), 1) < {thr}""").fetchone()[0]
+        record(f"{gate}.precision", bad == 0,
+               {"reported_pairs": len(got), "mismatched": int(bad)})
+        return got
+
+    def jacc_true_sample_pairs(table, setcol, thr):
+        return con.execute(f"""
+          SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+          FROM (SELECT s.* FROM {table} s JOIN sample_ids USING (doc_id)) a
+          JOIN {table} b ON a.doc_id != b.doc_id
+          WHERE CAST(length(list_intersect(a.{setcol}, b.{setcol})) AS DOUBLE) /
+                greatest(length(list_distinct(a.{setcol} || b.{setcol})), 1) >= {thr}""").fetchdf()
+
+    def recall_vs(gate, got, true_pairs):
+        if got is None:
+            return None
+        rep = set(zip(got.id1.astype("int64"), got.id2.astype("int64")))
+        tp = set(zip(true_pairs.id1.astype("int64"), true_pairs.id2.astype("int64")))
+        missed = tp - rep
+        recall = 1.0 if not tp else 1.0 - len(missed) / len(tp)
+        record(f"{gate}.sampled_recall", len(missed) == 0,
+               {"true_sampled_pairs": len(tp), "missed": len(missed), "recall": recall})
+        return tp
+
+    # --- doc_near_dup (MinHash-LSH, char-5 jaccard >= 0.9) ---
+    nd = jacc_precision("doc_near_dup", "sh", "sh", 0.9, "jaccard")
+    true09 = jacc_true_sample_pairs("sh", "sh", 0.9)
+    recall_vs("doc_near_dup", nd, true09)
+
+    # --- stream_doc_near_dup shares the metric and threshold ---
+    snd = jacc_precision("stream_doc_near_dup", "sh", "sh", 0.9, "jaccard")
+    recall_vs("stream_doc_near_dup", snd, true09)
+
+    # --- doc_ngram_near_dup (PPJoin, word-trigram jaccard >= 0.7; exact) ---
+    ng = jacc_precision("doc_ngram_near_dup", "g3", "g", 0.7, "jaccard")
+    true07 = jacc_true_sample_pairs("g3", "g", 0.7)
+    recall_vs("doc_ngram_near_dup", ng, true07)
+
+    # --- clusters: sampled true pairs must share a component ---
+    cl = spark_result(out_dir, "doc_near_dup_clusters")
+    if cl is not None and len(true09):
+        comp = dict(zip(cl.doc_id.astype("int64"), cl.component.astype("int64")))
+        split_pairs = [(a, b) for a, b in
+                       zip(true09.id1.astype("int64"), true09.id2.astype("int64"))
+                       if comp.get(a) != comp.get(b)]
+        record("doc_near_dup_clusters.consistency", not split_pairs,
+               {"true_sampled_pairs": len(true09), "cross_component": len(split_pairs)})
+    # --- leakage split: sampled true pairs must land in the SAME split ---
+    ls = spark_result(out_dir, "doc_leakage_split")
+    if ls is not None and len(true09):
+        sp = dict(zip(ls.doc_id.astype("int64"), ls.split))
+        leaks = [(a, b) for a, b in
+                 zip(true09.id1.astype("int64"), true09.id2.astype("int64"))
+                 if sp.get(a) != sp.get(b)]
+        record("doc_leakage_split.no_cross_split_neardups", not leaks,
+               {"true_sampled_pairs": len(true09), "cross_split": len(leaks)})
+
+    # --- emb_near_dup (cosine >= 0.99 over corpus + shifted copy) ---
+    em = spark_result(out_dir, "emb_near_dup")
+    if em is not None:
+        con.register("erep", em)
+        bad = con.execute("""
+          WITH c AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+          SELECT count(*) FROM erep r
+          JOIN c a ON a.vec_id = r.id1 JOIN c b ON b.vec_id = r.id2
+          WHERE abs(round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6)
+                    - r.cosine) > 1e-6
+             OR list_cosine_similarity(a.embedding, b.embedding) < 0.99""").fetchone()[0]
+        record("emb_near_dup.precision", bad == 0,
+               {"reported_pairs": len(em), "mismatched": int(bad)})
+        true_em = con.execute(f"""
+          WITH c AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+          s AS (SELECT * FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {int(sample_n)})
+          SELECT least(a.vec_id, b.vec_id) AS id1, greatest(a.vec_id, b.vec_id) AS id2
+          FROM s a JOIN c b ON a.vec_id != b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99""").fetchdf()
+        recall_vs("emb_near_dup", em, true_em)
+
+    # --- doc_simhash_near_dup (64-bit simhash, hamming <= 3) ---
+    sh = spark_result(out_dir, "doc_simhash_near_dup")
+    if sh is not None:
+        con.execute("""
+          CREATE TABLE simsig AS
+          WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}'']+')) AS t
+            FROM documents),
+          th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+          bits AS (
+            SELECT doc_id, b.b AS b,
+                   sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY doc_id, b.b),
+          sig AS (
+            SELECT doc_id,
+                   bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(b AS INT))
+                          ELSE 0::UBIGINT END) AS sim
+            FROM bits GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(g.sim, 0::UBIGINT) AS sim
+          FROM documents d LEFT JOIN sig g USING (doc_id)""")
+        con.register("srep", sh)
+        bad = con.execute("""
+          SELECT count(*) FROM srep r
+          JOIN simsig a ON a.doc_id = r.id1 JOIN simsig b ON b.doc_id = r.id2
+          WHERE CAST(bit_count(xor(a.sim, b.sim)) AS INT) != r.hamming
+             OR bit_count(xor(a.sim, b.sim)) > 3""").fetchone()[0]
+        record("doc_simhash_near_dup.precision", bad == 0,
+               {"reported_pairs": len(sh), "mismatched": int(bad)})
+        true_sh = con.execute(f"""
+          WITH s AS (SELECT * FROM simsig ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {int(sample_n)})
+          SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+          FROM s a JOIN simsig b ON a.doc_id != b.doc_id
+          WHERE bit_count(xor(a.sim, b.sim)) <= 3""").fetchdf()
+        recall_vs("doc_simhash_near_dup", sh, true_sh)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(out_dir)), "AUDIT_PAIRS.json")
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "sample_n": sample_n, "checks": report}, f, indent=1)
+    print(f"\naudit: {sum(1 for c in report.values() if c['ok'])} ok / "
+          f"{sum(1 for c in report.values() if not c['ok'])} fail -> {out_path}")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 300))

@@ -4,9 +4,35 @@ from oracle_sql.json in DuckDB over the same parquet tables and compare
 against the Verify-dumped Spark results (columns sorted by name, values
 hashed). Usage: check_correctness.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, threading
 import duckdb
 import pandas as pd
+
+# Optional per-oracle wall clock (seconds) via CHECK_ORACLE_TIMEOUT:
+# several oracles are deliberately naive O(N^2) all-pairs recomputations
+# (exact jaccard over every doc pair) that are fine at the driver's
+# sf0.01 gate but unbounded at sf1+. The ENGINE side scales (that's the
+# point of the sf1 run); it's the oracle that can't. A timed-out oracle
+# records SKIP (oracle timeout), never a FAIL — the Spark result still
+# exists and its row count is reported.
+ORACLE_TIMEOUT = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "0")) or None
+
+def run_oracle(con, sql):
+    """fetchdf with an interrupt-based timeout; returns (df, timed_out)."""
+    if ORACLE_TIMEOUT is None:
+        return con.execute(sql).fetchdf(), False
+    timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf(), False
+    except duckdb.InterruptException:
+        return None, True
+    except RuntimeError as e:  # older duckdb raises RuntimeError on interrupt
+        if "INTERRUPT" in str(e).upper():
+            return None, True
+        raise
+    finally:
+        timer.cancel()
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -26,7 +52,7 @@ def main(sf_dir, out_dir):
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_path, "*.parquet"))
@@ -36,7 +62,13 @@ def main(sf_dir, out_dir):
             continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-            want = canon(con.execute(sql).fetchdf())
+            want_raw, timed_out = run_oracle(con, sql)
+            if timed_out:
+                print(f"SKIP {name}: oracle timeout after {ORACLE_TIMEOUT:.0f}s "
+                      f"(spark result: {len(got)} rows)")
+                n_skip += 1
+                continue
+            want = canon(want_raw)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -63,7 +95,8 @@ def main(sf_dir, out_dir):
             files = glob.glob(os.path.join(d, "*.parquet"))
             rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"ROWS-ONLY {name}: {rows} rows")
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    skip = f" / {n_skip} oracle-timeout-skip" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{skip}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
