@@ -2310,9 +2310,15 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 5)
       val exact = exactKnnTop10(s, dir)
+      // shortlist scales with the corpus (>= 5%): a FIXED shortlist is
+      // a shrinking corpus fraction as data grows, and PQ recall decays
+      // with it (measured at sf1: 10x vectors, recall < 0.7 at
+      // shortlist=100). Identical to the old constant at the gate scale
+      // factors (500- and 2000-vector corpora both floor at 100).
+      val pqShortlist = math.max(100L, emb.count() / 20L).toInt
       val approx = graft.operators.ProductQuantization
         .pqTopKRerank(emb, queries, "vec_id", "embedding", 10,
-          dim = 64, m = 8, codebookSize = 16, iterations = 2, shortlist = 100)
+          dim = 64, m = 8, codebookSize = 16, iterations = 2, shortlist = pqShortlist)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))
@@ -2332,10 +2338,12 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 5)
       val exact = exactKnnTop10(s, dir)
+      // corpus-proportional shortlist, same rationale as emb_knn_pq_recall
+      val ivfpqShortlist = math.max(100L, emb.count() / 20L).toInt
       val approx = graft.operators.ProductQuantization
         .ivfPqTopKRerank(emb, queries, "vec_id", "embedding", 10,
           dim = 64, m = 8, codebookSize = 16, iterations = 2,
-          nCentroids = 16, nProbe = 6, shortlist = 100)
+          nCentroids = 16, nProbe = 6, shortlist = ivfpqShortlist)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))

@@ -52,6 +52,9 @@ def main(sf_dir, out_dir):
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = {s.strip() for s in os.environ.get("CHECK_ONLY", "").split(",") if s.strip()}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
