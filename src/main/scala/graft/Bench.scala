@@ -42,6 +42,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob for the read-path decision: flips every bigtable scan
+    // that doesn't pin `vectorized` explicitly (option wins over conf)
+    sys.env.get("SPARK_GRAFT_VECTORIZED_DEFAULT").foreach(v =>
+      spark.conf.set(graft.connector.BigtableConfig.VectorizedDefaultConf, v))
 
     GraftTables.ensure(spark, sfDir) // fixture seeding, not query work
 
@@ -64,11 +68,18 @@ object Bench {
         // repeat-1 contamination made min-of-N a lottery). The warmup also
         // provides the AQE-final plan snapshot. Warmup failures fall
         // through to the timed loop so error reporting stays unchanged.
-        try {
+        // SPARK_GRAFT_WARMUP=0 skips it (scale-proof runs at sf10, where
+        // each execution is minutes and the question is "does it blow
+        // up", not a ±10% timing) — the plan snapshot then comes from
+        // the first timed execution.
+        if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")) try {
           val df = fn(spark, sfDir)
           df.count()
           try {
-            val txt = df.queryExecution.explainString(FormattedMode)
+            // normalized (PlanSnapshot): snapshots are committed, so
+            // regeneration must only diff on structural plan changes
+            val txt = graft.tools.PlanSnapshot.normalize(
+              df.queryExecution.explainString(FormattedMode))
             Files.write(
               Paths.get(plansDir, s"$name.txt"),
               txt.getBytes(StandardCharsets.UTF_8))
@@ -90,7 +101,8 @@ object Bench {
             if (!planSaved) {
               // after the first execution so AQE's final plan is available
               try {
-                val txt = df.queryExecution.explainString(FormattedMode)
+                val txt = graft.tools.PlanSnapshot.normalize(
+                  df.queryExecution.explainString(FormattedMode))
                 Files.write(
                   Paths.get(plansDir, s"$name.txt"),
                   txt.getBytes(StandardCharsets.UTF_8))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{BtCell, CellCodec}
-import graft.store.{BigtableStores, InMemoryBigtable}
+import graft.store.{BigtableStores, InMemoryBigtable, SocketBigtableServer}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, unix_micros}
@@ -177,6 +177,41 @@ object GraftTables {
   private def reader(spark: SparkSession, sfDir: String) = {
     ensure(spark, sfDir)
     spark.read.format("bigtable").option("store", storeName(sfDir))
+  }
+
+  // -------------------------------------------------------------------
+  // Remote (socket-transport) store: the seeded emulator served over a
+  // real localhost TCP hop, registered under its own name so gates can
+  // read THROUGH the process-boundary seam (the offline stand-in for the
+  // reference's executor-side gRPC channel, datasource.rs:81-88).
+  // -------------------------------------------------------------------
+
+  private val remoteServers = scala.collection.mutable.Map.empty[String, SocketBigtableServer]
+
+  def remoteStoreName(sfDir: String): String = s"${storeName(sfDir)}-remote"
+
+  /** Seed the fixture store, then serve it over a localhost socket and
+    * register the client-side handle. Idempotent per sfDir; the server
+    * thread is a daemon, so JVM exit is never blocked.
+    */
+  def ensureRemote(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    if (!remoteServers.contains(sfDir)) {
+      val server = new SocketBigtableServer(BigtableStores.get(storeName(sfDir)))
+      remoteServers(sfDir) = server
+      BigtableStores.register(remoteStoreName(sfDir), server.clientStore)
+    }
+  }
+
+  /** nation over the connector THROUGH the socket transport. */
+  def nationRemote(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureRemote(spark, sfDir)
+    spark.read.format("bigtable").option("store", remoteStoreName(sfDir))
+      .option("table", "nation")
+      .option("columnFamily", "f")
+      .option("partitionCols", "n_key")
+      .option("qualifiers", "n_name:string,n_regionkey:long")
+      .load()
   }
 
   /** nation over the connector: key n_key = lpad(n_nationkey, 4, '0'). */

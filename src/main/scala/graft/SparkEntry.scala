@@ -42,7 +42,13 @@ object SparkEntry {
       Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
       val dir = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "PLANS"))
       if (java.nio.file.Files.isDirectory(dir))
-        java.nio.file.Files.write(dir.resolve(s"$name.stream.txt"), buf.toByteArray)
+        java.nio.file.Files.write(
+          dir.resolve(s"$name.stream.txt"),
+          // normalized (PlanSnapshot): streaming plans embed runIds,
+          // temp checkpoint paths and batch timestamps — strip them so
+          // committed snapshots only diff on structure (ADVICE r12)
+          graft.tools.PlanSnapshot.normalize(new String(buf.toByteArray, "UTF-8"))
+            .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
   /** Run a streaming replay gate with a small shuffle-partition count.
@@ -508,6 +514,53 @@ object SparkEntry {
         .groupBy(col("u_key"))
         .agg(count("*").as("n_versions"), round(max(col("value")), 4).as("max_value"))
         .orderBy(col("u_key"))),
+
+    // AVG pushdown: the source declares partial-only pushdown
+    // (supportCompletePushDown=false), so Catalyst rewrites AVG to
+    // SUM/COUNT (SPARK-37839) and pushes BOTH into the scan — the store
+    // folds sum+count per partition and Spark's final agg divides. The
+    // plan shows agg=[SUM(value), COUNT(value)] inside the BatchScan.
+    "bt_avg_pushdown" -> ((s, dir) =>
+      GraftTables.eventsAllVersions(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("u_key").between("000000", "000100"))
+        .agg(round(avg(col("value")), 4).as("avg_value"), count("*").as("cnt"))),
+
+    // Aggregate pushdown COMPOSED with a pushed value predicate: the
+    // event_type filter is enforced exactly by the reader's post-pivot
+    // re-check (ValuePredicate) — server-side cell filters prune, the
+    // reader re-evaluates on decoded values — so no residual FilterExec
+    // remains and Catalyst still pushes the COUNT/SUM fold into the
+    // scan. Range-restricted rollups fold at the store: zero event rows
+    // leave the scan, one partial per partition.
+    "bt_agg_value_filter" -> ((s, dir) =>
+      GraftTables.eventsAllVersions(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("u_key").between("000000", "000100") && col("event_type") === "click")
+        .agg(count("*").as("cnt"), round(sum(col("value")), 4).as("sum_value"))),
+
+    // Top-k pushdown (SupportsPushDownTopN): ORDER BY key LIMIT k rides
+    // the scan's reported per-partition (key, ts) order — every reader
+    // stops after its first k rows, Spark's global top-k merges the
+    // per-partition prefixes. No Sort of scan output anywhere in the
+    // plan; the scan shows topN=4 order=[n_key ASC].
+    "bt_topk" -> ((s, dir) =>
+      GraftTables.nation(s, dir, Map("exactFilterPushdown" -> "true"))
+        .where(col("n_key").between("0000", "9999"))
+        .select(col("n_key"), col("n_name"))
+        .orderBy(col("n_key"))
+        .limit(4)),
+
+    // The full connector pipeline across a REAL process-boundary seam:
+    // the seeded store served over a localhost TCP socket
+    // (SocketBigtableServer), the scan reading through the client-side
+    // SocketBigtableStore whose only state is (host, port) — the
+    // offline stand-in for the reference's executor-side gRPC channel
+    // (datasource.rs:81-88). Range pruning, server-side filters, and
+    // the pivot all cross the wire; results must equal the in-JVM scan.
+    "bt_remote_scan" -> ((s, dir) =>
+      GraftTables.nationRemote(s, dir)
+        .where(col("n_key").between("0005", "0015"))
+        .select(col("n_key"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_key"))),
 
     // --- value-predicate pushdown (reference roadmap README.md:46-47,
     //     unimplemented there): string equality on a qualifier becomes a
@@ -2731,6 +2784,19 @@ object SparkEntry {
          count(*) AS n_versions, round(max(value), 4) AS max_value
          FROM events WHERE user_id BETWEEN 0 AND 50
          GROUP BY 1 ORDER BY u_key""",
+    "bt_avg_pushdown" ->
+      """SELECT round(avg(value), 4) AS avg_value, count(*) AS cnt
+         FROM events WHERE user_id BETWEEN 0 AND 100""",
+    "bt_agg_value_filter" ->
+      """SELECT count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events WHERE user_id BETWEEN 0 AND 100 AND event_type = 'click'""",
+    "bt_topk" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
+         FROM nation ORDER BY n_key LIMIT 4""",
+    "bt_remote_scan" ->
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation WHERE n_nationkey BETWEEN 5 AND 15 ORDER BY n_key""",
     "bt_rollup" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST""",

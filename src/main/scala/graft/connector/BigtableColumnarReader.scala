@@ -33,7 +33,8 @@ final class BigtableColumnarPartitionReader(
     tsRange: Option[(Long, Long)],
     limit: Option[Int] = None,
     shippedStore: Option[graft.store.BigtableStore] = None,
-    batchSize: Int = 4096
+    batchSize: Int = 4096,
+    postFilter: Option[BigtablePivot.Group => Boolean] = None
 ) extends PartitionReader[ColumnarBatch] {
 
   require(batchSize > 0,
@@ -43,7 +44,7 @@ final class BigtableColumnarPartitionReader(
   private val plan = BigtablePivot.fieldPlan(cfg, readSchema)
 
   private val groupIter: Iterator[BigtablePivot.Group] =
-    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore)
+    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore, postFilter)
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchSize, readSchema)

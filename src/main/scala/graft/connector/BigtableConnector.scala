@@ -91,11 +91,13 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var filters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = cfg.schema
   private var limit: Option[Int] = None
+  private var topNOrders: Option[Seq[String]] = None
   private var pushedAggs: Option[(Seq[String], Seq[BigtableAgg])] = None
 
   /** A15 improvement: the reference ignores the limit (datasource.rs:148);
@@ -105,14 +107,52 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** Top-k pushdown on the scan's REPORTED per-partition order: each
+    * partition streams (key asc, _timestamp asc) — see
+    * [[BigtableScan.outputOrdering]] — so `ORDER BY key [, _timestamp]
+    * LIMIT k` can stop every partition reader at its first k surviving
+    * rows (they ARE that partition's top-k). Declared partially pushed:
+    * Spark's global top-k merges the per-partition prefixes, so the
+    * full sort of scan output disappears and each reader transfers at
+    * most k rows. Accepted only where the report itself is sound
+    * (single-component keys) and only for an ASCENDING prefix of the
+    * stream order — anything else keeps Spark's Sort.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int
+  ): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (pushedAggs.nonEmpty || cfg.partitionCols.size != 1 || orders.isEmpty) return false
+    val streamOrder = Seq(cfg.partitionCols.head, BigtableConfig.TimestampCol)
+    val named = orders.toSeq.map { o =>
+      o.expression() match {
+        case r: NamedReference
+            if r.fieldNames().length == 1 && o.direction() == SortDirection.ASCENDING =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    }
+    if (named.exists(_.isEmpty)) return false
+    val cols = named.flatten
+    if (cols == streamOrder.take(cols.size)) {
+      limit = Some(n)
+      topNOrders = Some(cols)
+      true
+    } else false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     this.filters = filters
     if (!cfg.exactFilterPushdown) filters // all residual = inexact pushdown (A14)
     else {
-      // opt-in: provably-exact key filters need no residual FilterExec —
-      // and a scan with zero residual filters is what lets Catalyst
-      // push aggregates down to the store
-      val exact = RowRangeComposer.exactlyPushable(cfg, filters.toSeq).toSet
+      // opt-in: provably-exact key filters (range set == predicate set)
+      // and value predicates re-checked exactly post-pivot in the reader
+      // ([[ValuePredicate]]) need no residual FilterExec — and a scan
+      // with zero residual filters is what lets Catalyst push aggregates
+      // and top-k down to the store
+      val exact = (RowRangeComposer.exactlyPushable(cfg, filters.toSeq) ++
+        RowRangeComposer.exactValueFilters(cfg, filters.toSeq)).toSet
       filters.filterNot(exact.contains)
     }
   }
@@ -172,8 +212,11 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
     import org.apache.spark.sql.sources._
     val tsPushed = filters.filter(f => RowRangeComposer.composeTsRange(Seq(f)).isDefined)
     // value predicates push independently of key-range pruning (they
-    // narrow cells server-side even on a full scan)
-    val valuePushed = RowRangeComposer.composeValueFilters(cfg, filters.toSeq)._2.toArray
+    // narrow cells server-side even on a full scan); under
+    // exactFilterPushdown the post-pivot-exact set is reported too
+    val valuePushed = (RowRangeComposer.composeValueFilters(cfg, filters.toSeq)._2 ++
+      (if (cfg.exactFilterPushdown) RowRangeComposer.exactValueFilters(cfg, filters.toSeq)
+       else Nil)).distinct.toArray
     val prunes =
       try RowRangeComposer.composeRanges(cfg, filters.toSeq) != Vector(RowRange.full)
       catch { case _: RowRangeComposer.MissingKeyFilterException => false }
@@ -230,10 +273,19 @@ final class BigtableScanBuilder(cfg: BigtableConfig, shippedStore: Option[graft.
         val refs = (gcols ++ aggs.flatMap(_.reference)).toSet
         StructType(cfg.schema.fields.filter(f => refs.contains(f.name)))
     }
-    val requiredQualifiers = sourceSchema.fieldNames.toSeq.filter(cfg.isQualifier)
+    // exactly-pushed value predicates: re-checked post-pivot in every
+    // reader (the exactness layer); their qualifiers must survive the
+    // server-side projection regex even when the SELECT list (or the
+    // pushed aggregates) never touches them
+    val postFilters: Seq[Filter] =
+      if (cfg.exactFilterPushdown) RowRangeComposer.exactValueFilters(cfg, filters.toSeq) else Nil
+    val requiredQualifiers =
+      (sourceSchema.fieldNames.toSeq.filter(cfg.isQualifier) ++
+        postFilters.flatMap(_.references).filter(cfg.isQualifier)).distinct
     val comp = RowRangeComposer.compose(cfg, filters.toSeq, requiredQualifiers)
     val tsRange = RowRangeComposer.composeTsRange(filters.toSeq)
-    new BigtableScan(cfg, sourceSchema, comp, tsRange, limit, pushedFilters(), shippedStore, pushedAggs)
+    new BigtableScan(cfg, sourceSchema, comp, tsRange, limit, pushedFilters(), shippedStore,
+      pushedAggs, postFilters, topNOrders)
   }
 }
 
@@ -251,7 +303,15 @@ final class BigtableScan(
       * partial row per partition, or per contiguous group per
       * partition when grouped).
       */
-    aggs: Option[(Seq[String], Seq[BigtableAgg])] = None
+    aggs: Option[(Seq[String], Seq[BigtableAgg])] = None,
+    /** Exactly-pushed value predicates, re-evaluated on the decoded
+      * post-pivot row by every reader (see [[ValuePredicate]]).
+      */
+    postFilters: Seq[Filter] = Nil,
+    /** Pushed top-k sort columns (with `limit` as k) — display only;
+      * the cap itself rides the `limit` channel.
+      */
+    topNOrders: Option[Seq[String]] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -399,7 +459,10 @@ final class BigtableScan(
       .map(r => s"[${r.startKey}, ${r.endKey.getOrElse("∞")}${if (r.endInclusive) "]" else ")"}")
       .mkString(", ")
     val tsDesc = tsRange.map { case (lo, hi) => s" tsWindow=($lo, $hi]µs" }.getOrElse("")
-    val limitDesc = limit.map(l => s" limit=$l").getOrElse("")
+    val limitDesc = topNOrders match {
+      case Some(cols) => s" topN=${limit.getOrElse(-1)} order=[${cols.mkString(", ")} ASC]"
+      case None       => limit.map(l => s" limit=$l").getOrElse("")
+    }
     val aggDesc = aggs.map { case (gcols, as) =>
       val g = if (gcols.isEmpty) "" else s" groupBy=[${gcols.mkString(", ")}]"
       s"$g agg=[${as.map(_.describe).mkString(", ")}]"
@@ -432,7 +495,7 @@ final class BigtableScan(
     // below an aggregate, and capping the fold's input would be wrong
     new BigtablePartitionReaderFactory(
       cfg, requiredSchema, comp.rowFilters,
-      if (aggs.isDefined) None else limit, shippedStore, aggs)
+      if (aggs.isDefined) None else limit, shippedStore, aggs, postFilters)
 
   /** Streaming read: cell versions become a change stream ordered by
     * cell timestamp (micro-batch offsets = timestamp high-watermark).
@@ -443,7 +506,7 @@ final class BigtableScan(
       !cfg.onlyReadLatest,
       "streaming read requires onlyReadLatest=false (each cell version is one change event)"
     )
-    new BigtableMicroBatchStream(cfg, requiredSchema, comp, shippedStore)
+    new BigtableMicroBatchStream(cfg, requiredSchema, comp, shippedStore, postFilters)
   }
 }
 
@@ -538,11 +601,18 @@ final class BigtablePartitionReaderFactory(
       * InputPartition.
       */
     shippedStore: Option[graft.store.BigtableStore] = None,
-    aggs: Option[(Seq[String], Seq[BigtableAgg])] = None
+    aggs: Option[(Seq[String], Seq[BigtableAgg])] = None,
+    /** Exactly-pushed value predicates; serialized as plain source
+      * Filters and compiled executor-side per reader (the compiled
+      * closure holds UTF8String literals — cheap to rebuild, awkward to
+      * ship).
+      */
+    postFilters: Seq[Filter] = Nil
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
-    val base = new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore)
+    val base = new BigtablePartitionReader(cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit,
+      shippedStore, ValuePredicate.compile(cfg, postFilters))
     aggs match {
       case None                           => base
       case Some((gcols, as)) if gcols.isEmpty =>
@@ -563,7 +633,8 @@ final class BigtablePartitionReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
     new BigtableColumnarPartitionReader(
-      cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore, cfg.vectorizedBatchSize)
+      cfg, readSchema, rowFilters, p.ranges, p.tsRange, limit, shippedStore,
+      cfg.vectorizedBatchSize, ValuePredicate.compile(cfg, postFilters))
   }
 }
 
@@ -589,7 +660,8 @@ final class BigtablePartitionReader(
     ranges: Seq[RowRange],
     tsRange: Option[(Long, Long)],
     limit: Option[Int] = None,
-    shippedStore: Option[graft.store.BigtableStore] = None
+    shippedStore: Option[graft.store.BigtableStore] = None,
+    postFilter: Option[BigtablePivot.Group => Boolean] = None
 ) extends PartitionReader[InternalRow] {
 
   // key-split / ts-window / version-explosion / decode all live in
@@ -598,7 +670,7 @@ final class BigtablePartitionReader(
   private val plan = BigtablePivot.fieldPlan(cfg, readSchema)
 
   private val rowIter: Iterator[InternalRow] =
-    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore).map { g =>
+    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore, postFilter).map { g =>
       val values = new Array[Any](fields.length)
       var i = 0
       while (i < fields.length) {

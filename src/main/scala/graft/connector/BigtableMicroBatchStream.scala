@@ -30,7 +30,12 @@ final class BigtableMicroBatchStream(
     cfg: BigtableConfig,
     readSchema: StructType,
     comp: RowRangeComposer.Composition,
-    shippedStore: Option[graft.store.BigtableStore] = None
+    shippedStore: Option[graft.store.BigtableStore] = None,
+    /** Exactly-pushed value predicates (see [[ValuePredicate]]): the
+      * stream reader must enforce them like the batch reader, or an
+      * exact-pushdown streaming scan would leak unfiltered rows.
+      */
+    postFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -94,7 +99,8 @@ final class BigtableMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BigtablePartitionReaderFactory(cfg, readSchema, comp.rowFilters, None, shippedStore)
+    new BigtablePartitionReaderFactory(cfg, readSchema, comp.rowFilters, None, shippedStore,
+      aggs = None, postFilters = postFilters)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -46,7 +46,9 @@ private[connector] object BigtablePivot {
     }
 
   /** Store read → pivot groups: key split, ts-window filter, group by
-    * distinct cell timestamp ascending, pushed per-partition limit.
+    * distinct cell timestamp ascending, exact post-pivot value predicate
+    * (see [[ValuePredicate]] — applied BEFORE the limit, so a pushed
+    * limit counts surviving rows), pushed per-partition limit.
     */
   def groups(
       cfg: BigtableConfig,
@@ -54,7 +56,8 @@ private[connector] object BigtablePivot {
       ranges: Seq[RowRange],
       tsRange: Option[(Long, Long)],
       limit: Option[Int],
-      shippedStore: Option[graft.store.BigtableStore]
+      shippedStore: Option[graft.store.BigtableStore],
+      postFilter: Option[Group => Boolean] = None
   ): Iterator[Group] = {
     val sepPattern = Pattern.quote(cfg.separator)
     val rows =
@@ -82,7 +85,8 @@ private[connector] object BigtablePivot {
         case (ts, cells) => Group(keyParts, ts, cells.groupBy(c => (c.family, c.qualifier)))
       }
     }
-    limit.fold(base)(base.take)
+    val filtered = postFilter.fold(base)(base.filter)
+    limit.fold(filtered)(filtered.take)
   }
 
   /** Decode one cell's bytes to the boxed Catalyst value for `dt`

@@ -271,6 +271,45 @@ object RowRangeComposer {
     notNull ++ arms.map(_._2)
   }
 
+  /** Value-predicate filters the executor can evaluate EXACTLY on the
+    * decoded post-pivot row (see [[ValuePredicate]]) — the second half
+    * of `exactFilterPushdown`. The server-side cell filters from
+    * [[composeValueFilters]] stay the pruning layer (over-approximate
+    * at cell granularity by design); exactness comes from re-evaluating
+    * the predicate on the decoded values inside the reader, which costs
+    * one comparison per row and zero extra transfer. Accepting these as
+    * fully pushed removes the residual FilterExec, which is what lets
+    * Catalyst push aggregates below a value-filtered scan —
+    * range-restricted rollups folded at the store.
+    *
+    * Accepted: =, <, <=, >, >=, IN, LIKE 'p%', IS NULL / IS NOT NULL on
+    * a declared qualifier whose literal type matches the declared type
+    * (String/Long/Double). `_timestamp` and key columns stay with their
+    * own channels; And/Or trees and anything else stay residual.
+    */
+  def exactValueFilters(cfg: BigtableConfig, filters: Seq[Filter]): Seq[Filter] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val qualType = cfg.qualifiers.toMap
+    def litOk(col: String, v: Any): Boolean = (qualType.get(col), v) match {
+      case (Some(StringType), _: String)          => true
+      case (Some(LongType), _: java.lang.Long)    => true
+      case (Some(DoubleType), _: java.lang.Double) => true
+      case _                                       => false
+    }
+    filters.filter {
+      case EqualTo(c, v)             => litOk(c, v)
+      case GreaterThan(c, v)         => litOk(c, v)
+      case GreaterThanOrEqual(c, v)  => litOk(c, v)
+      case LessThan(c, v)            => litOk(c, v)
+      case LessThanOrEqual(c, v)     => litOk(c, v)
+      case In(c, vs)                 => vs.nonEmpty && vs.forall(litOk(c, _))
+      case StringStartsWith(c, p)    => qualType.get(c).contains(StringType) && p != null
+      case IsNull(c)                 => qualType.contains(c)
+      case IsNotNull(c)              => qualType.contains(c)
+      case _                         => false
+    }
+  }
+
   /** The range covering exactly the keys starting with `prefix`
     * (exact for ASCII prefixes in UTF-8 byte order).
     */

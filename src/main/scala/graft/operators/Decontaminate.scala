@@ -137,8 +137,19 @@ object Decontaminate {
       benchmark: DataFrame,
       benchVecCol: String,
       threshold: Double,
-      broadcastBenchmark: Boolean = true
+      broadcastBenchmark: Boolean = true,
+      maxBroadcastBytes: Long = DefaultMaxBroadcastBytes
   ): DataFrame = {
+    if (broadcastBenchmark && !benchmarkBroadcastable(benchmark, benchVecCol, maxBroadcastBytes))
+      // safety valve: above the broadcast budget the exact
+      // BroadcastNestedLoopJoin plan would either OOM the driver or
+      // degrade to an all-pairs shuffle — fail over to the IVF-bucketed
+      // path (approximate; recall pinned by the
+      // doc_semantic_decontam_ivf_recall gate) instead of planning an
+      // unbounded broadcast. Callers needing exactness above the budget
+      // must pre-shard the benchmark side themselves.
+      return semanticContaminatedIvf(
+        train, idCol, vecCol, benchmark, benchVecCol, threshold)
     val bench0 = benchmark.select(
       transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
@@ -149,6 +160,28 @@ object Decontaminate {
       .select(col(idCol), sim.as("__sim"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched"), max(col("__sim")).as("max_cosine"))
+  }
+
+  /** Broadcast budget for the benchmark side of the exact semantic
+    * paths: ~256 MB of packed vector doubles — far below Spark's 8 GB
+    * broadcast hard cap but big enough for any real eval suite (e.g.
+    * 30k vectors at dim 1024).
+    */
+  val DefaultMaxBroadcastBytes: Long = 256L << 20
+
+  /** Cheap driver-side estimate of the benchmark side's broadcast size:
+    * rowCount x dim x 8 bytes (one count job + one first-row peek on
+    * the SMALL side — the guard must not scan the corpus). Empty
+    * benchmark → trivially broadcastable.
+    */
+  private def benchmarkBroadcastable(
+      benchmark: DataFrame, benchVecCol: String, maxBytes: Long): Boolean = {
+    val agg = benchmark
+      .agg(count(lit(1)).as("n"), max(size(col(benchVecCol))).as("dim"))
+      .head()
+    val n = agg.getLong(0)
+    val dim = if (agg.isNullAt(1)) 0L else agg.getInt(1).toLong
+    n * dim * 8L <= maxBytes
   }
 
   /** The training corpus with semantically contaminated documents
@@ -165,8 +198,17 @@ object Decontaminate {
       benchmark: DataFrame,
       benchVecCol: String,
       threshold: Double,
-      broadcastBenchmark: Boolean = true
+      broadcastBenchmark: Boolean = true,
+      maxBroadcastBytes: Long = DefaultMaxBroadcastBytes
   ): DataFrame = {
+    if (broadcastBenchmark && !benchmarkBroadcastable(benchmark, benchVecCol, maxBroadcastBytes)) {
+      // same safety valve as semanticContaminated: flag through the
+      // IVF-bucketed path, then anti-join the corpus on id (an
+      // equi-join — shuffles only flagged ids, never vectors)
+      val flagged = semanticContaminatedIvf(
+        train, idCol, vecCol, benchmark, benchVecCol, threshold).select(col(idCol))
+      return train.join(flagged, Seq(idCol), "left_anti")
+    }
     val bench0 = benchmark.select(
       transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0

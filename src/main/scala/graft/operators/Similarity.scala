@@ -50,6 +50,33 @@ object Similarity {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
+  /** Element-wise sum of double vectors: the per-bucket fold behind
+    * [[kmeansCentroids]]. Buffer is one dim-length array (starts empty,
+    * adopts the first vector's length), so partial aggregation is
+    * map-side and the shuffled/collected state per group is exactly one
+    * vector — never one row per (bucket, dimension).
+    */
+  final class VecSumAggregator
+      extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    private def add(b: Array[Double], a: Seq[Double]): Array[Double] =
+      if (b.isEmpty) a.toArray
+      else {
+        require(a.length == b.length, s"vector length drift: ${a.length} vs ${b.length}")
+        var i = 0
+        while (i < b.length) { b(i) += a(i); i += 1 }
+        b
+      }
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = add(b, a)
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      if (x.isEmpty) y else add(x, y.toSeq)
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Brute-force cosine top-k: every query (small set, broadcast) against
     * every corpus vector, reduced per query with the bounded top-k
     * aggregate. Output: (qid, nid, rank, sim) with rank 1..k,
@@ -121,19 +148,21 @@ object Similarity {
         "__bucket",
         nearestCentroidIdx(col("__v"), centLit, nC)
       )
-      // mean per bucket: aggregate per-dimension sums via posexplode
-      // (partial map-side aggregation keeps the shuffle at k×dim rows)
+      // mean per bucket: one whole-vector sum per bucket via the array
+      // fold aggregator (map-side partials, shuffle and driver transfer
+      // both k rows of dim-length arrays — the centroids themselves are
+      // k×dim, so the driver is bounded by its own output at any (k, d),
+      // never by k×dim ROW objects like the posexplode shape was)
+      val vecSum = udaf(new VecSumAggregator)
       val sums = assigned
-        .select(col("__bucket"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy(col("__bucket"), col("__dim"))
-        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("__bucket"))
+        .agg(vecSum(col("__v")).as("__s"), count(lit(1)).as("__n"))
         .collect()
-      val byBucket = sums.groupBy(_.getInt(0))
+      val byBucket = sums.map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
       centroids = centroids.indices.map { b =>
         byBucket.get(b) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
-          case None => centroids(b) // empty cluster keeps its centroid
+          case Some((s, n)) if n > 0 && s.nonEmpty => s.map(_ / n)
+          case _ => centroids(b) // empty cluster keeps its centroid
         }
       }
       iter += 1

@@ -97,8 +97,25 @@ final class InMemoryBigtable private (
     }
   }
 
+  /** Whole-table (rows, bytes) per table, computed once on first use —
+    * the snapshot is immutable, so full-scan `estimateSize` answers in
+    * O(1) after that instead of walking the table on the driver at
+    * every planning pass (a per-query cost that would grow linearly
+    * with table size).
+    */
+  private lazy val tableTotals: Map[String, (Long, Long)] =
+    tables.map { case (t, data) =>
+      var bytes = 0L
+      data.foreach { case (k, cells) =>
+        bytes += k.length + cells.iterator.map(c => 16L + c.qualifier.length + c.value.length).sum
+      }
+      t -> ((data.size.toLong, bytes))
+    }
+
   override def estimateSize(table: String, ranges: Seq[RowRange]): Option[(Long, Long)] = {
     val data = tables.getOrElse(table, return Some((0L, 0L)))
+    if (RowRange.normalize(ranges) == Vector(RowRange.full))
+      return Some(tableTotals.getOrElse(table, (0L, 0L)))
     var rows = 0L
     var bytes = 0L
     RowRange.normalize(ranges).foreach { r =>

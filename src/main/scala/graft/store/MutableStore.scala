@@ -43,20 +43,50 @@ final class ConcurrentBigtable extends MutableBigtableStore {
   private val tables =
     new ConcurrentHashMap[String, ConcurrentSkipListMap[String, Row]]()
 
+  /** O(1) whole-table statistics ledger, maintained by the write path:
+    * (rowCount, cellBytes) per table. Without it every `estimateSize` /
+    * `sampleRowKeys` on a full-scan table walks the entire skip list
+    * single-threaded on the DRIVER at planning time — a per-query cost
+    * that grows linearly with table size (the r12 `stream_bt_write`
+    * scaling outlier: the timed query is a small read-back, the O(N)
+    * planning walk was the part that grew). Byte accounting mirrors
+    * `estimateSize`'s formula exactly (key.length on row creation,
+    * 16 + qualifier + value per live cell, adjusted on overwrite).
+    */
+  private final class Ledger {
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+  private val ledgers = new ConcurrentHashMap[String, Ledger]()
+
   private def newTable(): ConcurrentSkipListMap[String, Row] =
     new ConcurrentSkipListMap[String, Row](
       (a: String, b: String) => RowRange.compareKeys(a, b))
 
   override def mutateRows(table: String, mutations: Seq[(String, Seq[BtCell])]): Unit = {
     val t = tables.computeIfAbsent(table, _ => newTable())
+    val ledger = ledgers.computeIfAbsent(table, _ => new Ledger())
     mutations.foreach { case (key, cells) =>
-      val row = t.computeIfAbsent(key, _ => new Row())
-      cells.foreach(c => row.put((c.family, c.qualifier, c.timestampMicros), c.value))
+      var created = false
+      val row = t.computeIfAbsent(key, _ => { created = true; new Row() })
+      if (created) {
+        ledger.rows.incrementAndGet()
+        ledger.bytes.addAndGet(key.length.toLong)
+      }
+      cells.foreach { c =>
+        val prev = row.put((c.family, c.qualifier, c.timestampMicros), c.value)
+        val delta =
+          if (prev == null) 16L + c.qualifier.length + c.value.length
+          else c.value.length.toLong - prev.length
+        ledger.bytes.addAndGet(delta)
+      }
     }
   }
 
-  override def truncateTable(table: String): Unit =
-    tables.remove(table): Unit
+  override def truncateTable(table: String): Unit = {
+    tables.remove(table)
+    ledgers.remove(table): Unit
+  }
 
   private def cellsOf(row: Row): Vector[BtCell] =
     row.entrySet().iterator().asScala.map { e =>
@@ -96,22 +126,40 @@ final class ConcurrentBigtable extends MutableBigtableStore {
   override def sampleRowKeys(table: String): Seq[String] = {
     val data = tables.get(table)
     if (data == null) return Nil
-    val keys = data.keySet().iterator().asScala.toVector
-    val n = keys.size
+    // ledger row count instead of skip-list size(): size() is O(n) and
+    // this runs at planning time on the driver for every scan
+    val n = Option(ledgers.get(table)).map(_.rows.get()).getOrElse(0L)
     val targetSamples = 32
     if (n <= 1) Nil
     else {
-      val step = math.max(1, n / targetSamples)
-      keys.zipWithIndex.collect { case (k, i) if i > 0 && i % step == 0 => k }
+      val step = math.max(1L, n / targetSamples)
+      // one streaming pass collecting ~targetSamples keys (no full
+      // key-set materialization)
+      val out = Vector.newBuilder[String]
+      var i = 0L
+      val it = data.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (i > 0 && i % step == 0) out += k
+        i += 1
+      }
+      out.result()
     }
   }
 
   override def estimateSize(table: String, ranges: Seq[RowRange]): Option[(Long, Long)] = {
     val data = tables.get(table)
     if (data == null) return Some((0L, 0L))
+    val normalized = RowRange.normalize(ranges)
+    // full scan: answer from the O(1) ledger instead of walking the
+    // table (planning-time driver cost must not grow with table size)
+    if (normalized == Vector(RowRange.full)) {
+      val ledger = ledgers.get(table)
+      if (ledger != null) return Some((ledger.rows.get(), ledger.bytes.get()))
+    }
     var rows = 0L
     var bytes = 0L
-    RowRange.normalize(ranges).foreach { r =>
+    normalized.foreach { r =>
       data.tailMap(r.startKey, true).entrySet().iterator().asScala
         .takeWhile { e =>
           r.endKey match {

@@ -23,3 +23,9 @@ object GateProbe {
     spark.stop()
   }
 }
+
+/** Registry size probe (dev aid): counts queries/oracles. */
+object GateCount {
+  def main(args: Array[String]): Unit =
+    println(s"[count] queries=${graft.SparkEntry.queries.size} oracles=${graft.SparkEntry.oracleSql.size}")
+}

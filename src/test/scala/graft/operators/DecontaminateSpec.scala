@@ -141,6 +141,45 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("broadcast-size guard: over-budget benchmark plans no BroadcastNestedLoopJoin") {
+    // force the guard with a 1-byte budget: the exact BNLJ path must be
+    // replaced by the IVF-bucketed plan (equi-join on bucket id), and —
+    // with few vectors, where every bench vector probes every bucket —
+    // the flagged set still equals the exact path's
+    val guarded = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9,
+      maxBroadcastBytes = 1L)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val sub = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: adaptive.QueryStageExec        => Seq(q.plan)
+        case other                             => other.children
+      }
+      p +: sub.flatMap(nodes)
+    }
+    assert(!nodes(guarded.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")),
+      "guarded path must not plan a BroadcastNestedLoopJoin")
+    val exact = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(guarded.select("vec_id").as[Long].collect().toSet == exact)
+
+    // under budget the exact broadcast plan survives untouched
+    val under = Decontaminate.semanticContaminated(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9)
+    assert(nodes(under.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")))
+
+    // the decontaminate (anti) surface takes the same guard
+    val keptGuarded = Decontaminate.semanticDecontaminate(
+      semTrain, "vec_id", "embedding", semBench, "embedding", 0.9,
+      maxBroadcastBytes = 1L)
+    assert(keptGuarded.select("vec_id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(!nodes(keptGuarded.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("BroadcastNestedLoopJoin")))
+  }
+
   test("semanticContaminatedIvf never invents matches, and probing every bucket equals exact") {
     // bucket pruning can only LOSE pairs (a bench vector not probing the
     // corpus row's bucket), never add them: flagged(ivf) must be a subset
