@@ -76,10 +76,20 @@ final case class BigtableConfig(
       * allocation) instead of `InternalRow`s. The reference is also
       * columnar (Arrow RecordBatch, execute_plan.rs:307) but
       * materializes ONE batch per scan; ours are bounded at
-      * `vectorizedBatchSize` rows. Default off (row path is the
-      * reference-parity incremental reader).
+      * `vectorizedBatchSize` rows.
+      *
+      * `Some(v)` = pinned by reader option or session conf; `None` =
+      * AUTO — the scan picks columnar when its estimated row volume
+      * clears [[vectorizedAutoRows]] (measured r13: columnar wins ~20%
+      * on scans past ~100k rows, loses ~10% of fixed batch-allocation
+      * overhead on point lookups — so the default follows the DATA, the
+      * shape that is right at 100 TB and at `key = x` alike).
       */
-    vectorized: Boolean = false,
+    vectorized: Option[Boolean] = None,
+    /** AUTO-mode threshold: estimated scan rows at or above this pick
+      * the columnar reader (unknown statistics stay on the row path).
+      */
+    vectorizedAutoRows: Long = 32768L,
     vectorizedBatchSize: Int = 4096
 ) extends Serializable {
 
@@ -203,7 +213,8 @@ object BigtableConfig {
       writeBatchRows = opt("writeBatchRows", "512").toInt,
       exactFilterPushdown = opt("exactFilterPushdown", "false").toBoolean,
       vectorized = Option(opts.get("vectorized")).filter(_.nonEmpty).map(_.toBoolean)
-        .getOrElse(sessionDefault(VectorizedDefaultConf).exists(_.toBoolean)),
+        .orElse(sessionDefault(VectorizedDefaultConf).map(_.toBoolean)),
+      vectorizedAutoRows = opt("vectorizedAutoRows", "32768").toLong,
       vectorizedBatchSize = {
         val bs = opt("vectorizedBatchSize", "4096").toInt
         require(bs > 0, s"vectorizedBatchSize must be positive, got $bs")

@@ -490,12 +490,26 @@ final class BigtableScan(
     groups.map(g => BigtableInputPartition(g, tsRange): InputPartition).toArray
   }
 
+  /** Read-path selection: explicit option/conf wins; AUTO picks the
+    * columnar reader only when the scan's estimated row volume clears
+    * `vectorizedAutoRows` (r13 measurement: columnar decodes ~20%
+    * faster past ~100k rows, but its fixed per-partition batch
+    * allocation loses ~10% on point lookups — the default should
+    * follow the data). Unknown statistics stay on the row path.
+    */
+  private lazy val useColumnar: Boolean = cfg.vectorized.getOrElse {
+    val est =
+      try BigtableStores.resolve(cfg.storeName, shippedStore).estimateSize(cfg.table, comp.ranges)
+      catch { case _: IllegalStateException => None }
+    est.exists(_._1 >= cfg.vectorizedAutoRows)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     // agg mode ignores the pushed limit: Spark never pushes a limit
     // below an aggregate, and capping the fold's input would be wrong
     new BigtablePartitionReaderFactory(
       cfg, requiredSchema, comp.rowFilters,
-      if (aggs.isDefined) None else limit, shippedStore, aggs, postFilters)
+      if (aggs.isDefined) None else limit, shippedStore, aggs, postFilters, useColumnar)
 
   /** Streaming read: cell versions become a change stream ordered by
     * cell timestamp (micro-batch offsets = timestamp high-watermark).
@@ -607,7 +621,12 @@ final class BigtablePartitionReaderFactory(
       * closure holds UTF8String literals — cheap to rebuild, awkward to
       * ship).
       */
-    postFilters: Seq[Filter] = Nil
+    postFilters: Seq[Filter] = Nil,
+    /** Resolved read path (explicit pin or AUTO-by-volume — see
+      * [[BigtableScan.useColumnar]]); agg mode always reads rows (one
+      * partial per partition — nothing to vectorize).
+      */
+    useColumnar: Boolean = false
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BigtableInputPartition]
@@ -622,12 +641,11 @@ final class BigtablePartitionReaderFactory(
     }
   }
 
-  /** Vectorized path (`vectorized=true`): batches of decoded columns,
-    * except in agg mode (one partial row per partition — nothing to
-    * vectorize).
+  /** Vectorized path: batches of decoded columns, except in agg mode
+    * (one partial row per partition — nothing to vectorize).
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    cfg.vectorized && aggs.isEmpty
+    useColumnar && aggs.isEmpty
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

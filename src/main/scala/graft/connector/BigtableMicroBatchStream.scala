@@ -99,8 +99,10 @@ final class BigtableMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // streaming micro-batches are ts-windowed (small); AUTO stays on
+    // the row path — only an explicit pin selects columnar here
     new BigtablePartitionReaderFactory(cfg, readSchema, comp.rowFilters, None, shippedStore,
-      aggs = None, postFilters = postFilters)
+      aggs = None, postFilters = postFilters, useColumnar = cfg.vectorized.contains(true))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -30,6 +30,30 @@ class VectorizedReadSpec extends AnyFunSuite {
     assert(!row.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
 
+  test("AUTO read-path: columnar past the volume threshold, row below, pin wins") {
+    // nation at sf0.001 is 25 rows: below the default 32768 → row path
+    val auto = GraftTables.nation(spark, sf)
+      .where(col("n_key").between("0000", "9999"))
+    assert(!auto.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // force the threshold under the table size → AUTO picks columnar
+    val autoLow = GraftTables.nation(spark, sf, Map("vectorizedAutoRows" -> "10"))
+      .where(col("n_key").between("0000", "9999"))
+    assert(autoLow.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      autoLow.queryExecution.executedPlan.toString)
+    assert(sortedRows(autoLow) == sortedRows(auto))
+    // an explicit pin beats AUTO in both directions
+    val pinnedOff = GraftTables.nation(spark, sf,
+      Map("vectorizedAutoRows" -> "10", "vectorized" -> "false"))
+      .where(col("n_key").between("0000", "9999"))
+    assert(!pinnedOff.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // a RANGE-pruned scan estimates only its pruned volume: the same
+    // low threshold on a point lookup stays on the row path
+    val point = GraftTables.nation(spark, sf, Map("vectorizedAutoRows" -> "10"))
+      .where(col("n_key") === "0003")
+    assert(!point.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      point.queryExecution.executedPlan.toString)
+  }
+
   test("orders (composite key, double qual): identical in both modes") {
     val q = (extra: Map[String, String]) =>
       GraftTables.orders(spark, sf, extra)
