@@ -216,15 +216,27 @@ object Dedup {
           )
         ).as(Seq("__band", "__bucket"))
       )
+    // Bucket sizes via MAP-SIDE-COMBINED aggregation + a broadcast of
+    // ONLY the oversized buckets — not a window: a window partitioned
+    // on (band, bucket) shuffles AND sorts the entire banded frame
+    // (docs × bands rows — 192M at the 6M-doc probe scale, the r13 sf10
+    // superlinear outlier), where the aggregate's combiner collapses to
+    // one row per distinct bucket and the over-threshold survivors are
+    // bounded BY CONSTRUCTION at rows/maxBucket (≤ ~192k rows = a few
+    // MB at any corpus size — always broadcastable).
+    val oversized = banded
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .where(col("__bucket_n") > maxBucket)
     val bounded0 = banded
-      .withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bucket"))))
+      .join(broadcast(oversized), Seq("__band", "__bucket"), "left")
       // oversized buckets split by a secondary id-hash: nsub = 1 (a
-      // no-op) for every bucket within maxBucket, ceil(B/maxBucket)
-      // sub-buckets otherwise — join fanout stays linear in B
+      // no-op) for every bucket within maxBucket (left-join miss),
+      // ceil(B/maxBucket) sub-buckets otherwise — join fanout stays
+      // linear in B
       .withColumn("__nsub",
-        greatest(
-          ((col("__bucket_n") + lit(maxBucket - 1L)) / lit(maxBucket.toLong)).cast("long"),
-          lit(1L)))
+        when(col("__bucket_n").isNull, lit(1L))
+          .otherwise(((col("__bucket_n") + lit(maxBucket - 1L)) / lit(maxBucket.toLong)).cast("long")))
       .withColumn("__sub", pmod(xxhash64(col("__id")), col("__nsub")))
       .drop("__bucket_n", "__nsub")
     // both sides of the bucket self-join read this — persist so the
@@ -528,10 +540,16 @@ object Dedup {
         array((0 until 4).map(b => shiftright(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)
       ).as(Seq("__band", "__bucket"))
     )
+    // same aggregate-not-window discipline as minhashCandidates: the
+    // oversized-bucket set is bounded at rows/maxBucket → broadcast
+    // anti-join instead of a full-frame window shuffle+sort
+    val simOversized = banded
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .where(col("__bucket_n") > maxBucket)
+      .select(col("__band"), col("__bucket"))
     val bounded = banded
-      .withColumn("__bucket_n", count(lit(1)).over(Window.partitionBy(col("__band"), col("__bucket"))))
-      .where(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+      .join(broadcast(simOversized), Seq("__band", "__bucket"), "left_anti")
     val l = bounded.select(col("__band"), col("__bucket"), col("__id").as("id1"), col("__sim").as("__sim1"))
     val r = bounded.select(col("__band"), col("__bucket"), col("__id").as("id2"), col("__sim").as("__sim2"))
     l.join(r, Seq("__band", "__bucket"))

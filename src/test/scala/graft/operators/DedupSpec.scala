@@ -278,6 +278,11 @@ class DedupSpec extends AnyFunSuite {
     val unguarded = Dedup.minhashCandidates(distinct, "doc_id", "text", maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(guarded == unguarded)
+    // the guard is an aggregate + broadcast of oversized buckets, NOT a
+    // window: a window partitioned on (band, bucket) shuffles and sorts
+    // the whole docs×bands frame — the r13 sf10 superlinear outlier
+    assert(!cands.queryExecution.executedPlan.toString.contains("Window"),
+      "bucket-size guard must not plan a Window over the banded frame")
   }
 
   test("connectedComponents matches union-find ground truth on random graphs") {
