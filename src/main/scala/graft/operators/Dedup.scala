@@ -275,12 +275,52 @@ object Dedup {
     val pdf = parallelize(df)
     val cands = minhashCandidates(pdf, idCol, textCol, shingleK, numHashes, bands,
       persistIntermediate = persistIntermediate)
-    val sh0 = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
-    val sh = if (persistIntermediate) sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sh0
+    val sh = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
+    exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
+  }
+
+  /** Shared exact-verification join: candidates × per-doc element sets →
+    * (id1, id2, jaccard ≥ threshold).
+    *
+    * Verify-join I/O scales with CANDIDATES, not corpus: the element-set
+    * frame (thousands of hashed shingles per doc — tens of GB per join
+    * side at a few million docs) is SEMI-FILTERED to the ids that appear
+    * in any candidate pair before the two pair joins. Candidate ids are
+    * pair-bounded (duplicate-family members — a small fraction of any
+    * real corpus), so the filter is a broadcast semi join and the big
+    * frame never shuffles whole. Without this, both pair joins
+    * sort-merge-shuffle the FULL set frame — the r13 sf10 run spilled
+    * >77 GB and exhausted the box's disk on exactly that stage.
+    *
+    * With `persistIntermediate` the candidate frame is persisted and
+    * counted (one cheap job) so the broadcast is size-guarded; without
+    * it (unit-test scale) the hint is unconditional.
+    */
+  private def exactVerifyJoin(
+      cands0: DataFrame,
+      sets: DataFrame, // (__sid, __sh)
+      jaccard: (Column, Column) => Column,
+      threshold: Double,
+      persistIntermediate: Boolean
+  ): DataFrame = {
+    val cands = if (persistIntermediate)
+      cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cands0
+    val candIds = cands.select(col("id1").as("__sid"))
+      .union(cands.select(col("id2").as("__sid")))
+      .distinct()
+    val idFilter =
+      if (!persistIntermediate) broadcast(candIds)
+      else if (cands.count() * 2 <= 5000000L) broadcast(candIds)
+      else candIds // too many candidates to pin a broadcast: let the semi join shuffle
+    val sh0 = sets.join(idFilter, Seq("__sid"), "left_semi")
+    val sh = if (persistIntermediate)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     cands
       .join(sh.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(sh.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
-      .withColumn("__j", jaccardSortedCol(col("__sh1"), col("__sh2")))
+      .withColumn("__j", jaccard(col("__sh1"), col("__sh2")))
       .where(col("__j") >= threshold)
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
   }
@@ -357,12 +397,11 @@ object Dedup {
         col("__sz2") * lit(threshold) <= col("__sz1") + lit(eps))
       .select(col("id1"), col("id2"))
       .distinct()
-    cands
-      .join(base.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")
-      .join(base.select(col("__id").as("id2"), col("__sh").as("__sh2")), "id2")
-      .withColumn("__j", jaccardSortedCol(col("__sh1"), col("__sh2")))
-      .where(col("__j") >= threshold)
-      .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
+    // verification reads only candidate ids' gram sets (see
+    // exactVerifyJoin) — the full base frame never shuffles
+    exactVerifyJoin(
+      cands, base.select(col("__id").as("__sid"), col("__sh")),
+      jaccardSortedCol, threshold, persistIntermediate)
   }
 
   /** Exact word-ngram Jaccard join over raw text: tokenize, build word
