@@ -1720,13 +1720,17 @@ object SparkEntry {
     //     construction, so the exhaustive-oracle equality gate can't
     //     flake at any threshold (the LSH variant stays available as
     //     Dedup.ngramNearDuplicates for sub-threshold scale paths) ---
-    // hash-ordered prefixes (frequencyOrdered=false): this corpus's
-    // trigram document frequency is near-uniform (max 25), so the
-    // VernicaJoin stats pass would cost more than it prunes
+    // prefix ordering AUTO (Dedup.AutoFrequencyOrderBytes): small
+    // fixtures plan the hash-ordered prefix path (no stats pass — this
+    // corpus's per-SF trigram DF is near-uniform at gate scale), while
+    // 100×-scale corpora flip to rare-token-first prefixes — the
+    // hash-ordered path put whole duplicate families into shared-gram
+    // buckets and OOMed the r13 sf10 probe. Both orderings provably
+    // return the same pairs (recall-1 prefix filter; DedupSpec pins it)
     "doc_ngram_near_dup" -> ((s, dir) =>
       graft.operators.Dedup
         .ngramJaccardJoin(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          n = 3, threshold = 0.7, frequencyOrdered = false, persistIntermediate = true)
+          n = 3, threshold = 0.7, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
     // --- salted aggregation over a skewed key (events per type) ---

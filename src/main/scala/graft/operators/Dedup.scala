@@ -12,6 +12,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Estimated-input-size cutover for [[exactJaccardJoin]]'s automatic
+    * prefix-ordering choice: inputs estimated larger than this use the
+    * frequency-ordered (rare-token-first) prefix pass. 32 MB ≈ a few
+    * hundred thousand short documents — the scale where hash-ordered
+    * prefix buckets on a corpus with duplicate families start to
+    * dominate the join (and where the one extra stats shuffle is noise).
+    */
+  val AutoFrequencyOrderBytes: Long = 32L * 1024 * 1024
+
   /** Spread an under-partitioned input across the cluster before per-row
     * heavy compute (shingling, hashing, minhashing). A small parquet
     * file plans as ONE input partition, which serializes the whole map
@@ -170,6 +179,39 @@ object Dedup {
       graft.functions.MinHashSignature(ColumnBridge.expression(shingleHashes), numHashes))
   }
 
+  /** 1-byte-per-component sketch of a MinHash signature (binary). */
+  private[graft] def packSigBytes(sig: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PackLowBytes(ColumnBridge.expression(sig)))
+  }
+
+  /** Fraction of equal sketch bytes — the per-pair Jaccard estimator. */
+  private[graft] def sigAgreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BytesFractionEqual(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Signature-agreement prefilter cut for a verification threshold `t`:
+    * candidates whose estimated Jaccard (fraction of matching signature
+    * components) falls below `t - 0.2` are dropped BEFORE the exact
+    * verify join. With numHashes=120 the estimator is Binomial(120, j)
+    * (byte packing only biases it UP, by (1-j)/256): a true pair at
+    * exactly j = t = 0.9 is dropped with probability
+    * P[Bin(120,0.9) < 84] ≈ 1e-8 (5.5σ normal tail; the loose KL bound
+    * gives e^(-120·KL(0.7‖0.9)) ≈ 1e-8 as well) — two orders of
+    * magnitude safer than the banding recall bound the operator already
+    * carries (≈2.6e-7/pair) — while a background pair at j = 0.6 (the
+    * mass of a template-heavy corpus, where the permissive r=6 S-curve
+    * admits >60% of such pairs as candidates) survives with probability
+    * P[Bin(120,0.6) ≥ 84] ≈ 1.3% — a ~75× cut in exact-verify volume
+    * exactly where the corpus is densest. The 100× scale probe measured
+    * 210M bucket-pair candidates for 500k docs; this estimator is what
+    * keeps the verify join (2.6 KB of shingle hashes PER SIDE per pair)
+    * bounded by the near-threshold pairs instead of the S-curve tail.
+    */
+  private[graft] def estimateCut(threshold: Double): Double = math.max(0.0, threshold - 0.2)
+
   /** LSH candidate pairs from MinHash signatures: split the signature
     * into `bands`, hash each band, and self-join on (band index, band
     * hash). Only rows sharing a band bucket are ever compared — the
@@ -199,6 +241,24 @@ object Dedup {
       bands: Int = 32,
       maxBucket: Int = 1000,
       persistIntermediate: Boolean = false
+  ): DataFrame =
+    bucketCandidates(
+      bandedMinhash(df, idCol, textCol, shingleK, numHashes, bands, withSketch = false),
+      maxBucket, persistIntermediate, estCut = 0.0)
+
+  /** Banded LSH frame (__id, __band, __bucket[, __sigb]) for a corpus:
+    * one minhash signature per doc, hashed per band. `withSketch` adds
+    * the 1-byte-per-component signature sketch used by the verify
+    * prefilter (see [[estimateCut]]).
+    */
+  private def bandedMinhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      withSketch: Boolean
   ): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val rowsPerBand = numHashes / bands
@@ -206,24 +266,45 @@ object Dedup {
       col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleK, numHashes).as("__sig")
     )
-    val banded = sig
-      .select(
-        col("__id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-          )
-        ).as(Seq("__band", "__bucket"))
+    val bandCol = posexplode(
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
       )
-    // Bucket sizes via MAP-SIDE-COMBINED aggregation + a broadcast of
-    // ONLY the oversized buckets — not a window: a window partitioned
-    // on (band, bucket) shuffles AND sorts the entire banded frame
-    // (docs × bands rows — 192M at the 6M-doc probe scale, the r13 sf10
-    // superlinear outlier), where the aggregate's combiner collapses to
-    // one row per distinct bucket and the over-threshold survivors are
-    // bounded BY CONSTRUCTION at rows/maxBucket (≤ ~192k rows = a few
-    // MB at any corpus size — always broadcastable).
+    ).as(Seq("__band", "__bucket"))
+    if (withSketch) sig.select(col("__id"), packSigBytes(col("__sig")).as("__sigb"), bandCol)
+    else sig.select(col("__id"), bandCol)
+  }
+
+  /** Bucket self-join over a banded frame → distinct candidate pairs.
+    *
+    * Bucket sizes via MAP-SIDE-COMBINED aggregation + a broadcast of
+    * ONLY the oversized buckets — not a window: a window partitioned
+    * on (band, bucket) shuffles AND sorts the entire banded frame,
+    * where the aggregate's combiner collapses to one row per distinct
+    * bucket and the over-threshold survivors are bounded BY
+    * CONSTRUCTION at rows/maxBucket (≤ ~rows/1000 = a few MB at any
+    * corpus size — always broadcastable).
+    *
+    * `estCut` > 0 applies the signature-agreement prefilter INLINE in
+    * the self-join (see [[estimateCut]]): the filter runs in whole-stage
+    * codegen over the pipelined join output, so the S-curve's low-j
+    * candidate mass dies before the distinct() shuffle and the exact
+    * verify join ever see it. Requires the banded frame to carry __sigb.
+    */
+  private def bucketCandidates(
+      banded0: DataFrame,
+      maxBucket: Int,
+      persistIntermediate: Boolean,
+      estCut: Double
+  ): DataFrame = {
+    // the banded frame feeds BOTH the bucket-count aggregate and the
+    // guard join below — persist it so the shingle+minhash map stage
+    // runs once, not once per consumer (at 100× bench scale the
+    // signature pass alone is tens of seconds)
+    val banded =
+      if (persistIntermediate) banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded0
     val oversized = banded
       .groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("__bucket_n"))
@@ -240,16 +321,22 @@ object Dedup {
       .withColumn("__sub", pmod(xxhash64(col("__id")), col("__nsub")))
       .drop("__bucket_n", "__nsub")
     // both sides of the bucket self-join read this — persist so the
-    // shingle+minhash map stage and the bucket-count shuffle run once
+    // guard join runs once
     val bounded =
       if (persistIntermediate) bounded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else bounded0
-    val l = bounded.select(col("__band"), col("__bucket"), col("__sub"), col("__id").as("id1"))
-    val r = bounded.select(col("__band"), col("__bucket"), col("__sub"), col("__id").as("id2"))
-    l.join(r, Seq("__band", "__bucket", "__sub"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
-      .distinct()
+    val withSketch = estCut > 0.0
+    def side(idAs: String, sigAs: String) = {
+      val base = Seq(col("__band"), col("__bucket"), col("__sub"), col("__id").as(idAs))
+      bounded.select(base ++ (if (withSketch) Seq(col("__sigb").as(sigAs)) else Nil): _*)
+    }
+    val joined = side("id1", "__sigb1").join(side("id2", "__sigb2"), Seq("__band", "__bucket", "__sub"))
+    val filtered =
+      if (withSketch)
+        joined.where(col("id1") < col("id2") &&
+          sigAgreement(col("__sigb1"), col("__sigb2")) >= lit(estCut))
+      else joined.where(col("id1") < col("id2"))
+    filtered.select(col("id1"), col("id2")).distinct()
   }
 
   /** Near-duplicate pairs, MinHash-LSH recall + exact char-shingle
@@ -273,8 +360,9 @@ object Dedup {
       persistIntermediate: Boolean = false
   ): DataFrame = {
     val pdf = parallelize(df)
-    val cands = minhashCandidates(pdf, idCol, textCol, shingleK, numHashes, bands,
-      persistIntermediate = persistIntermediate)
+    val cands = bucketCandidates(
+      bandedMinhash(pdf, idCol, textCol, shingleK, numHashes, bands, withSketch = true),
+      maxBucket = 1000, persistIntermediate, estCut = estimateCut(threshold))
     val sh = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
     exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
   }
@@ -354,13 +442,21 @@ object Dedup {
       threshold: Double,
       /** Order tokens by ascending global document frequency (the
         * VernicaJoin stats pass: one count shuffle + a join + a per-doc
-        * window). Minimizes candidates on Zipfian corpora — the 100 TB
-        * default. `false` orders by token hash instead: the prefix is
-        * then just a `slice` of the already-sorted array — no stats
-        * pass, no extra shuffle — at the cost of more candidates when
-        * token frequencies are very skewed.
+        * window). Minimizes candidates on Zipfian or template-heavy
+        * corpora — the 100 TB default. `Some(false)` orders by token
+        * hash instead: the prefix is then just a `slice` of the
+        * already-sorted array — no stats pass, no extra shuffle — at
+        * the cost of more candidates when many documents share tokens.
+        * `None` (default) decides from the input's estimated size: below
+        * [[AutoFrequencyOrderBytes]] the corpus is too small for hash-
+        * ordered buckets to explode and the stats pass would cost more
+        * than it prunes; above it, frequency ordering is what keeps the
+        * prefix-join fanout bounded (the 100× scale probe OOMed the
+        * hash-ordered path on a 500k-doc template corpus — prefix grams
+        * shared by whole duplicate families put every family member in
+        * one bucket; rare-first prefixes dissolve those buckets).
         */
-      frequencyOrdered: Boolean = true,
+      frequencyOrdered: Option[Boolean] = None,
       persistIntermediate: Boolean = false
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold must be in (0, 1]")
@@ -369,6 +465,12 @@ object Dedup {
     // epsilon guards: filter-side thresholds are slack so FP rounding can
     // only ADMIT extra candidates (verification is exact), never drop one
     val eps = 1e-9
+    // auto ordering from logical-plan statistics (file sizes for scans —
+    // no job is run). Any consistent global token order preserves the
+    // prefix-filter recall-1 guarantee, so this is purely a cost choice
+    // and both paths return identical pairs (asserted in DedupSpec).
+    val freqOrdered = frequencyOrdered.getOrElse(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > AutoFrequencyOrderBytes)
     val base = maybePersist(
       parallelize(df).select(
         col(idCol).as("__id"),
@@ -377,7 +479,7 @@ object Dedup {
     // prefix length per doc: |s| - ceil(t*|s|) + 1
     val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold) - lit(eps)) + 1).cast("int")
     val prefix = maybePersist(
-      if (frequencyOrdered) {
+      if (freqOrdered) {
         val tok = base.select(col("__id"), col("__sz"), explode(col("__sh")).as("__t"))
         val dfc = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
         val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t"))
@@ -415,7 +517,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.7,
-      frequencyOrdered: Boolean = true,
+      frequencyOrdered: Option[Boolean] = None,
       persistIntermediate: Boolean = false
   ): DataFrame =
     // parallelize BEFORE projecting the grams: projections don't get
@@ -462,6 +564,7 @@ object Dedup {
     val sig = if (persistIntermediate) sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sig0
     val banded = sig.select(
       col("__id"),
+      packSigBytes(col("__sig")).as("__sigb"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -469,9 +572,15 @@ object Dedup {
         )
       ).as(Seq("__band", "__bucket"))
     )
-    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id1"))
-    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id2"))
-    val cands = l.join(r, Seq("__band", "__bucket")).where(col("id1") < col("id2"))
+    // signature-agreement prefilter inline in the bucket join (see
+    // estimateCut): kills the S-curve's low-j candidate mass inside
+    // whole-stage codegen, before the distinct shuffle and verify join
+    val estCut = estimateCut(threshold)
+    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id1"), col("__sigb").as("__sigb1"))
+    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id2"), col("__sigb").as("__sigb2"))
+    val cands = l.join(r, Seq("__band", "__bucket"))
+      .where(col("id1") < col("id2") &&
+        (if (estCut > 0.0) sigAgreement(col("__sigb1"), col("__sigb2")) >= lit(estCut) else lit(true)))
       .select("id1", "id2").distinct()
     cands
       .join(sig.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")

@@ -5,7 +5,7 @@ import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Incremental (streaming) near-duplicate detection — the pipeline shape
   * a continuously-ingesting training-data corpus needs: new documents
@@ -44,8 +44,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingDedup {
 
+  // sigb: the 1-byte-per-component signature sketch, carried on every
+  // band row so the bucket joins can prefilter candidates by estimated
+  // Jaccard INLINE (Dedup.estimateCut) — same estimator, same cut as the
+  // batch operator, so incremental == batch holds exactly (signatures
+  // are deterministic; both paths drop precisely the same pairs)
   private def bandsSchema = StructType(Seq(
-    StructField("id", LongType), StructField("band", IntegerType), StructField("bucket", LongType)))
+    StructField("id", LongType), StructField("band", IntegerType), StructField("bucket", LongType),
+    StructField("sigb", org.apache.spark.sql.types.BinaryType)))
   private def shinglesSchema = StructType(Seq(
     StructField("id", LongType), StructField("sh", ArrayType(LongType))))
 
@@ -127,6 +133,7 @@ object StreamingDedup {
     try {
       val newBands = base.select(
         col("id"),
+        Dedup.packSigBytes(col("sig")).as("sigb"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -138,18 +145,24 @@ object StreamingDedup {
       val oldBands = CommitLog.read(spark, s"$workDir/bands")
       val oldSh = CommitLog.read(spark, s"$workDir/shingles")
 
+      // estimated-Jaccard prefilter inline in both bucket joins (batch
+      // operator's exact machinery — see Dedup.estimateCut): the low-j
+      // candidate mass dies in codegen before distinct/verify
+      val estCut = Dedup.estimateCut(threshold)
+      def estOk(a: Column, b: Column): Column =
+        if (estCut > 0.0) Dedup.sigAgreement(a, b) >= lit(estCut) else lit(true)
       val cross = newBands.alias("n")
         .join(oldBands.alias("o"), Seq("band", "bucket"))
         // a crash between the index append and the checkpoint commit makes
         // the restarted batch meet ITSELF in the index — the id guard keeps
         // that at-least-once replay from emitting self-pairs
-        .where(col("n.id") =!= col("o.id"))
+        .where(col("n.id") =!= col("o.id") && estOk(col("n.sigb"), col("o.sigb")))
         .select(
           least(col("n.id"), col("o.id")).as("id1"),
           greatest(col("n.id"), col("o.id")).as("id2"))
       val within = newBands.alias("a")
         .join(newBands.alias("b"), Seq("band", "bucket"))
-        .where(col("a.id") < col("b.id"))
+        .where(col("a.id") < col("b.id") && estOk(col("a.sigb"), col("b.sigb")))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
       val cands = cross.union(within).distinct()
 

@@ -175,7 +175,7 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture should contain planted ngram near-dups")
     for (freqOrdered <- Seq(true, false)) {
       val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.7,
-        frequencyOrdered = freqOrdered)
+        frequencyOrdered = Some(freqOrdered))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected, s"frequencyOrdered=$freqOrdered diverged from brute force")
     }
@@ -212,7 +212,7 @@ class DedupSpec extends AnyFunSuite {
       } yield (math.min(ida, idb), math.max(ida, idb))).toSet
       val df = sets.toDF("id", "s")
       val got = Dedup.exactJaccardJoin(df, "id", "s", threshold,
-        frequencyOrdered = trial % 2 == 0)
+        frequencyOrdered = Some(trial % 2 == 0))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected,
         s"trial=$trial threshold=$threshold: got ${got.diff(expected)} extra, missing ${expected.diff(got)}")
