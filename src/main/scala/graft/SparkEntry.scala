@@ -121,7 +121,7 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
       graft.operators.Similarity.buildIvfIndex(
         s.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding", dir,
-        nCentroids = 16, kmeansIterations = 2)
+        kmeansIterations = 2) // nCentroids auto: sqrt(corpus rows)
       dir
     })
 
@@ -137,7 +137,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
       graft.operators.Similarity.buildIvfIndex(
         emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", s"$work/idx",
-        nCentroids = 16, kmeansIterations = 2)
+        kmeansIterations = 2) // nCentroids auto: sqrt(corpus rows)
       emb.where(col("vec_id") % 2 === 1).repartition(4).write.parquet(s"$work/src")
       val st = s.readStream.schema(emb.schema).parquet(s"$work/src")
         .select(col("vec_id"), col("embedding"))
@@ -238,6 +238,29 @@ object SparkEntry {
       .option("allowFullScan", "true")
   }
 
+  /** Force every once-per-JVM fixture for `sfDir` (index builds, stream
+    * replays, ground-truth dumps — the computeIfAbsent caches above).
+    * Bench calls this BEFORE timing so every scale factor measures the
+    * same work: the PROBE, never probe-plus-one-time-build. Without it,
+    * a repeats=1 scale run charges the whole fixture build to whichever
+    * query runs first (the r13 sf10 bench's 785× stream_bt_write
+    * "ratio" was mostly this artifact: sf0.1's min-of-3 amortized the
+    * build, sf10's single repeat included it). Returns seconds spent so
+    * the harness can report build cost as its own number.
+    */
+  def warmFixtures(s: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    GraftTables.ensure(s, sfDir)
+    indexedTermDir(s, sfDir)
+    incrTermDir(s, sfDir)
+    exactKnnTop10(s, sfDir).count()
+    ivfIndexDir(s, sfDir)
+    ivfStreamDir(s, sfDir)
+    btStreamWriteStore(s, sfDir)
+    btVersionedNation(s, sfDir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2A A4: partition pruning, equality (composer.rs:163-192) ---
     "bt_key_eq" -> ((s, dir) =>
@@ -302,13 +325,20 @@ object SparkEntry {
     //     last delivered key, so results are identical to the healthy
     //     scan — the behavior a real gRPC transport needs ---
     "bt_retry_scan" -> ((s, dir) => {
-      GraftTables.ensure(s, dir)
+      // retry THROUGH the socket transport (r13 advice): every healthy
+      // read crosses a real TCP hop, and each mid-stream resume opens a
+      // FRESH connection over only the remaining key space — the exact
+      // recovery a gRPC-backed deployment runs when a ReadRows channel
+      // drops. The injector sits between the retry layer and the socket
+      // client so faults are deterministic; raw connection-drop recovery
+      // is pinned separately in SocketStoreSpec.
+      GraftTables.ensureRemote(s, dir)
       val flaky = s"${GraftTables.storeName(dir)}-flaky"
       if (!graft.store.BigtableStores.contains(flaky))
         graft.store.BigtableStores.register(flaky,
           new graft.store.RetryingStore(
             new graft.store.FaultInjectingStore(
-              graft.store.BigtableStores.get(GraftTables.storeName(dir)),
+              graft.store.BigtableStores.get(GraftTables.remoteStoreName(dir)),
               failAfterRows = 1, maxFaults = 8),
             sleep = _ => ()))
       s.read.format("bigtable")
@@ -2146,7 +2176,7 @@ object SparkEntry {
         .select(col("vec_id"))
       val approx = graft.operators.Decontaminate.semanticContaminatedIvf(
         emb, "vec_id", "embedding", bench, "embedding", threshold = 0.35,
-        nCentroids = 16, nProbe = 8, kmeansIterations = 2)
+        kmeansIterations = 2) // nCentroids/nProbe auto: sqrt scaling
         .select(col("vec_id"), lit(1).as("hit"))
       exact.join(approx, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
@@ -2300,7 +2330,7 @@ object SparkEntry {
       val exact = exactKnnTop10(s, dir)
       val approx = graft.operators.Similarity
         .ivfTopK(emb, queries, "vec_id", "embedding", 10,
-          nCentroids = 16, nProbe = 6, kmeansIterations = 2)
+          kmeansIterations = 2) // nCentroids/nProbe auto: sqrt scaling
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))
@@ -2323,7 +2353,7 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
       val exact = exactKnnTop10(s, dir)
       val approx = graft.operators.Similarity
-        .ivfSearchIndexed(s, ivfIndexDir(s, dir), queries, "vec_id", "embedding", 10, nProbe = 6)
+        .ivfSearchIndexed(s, ivfIndexDir(s, dir), queries, "vec_id", "embedding", 10)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))
@@ -2345,7 +2375,7 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
       val exact = exactKnnTop10(s, dir)
       val approx = graft.operators.Similarity
-        .ivfSearchIndexed(s, ivfStreamDir(s, dir), queries, "vec_id", "embedding", 10, nProbe = 6)
+        .ivfSearchIndexed(s, ivfStreamDir(s, dir), queries, "vec_id", "embedding", 10)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))
@@ -2400,7 +2430,7 @@ object SparkEntry {
       val approx = graft.operators.ProductQuantization
         .ivfPqTopKRerank(emb, queries, "vec_id", "embedding", 10,
           dim = 64, m = 8, codebookSize = 16, iterations = 2,
-          nCentroids = 16, nProbe = 6, shortlist = ivfpqShortlist)
+          shortlist = ivfpqShortlist) // nCentroids/nProbe auto: sqrt scaling
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))

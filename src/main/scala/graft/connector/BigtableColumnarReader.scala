@@ -43,7 +43,7 @@ final class BigtableColumnarPartitionReader(
 
   private val plan = BigtablePivot.fieldPlan(cfg, readSchema)
 
-  private val groupIter: Iterator[BigtablePivot.Group] =
+  private val groupIter: BigtablePivot.GroupIterator =
     BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore, postFilter)
 
   private val vectors: Array[OnHeapColumnVector] =
@@ -81,5 +81,8 @@ final class BigtableColumnarPartitionReader(
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = batch.close()
+  override def close(): Unit = {
+    groupIter.close() // release a partially-consumed store scan (socket)
+    batch.close()
+  }
 }

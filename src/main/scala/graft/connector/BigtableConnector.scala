@@ -687,8 +687,10 @@ final class BigtablePartitionReader(
   private val fields = readSchema.fields
   private val plan = BigtablePivot.fieldPlan(cfg, readSchema)
 
+  private val groupIter: BigtablePivot.GroupIterator =
+    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore, postFilter)
   private val rowIter: Iterator[InternalRow] =
-    BigtablePivot.groups(cfg, rowFilters, ranges, tsRange, limit, shippedStore, postFilter).map { g =>
+    groupIter.map { g =>
       val values = new Array[Any](fields.length)
       var i = 0
       while (i < fields.length) {
@@ -706,5 +708,8 @@ final class BigtablePartitionReader(
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = ()
+  // release the underlying store scan even when partially consumed — a
+  // pushed limit/topN stops mid-stream, and a socket-backed scan must
+  // not leak its connection (ADVICE r13)
+  override def close(): Unit = groupIter.close()
 }

@@ -50,6 +50,24 @@ private[connector] object BigtablePivot {
     * (see [[ValuePredicate]] — applied BEFORE the limit, so a pushed
     * limit counts surviving rows), pushed per-partition limit.
     */
+  /** Group iterator that can RELEASE the underlying store scan: a
+    * pushed limit/topN consumes partially (`take(n)` never drains the
+    * source), and a wire-transport store (SocketBigtableStore) would
+    * otherwise leak its client socket — and pin the server's writer
+    * thread — until JVM exit (ADVICE r13). PartitionReader.close()
+    * calls this on every code path; in-memory stores return plain
+    * iterators and close() is a no-op for them.
+    */
+  final class GroupIterator(underlying: Iterator[Group], source: Iterator[graft.model.BtRow])
+      extends Iterator[Group] with AutoCloseable {
+    override def hasNext: Boolean = underlying.hasNext
+    override def next(): Group = underlying.next()
+    override def close(): Unit = source match {
+      case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+      case _                => ()
+    }
+  }
+
   def groups(
       cfg: BigtableConfig,
       rowFilters: Seq[RowFilter],
@@ -58,7 +76,7 @@ private[connector] object BigtablePivot {
       limit: Option[Int],
       shippedStore: Option[graft.store.BigtableStore],
       postFilter: Option[Group => Boolean] = None
-  ): Iterator[Group] = {
+  ): GroupIterator = {
     val sepPattern = Pattern.quote(cfg.separator)
     val rows =
       if (ranges.isEmpty) Iterator.empty
@@ -86,7 +104,7 @@ private[connector] object BigtablePivot {
       }
     }
     val filtered = postFilter.fold(base)(base.filter)
-    limit.fold(filtered)(filtered.take)
+    new GroupIterator(limit.fold(filtered)(filtered.take), rows)
   }
 
   /** Decode one cell's bytes to the boxed Catalyst value for `dt`

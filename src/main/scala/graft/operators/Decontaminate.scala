@@ -140,16 +140,23 @@ object Decontaminate {
       broadcastBenchmark: Boolean = true,
       maxBroadcastBytes: Long = DefaultMaxBroadcastBytes
   ): DataFrame = {
-    if (broadcastBenchmark && !benchmarkBroadcastable(benchmark, benchVecCol, maxBroadcastBytes))
+    if (broadcastBenchmark && !benchmarkBroadcastable(benchmark, benchVecCol, maxBroadcastBytes)) {
       // safety valve: above the broadcast budget the exact
       // BroadcastNestedLoopJoin plan would either OOM the driver or
       // degrade to an all-pairs shuffle — fail over to the IVF-bucketed
       // path (approximate; recall pinned by the
       // doc_semantic_decontam_ivf_recall gate) instead of planning an
       // unbounded broadcast. Callers needing exactness above the budget
-      // must pre-shard the benchmark side themselves.
+      // must pre-shard the benchmark side themselves. The fallback is
+      // LOUD (ADVICE r13): callers of an exact-documented API must see
+      // that they are getting recall<1 results.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticContaminated: benchmark exceeds the $maxBroadcastBytes-byte broadcast budget — " +
+          "falling back to the APPROXIMATE IVF-bucketed path (recall<1). Pre-shard the benchmark " +
+          "or raise maxBroadcastBytes for exact results.")
       return semanticContaminatedIvf(
         train, idCol, vecCol, benchmark, benchVecCol, threshold)
+    }
     val bench0 = benchmark.select(
       transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
@@ -205,6 +212,10 @@ object Decontaminate {
       // same safety valve as semanticContaminated: flag through the
       // IVF-bucketed path, then anti-join the corpus on id (an
       // equi-join — shuffles only flagged ids, never vectors)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticDecontaminate: benchmark exceeds the $maxBroadcastBytes-byte broadcast budget — " +
+          "falling back to the APPROXIMATE IVF-bucketed path (recall<1). Pre-shard the benchmark " +
+          "or raise maxBroadcastBytes for exact results.")
       val flagged = semanticContaminatedIvf(
         train, idCol, vecCol, benchmark, benchVecCol, threshold).select(col(idCol))
       return train.join(flagged, Seq(idCol), "left_anti")
@@ -238,24 +249,33 @@ object Decontaminate {
       benchmark: DataFrame,
       benchVecCol: String,
       threshold: Double,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
+      /** 0 (default) = √(corpus rows), [[Similarity.autoCentroids]]: a
+        * FIXED count keeps per-bucket share at N/nCentroids — join
+        * volume a constant fraction of all-pairs, i.e. still O(N·M)
+        * asymptotically (the r13 sf10 144× outlier); √N sizing makes it
+        * √N·M·nProbe.
+        */
+      nCentroids: Int = 0,
+      /** 0 (default) = [[Similarity.autoProbes]] of resolved nCentroids. */
+      nProbe: Int = 0,
       kmeansIterations: Int = 0
   ): DataFrame = {
     val c = train.select(
       col(idCol),
       transform(col(vecCol), x => x.cast("double")).as("__tvec"))
+    val nCent = if (nCentroids > 0) nCentroids else Similarity.autoCentroids(train.count())
     val centroids =
       if (kmeansIterations > 0)
-        Similarity.kmeansCentroids(train, idCol, vecCol, nCentroids, kmeansIterations)
+        Similarity.kmeansCentroids(train, idCol, vecCol, nCent, kmeansIterations)
       else
-        c.orderBy(col(idCol)).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
+        c.orderBy(col(idCol)).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
+    val probeN = if (nProbe > 0) nProbe else Similarity.autoProbes(centroids.size)
     val bucketed = c.withColumn(
       "__b", Similarity.nearestCentroidBuckets(col("__tvec"), centroids, 1).getItem(0))
     val probes = benchmark
       .select(transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
       .select(col("__bvec"),
-        explode(Similarity.nearestCentroidBuckets(col("__bvec"), centroids, nProbe)).as("__b"))
+        explode(Similarity.nearestCentroidBuckets(col("__bvec"), centroids, probeN)).as("__b"))
     val sim = Similarity.cosine(col("__tvec"), col("__bvec"))
     bucketed
       .join(probes, "__b")

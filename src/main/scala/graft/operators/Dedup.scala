@@ -384,6 +384,14 @@ object Dedup {
     * counted (one cheap job) so the broadcast is size-guarded; without
     * it (unit-test scale) the hint is unconditional.
     */
+  /** Broadcast budget for the element-set side of [[exactVerifyJoin]]:
+    * heap-scaled (an eighth of executor max heap, capped at 1.5 GB) —
+    * a broadcastable set frame makes verification shuffle-free, and the
+    * budget only changes the PLAN, never the result.
+    */
+  private def verifyBroadcastBudget: Long =
+    math.min(1500L * 1024 * 1024, Runtime.getRuntime.maxMemory / 8)
+
   private def exactVerifyJoin(
       cands0: DataFrame,
       sets: DataFrame, // (__sid, __sh)
@@ -405,9 +413,32 @@ object Dedup {
     val sh = if (persistIntermediate)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
+    // Join-strategy choice — the 100× probe's hard lesson: candidates ×
+    // element-arrays is the ONLY fat frame in the whole pipeline (tens
+    // of GB at 100× bench scale), and the default sort-merge plan SORTS
+    // it twice (once per pair join), which exhausted the box's disk.
+    //  - set frame within budget → broadcast both pair joins: the fat
+    //    frame never exists; candidate pairs stream against an in-memory
+    //    map and only surviving pairs are materialized.
+    //  - over budget → shuffle_hash hint: the intermediate still moves
+    //    through one shuffle, but is never sorted (hash lookup, not
+    //    merge), so spill is bounded by the data itself, not sort runs.
+    // Measured on the persisted frame (one cheap agg); plan-only choice.
+    val fits = persistIntermediate && {
+      val m = sh.agg(count(lit(1)), coalesce(sum(size(col("__sh"))), lit(0L))).head()
+      val rows = m.getLong(0)
+      val elems = m.getLong(1)
+      elems * 8L + rows * 48L <= verifyBroadcastBudget
+    }
+    def side(idAs: String, shAs: String) = {
+      val renamed = sh.withColumnRenamed("__sid", idAs).withColumnRenamed("__sh", shAs)
+      if (!persistIntermediate) renamed // test scale: let Catalyst/AQE pick
+      else if (fits) broadcast(renamed)
+      else renamed.hint("shuffle_hash")
+    }
     cands
-      .join(sh.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
-      .join(sh.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+      .join(side("id1", "__sh1"), "id1")
+      .join(side("id2", "__sh2"), "id2")
       .withColumn("__j", jaccard(col("__sh1"), col("__sh2")))
       .where(col("__j") >= threshold)
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
@@ -478,6 +509,8 @@ object Dedup {
       ).withColumn("__sz", size(col("__sh"))))
     // prefix length per doc: |s| - ceil(t*|s|) + 1
     val prefLen = (col("__sz") - ceil(col("__sz") * lit(threshold) - lit(eps)) + 1).cast("int")
+    // prefix rows carry the token's POSITION in the globally-ordered set
+    // (__p, 1-based) for the PPJoin positional filter below
     val prefix = maybePersist(
       if (freqOrdered) {
         val tok = base.select(col("__id"), col("__sz"), explode(col("__sh")).as("__t"))
@@ -486,17 +519,31 @@ object Dedup {
         tok.join(dfc, "__t")
           .withColumn("__r", row_number().over(w))
           .where(col("__r") <= prefLen)
-          .select(col("__t"), col("__id"), col("__sz"))
+          .select(col("__t"), col("__id"), col("__sz"), col("__r").as("__p"))
       } else {
-        base.select(col("__id"), col("__sz"), explode(slice(col("__sh"), lit(1), prefLen)).as("__t"))
-          .select(col("__t"), col("__id"), col("__sz"))
+        base.select(col("__id"), col("__sz"),
+            posexplode(slice(col("__sh"), lit(1), prefLen)).as(Seq("__p0", "__t")))
+          .select(col("__t"), col("__id"), col("__sz"), (col("__p0") + 1).as("__p"))
       })
-    val l = prefix.select(col("__t"), col("__id").as("id1"), col("__sz").as("__sz1"))
-    val r = prefix.select(col("__t"), col("__id").as("id2"), col("__sz").as("__sz2"))
+    val l = prefix.select(col("__t"), col("__id").as("id1"), col("__sz").as("__sz1"), col("__p").as("__p1"))
+    val r = prefix.select(col("__t"), col("__id").as("id2"), col("__sz").as("__sz2"), col("__p").as("__p2"))
+    // positional filter (PPJoin, Xiao et al.): a shared token at
+    // positions (p1, p2) of the globally-ordered sets bounds the overlap
+    // at 1 + min(sz1-p1, sz2-p2) (everything shared lies in the suffixes
+    // from those positions on), and jaccard >= t needs overlap >=
+    // t/(1+t)·(sz1+sz2). Recall stays exactly 1: for a qualifying
+    // pair, its globally-FIRST common token sits in both prefixes (the
+    // prefix-filter theorem) and every common token lies at-or-after it
+    // on both sides, so that row's bound >= the true overlap and the
+    // pair always survives the distinct. Epsilon keeps FP rounding
+    // admitting, never dropping. At the 100× probe this cuts the
+    // candidate mass a further ~2-3× on top of frequency ordering.
     val cands = l.join(r, Seq("__t"))
       .where(col("id1") < col("id2") &&
         col("__sz1") * lit(threshold) <= col("__sz2") + lit(eps) &&
-        col("__sz2") * lit(threshold) <= col("__sz1") + lit(eps))
+        col("__sz2") * lit(threshold) <= col("__sz1") + lit(eps) &&
+        lit(1) + least(col("__sz1") - col("__p1"), col("__sz2") - col("__p2")) >=
+          (col("__sz1") + col("__sz2")) * lit(threshold / (1.0 + threshold)) - lit(eps))
       .select(col("id1"), col("id2"))
       .distinct()
     // verification reads only candidate ids' gram sets (see

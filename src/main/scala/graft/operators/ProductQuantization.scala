@@ -214,13 +214,17 @@ object ProductQuantization {
       m: Int = 8,
       codebookSize: Int = 16,
       iterations: Int = 2,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
+      /** 0 (default) = √(corpus rows), [[Similarity.autoCentroids]]. */
+      nCentroids: Int = 0,
+      /** 0 (default) = [[Similarity.autoProbes]] of resolved nCentroids. */
+      nProbe: Int = 0,
       coarseIterations: Int = 2,
       shortlist: Int = 0
   ): DataFrame = {
     val c = if (shortlist > 0) shortlist else 10 * k
-    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCentroids, coarseIterations)
+    val nCent = if (nCentroids > 0) nCentroids else Similarity.autoCentroids(corpus.count())
+    val probeN = if (nProbe > 0) nProbe else Similarity.autoProbes(nCent)
+    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCent, coarseIterations)
     val codebooks = train(corpus, idCol, vecCol, dim, m, codebookSize, iterations)
     val vd = transform(col(vecCol), x => x.cast("double"))
     val bucketed = corpus.select(
@@ -233,7 +237,7 @@ object ProductQuantization {
     val probes = queries.select(
       col(idCol).as("qid"),
       vd.as("qvec"),
-      explode(Similarity.nearestCentroidBuckets(vd, coarse, nProbe)).as("bucket"))
+      explode(Similarity.nearestCentroidBuckets(vd, coarse, probeN)).as("bucket"))
     val cand = Similarity.topKPerQuery(
       reconstructed
         .join(broadcast(probes), "bucket")

@@ -67,9 +67,15 @@ object Similarity {
         while (i < b.length) { b(i) += a(i); i += 1 }
         b
       }
-    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = add(b, a)
+    // empty input vectors are SKIPPED (not length-checked): a partition
+    // whose only vectors for a bucket are empty arrays merges an empty
+    // partial into a dim-length one, and the old require(0 == dim) killed
+    // the whole kmeans job where the previous posexplode shape silently
+    // ignored them (ADVICE r13)
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+      if (a.isEmpty) b else add(b, a)
     override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
-      if (x.isEmpty) y else add(x, y.toSeq)
+      if (y.isEmpty) x else if (x.isEmpty) y else add(x, y.toSeq)
     override def finish(b: Array[Double]): Seq[Double] = b.toSeq
     override def bufferEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
@@ -205,13 +211,39 @@ object Similarity {
       1, 1
     ).getItem(0)
 
+  /** √N coarse-quantizer sizing — the standard IVF rule. A FIXED
+    * centroid count leaves per-bucket corpus share at N/nCentroids, so
+    * probe join volume stays a constant fraction of all-pairs (still
+    * O(N·M)); with nCentroids ≈ √N buckets hold ~√N vectors each and
+    * probe volume grows as √N·M·nProbe — the asymptotic win that holds
+    * at 100 TB. Floor 16 keeps tiny fixtures behaving like the old
+    * default; cap 4096 bounds the per-row assignment cost (each vector
+    * scores every centroid) and the driver-held centroid table.
+    */
+  def autoCentroids(rows: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(rows.toDouble)).toInt))
+
+  /** Probe-count scaling paired with [[autoCentroids]]: nProbe =
+    * max(8, 2·√nCentroids), capped at nCentroids. Probe FRACTION then
+    * shrinks as nCentroids grows (2/√nC — N^(-1/4) under √N sizing) so
+    * the asymptotic win survives, while the absolute probe count grows
+    * enough to hold recall: neighbors concentrate in the query's
+    * nearest buckets, and 2·√nC of them cover the same similarity
+    * radius that a fixed fraction covered at small nC.
+    */
+  def autoProbes(nCentroids: Int): Int =
+    math.min(nCentroids, math.max(8, 2 * math.ceil(math.sqrt(nCentroids.toDouble)).toInt))
+
   /** IVF-style ANN: corpus vectors are bucketed by nearest centroid;
     * each query probes only its `nProbe` closest centroid buckets, so
     * the scan touches ~nProbe/nCentroids of the corpus. Centroids come
     * from [[kmeansCentroids]] when `kmeansIterations > 0`, else a
     * deterministic sample (the `nCentroids` lowest-id vectors); either
     * way the query plan shape is the same (bucket join + bounded
-    * top-k).
+    * top-k). `nCentroids = 0` (the default) sizes the quantizer as
+    * √(corpus rows) ([[autoCentroids]] — one count job); `nProbe = 0`
+    * derives the probe count from the resolved nCentroids
+    * ([[autoProbes]]).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -219,19 +251,20 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
+      nCentroids: Int = 0,
+      nProbe: Int = 0,
       kmeansIterations: Int = 0
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("nid"),
       transform(col(vecCol), x => x.cast("double")).as("cvec")
     )
+    val nCent = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
     val centroids =
       if (kmeansIterations > 0)
-        kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIterations)
+        kmeansCentroids(corpus, idCol, vecCol, nCent, kmeansIterations)
       else // deterministic sample: lowest-id vectors
-        c.orderBy(col("nid")).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
+        c.orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
     // a corpus smaller than nCentroids yields fewer centroids; clamp so
     // bucket indexing never zips past the centroid array
     def nearestBuckets(vec: Column, n: Int): Column =
@@ -243,7 +276,8 @@ object Similarity {
     )
     val probes = q.select(
       col("qid"), col("qvec"),
-      explode(nearestBuckets(col("qvec"), nProbe)).as("bucket")
+      explode(nearestBuckets(col("qvec"),
+        if (nProbe > 0) nProbe else autoProbes(centroids.size))).as("bucket")
     )
     val scored = bucketed
       .join(broadcast(probes), "bucket")
@@ -293,17 +327,19 @@ object Similarity {
       idCol: String,
       vecCol: String,
       dir: String,
-      nCentroids: Int = 16,
+      /** 0 (default) = √(corpus rows), see [[autoCentroids]]. */
+      nCentroids: Int = 0,
       kmeansIterations: Int = 2
   ): Unit = {
     val c = corpus.select(
       col(idCol).as("nid"),
       transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    val nCent = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
     val centroids =
       if (kmeansIterations > 0)
-        kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIterations)
+        kmeansCentroids(corpus, idCol, vecCol, nCent, kmeansIterations)
       else
-        c.orderBy(col("nid")).limit(nCentroids).collect().map(_.getSeq[Double](1)).toSeq
+        c.orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
     val bucketed = c.withColumn("__b",
       nearestCentroidBuckets(col("cvec"), centroids, 1).getItem(0))
     // centroid vectors ride the SAME atomic commit as the fileset they
@@ -413,16 +449,18 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 4
+      /** 0 (default) = [[autoProbes]] of the index's centroid count. */
+      nProbe: Int = 0
   ): DataFrame = {
     val centroids = loadCentroids(dir)
+    val probeN = if (nProbe > 0) nProbe else autoProbes(centroids.size)
     val q = queries.select(
       col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qvec"))
     // probes computed once and pinned: the frame feeds both the touched-
     // bucket collect and the join (query-batch sized)
     val probes = q.select(col("qid"), col("qvec"),
-      explode(nearestCentroidBuckets(col("qvec"), centroids, nProbe)).as("__b"))
+      explode(nearestCentroidBuckets(col("qvec"), centroids, probeN)).as("__b"))
       .localCheckpoint()
     val touched = probes.select(col("__b")).distinct().collect().map(_.getInt(0)).toSet
     val bucketRe = "__b=(\\d+)/".r.unanchored

@@ -67,11 +67,22 @@ final class ConcurrentBigtable extends MutableBigtableStore {
     val t = tables.computeIfAbsent(table, _ => newTable())
     val ledger = ledgers.computeIfAbsent(table, _ => new Ledger())
     mutations.foreach { case (key, cells) =>
-      var created = false
-      val row = t.computeIfAbsent(key, _ => { created = true; new Row() })
-      if (created) {
-        ledger.rows.incrementAndGet()
-        ledger.bytes.addAndGet(key.length.toLong)
+      // putIfAbsent, not computeIfAbsent-with-flag: ConcurrentSkipListMap
+      // does NOT guarantee the mapping function runs atomically/once, so
+      // two writers racing on a new key could both observe created=true
+      // and permanently over-count the ledger that feeds estimateSize /
+      // sampleRowKeys / the AUTO vectorized-path decision (ADVICE r13).
+      // putIfAbsent returning null is the single authoritative "I made
+      // this row" signal.
+      var row = t.get(key)
+      if (row == null) {
+        val fresh = new Row()
+        val prev = t.putIfAbsent(key, fresh)
+        if (prev == null) {
+          row = fresh
+          ledger.rows.incrementAndGet()
+          ledger.bytes.addAndGet(key.length.toLong)
+        } else row = prev
       }
       cells.foreach { c =>
         val prev = row.put((c.family, c.qualifier, c.timestampMicros), c.value)

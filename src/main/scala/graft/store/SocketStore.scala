@@ -45,6 +45,16 @@ object SocketProtocol {
     * per-object-stream overhead amortized.
     */
   val BatchRows = 512
+
+  /** JEP-290 deserialization whitelist applied to BOTH stream ends: only
+    * the protocol's own model/collection classes may materialize —
+    * anything else (a gadget-chain class planted by a hostile peer)
+    * rejects before construction. Array classes are matched by element
+    * type, so the graft/scala/java patterns cover the Seq internals.
+    */
+  val inputFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "graft.**;scala.**;java.lang.**;java.util.**;java.math.**;maxdepth=128;!*")
 }
 
 /** Serves a backing [[BigtableStore]] over a localhost TCP socket.
@@ -56,7 +66,18 @@ object SocketProtocol {
 final class SocketBigtableServer(backing: BigtableStore, bindAddress: String = "127.0.0.1") {
   import SocketProtocol._
 
-  private val server = new ServerSocket(0, 64, InetAddress.getByName(bindAddress))
+  // loopback-only (ADVICE r13): the protocol deserializes Java objects,
+  // so a non-loopback bind would expose a deserialization gadget surface
+  // to anything that can reach the port. A real deployment swaps this
+  // transport for the Bigtable gRPC proto (authenticated, schema-typed);
+  // until then refuse to listen beyond localhost, and filter the stream
+  // to the protocol's own classes regardless (defense in depth).
+  private val addr = InetAddress.getByName(bindAddress)
+  require(addr.isLoopbackAddress,
+    s"SocketBigtableServer binds loopback only, got $bindAddress — the java-serialization " +
+      "transport must not be exposed beyond localhost")
+
+  private val server = new ServerSocket(0, 64, addr)
   private val running = new AtomicBoolean(true)
 
   val port: Int = server.getLocalPort
@@ -87,6 +108,7 @@ final class SocketBigtableServer(backing: BigtableStore, bindAddress: String = "
       val out = new ObjectOutputStream(new BufferedOutputStream(sock.getOutputStream))
       out.flush() // release the stream header before the client writes
       val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+      in.setObjectInputFilter(inputFilter)
       in.readObject() match {
         case ReadRows(table, ranges, filters) =>
           try {
@@ -170,6 +192,7 @@ final class SocketBigtableStore(host: String, port: Int)
     out.writeObject(req)
     out.flush()
     val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+    in.setObjectInputFilter(SocketProtocol.inputFilter)
     (sock, in)
   }
 
@@ -204,21 +227,44 @@ final class SocketBigtableStore(host: String, port: Int)
       "readRows requires at least one RowRange; use Seq(RowRange.full) for an explicit full scan"
     )
     val (sock, in) = connect(ReadRows(table, ranges, filters))
-    new Iterator[BtRow] {
+    // AutoCloseable: a partially-consumed scan (pushed limit/topN via
+    // take(n), task abort) must be able to release the socket —
+    // BigtablePivot.GroupIterator forwards PartitionReader.close() here.
+    // Closing client-side also unblocks the server's per-connection
+    // writer thread (its next write fails instead of waiting on a full
+    // TCP buffer until JVM exit).
+    new Iterator[BtRow] with AutoCloseable {
       private var buf: Iterator[BtRow] = Iterator.empty
       private var closed = false
 
       private def closeAll(): Unit =
         if (!closed) { closed = true; try sock.close() catch { case _: Throwable => () } }
 
+      override def close(): Unit = closeAll()
+
       @annotation.tailrec
       private def refill(): Boolean = {
         if (closed) false
         else if (buf.hasNext) true
         else {
+          // EOF before the Done frame = the server (or network) dropped
+          // the connection mid-scan. This must NOT read as a clean end —
+          // silently truncating a scan is data loss — it is a transient
+          // transport fault: RetryingStore resumes past the last
+          // delivered key over a fresh connection, exactly like the real
+          // Bigtable client restarts a broken ReadRows stream.
           val msg =
             try in.readObject()
-            catch { case _: EOFException => closeAll(); return false }
+            catch {
+              case _: EOFException =>
+                closeAll()
+                throw new TransientStoreException(
+                  s"socket scan connection closed mid-stream before Done ($host:$port)")
+              case e: java.io.IOException =>
+                closeAll()
+                throw new TransientStoreException(
+                  s"socket scan connection failed mid-stream: ${e.getMessage} ($host:$port)")
+            }
           msg match {
             case RowsBatch(rows) =>
               buf = rows.iterator

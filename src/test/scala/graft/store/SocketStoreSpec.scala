@@ -97,6 +97,89 @@ class SocketStoreSpec extends AnyFunSuite {
     assert(clone.readRows("t", Seq(RowRange.point("a")), Nil).map(_.rowKey).toSeq == Seq("a"))
   }
 
+  test("partially-consumed scan releases the connection via close()") {
+    val it = client.readRows("wide", Seq(RowRange.full), Nil)
+    assert(it.next().rowKey == "k000000") // pull one row, leave the rest
+    it match {
+      case c: AutoCloseable => c.close()
+      case other            => fail(s"socket scan iterator must be AutoCloseable, got ${other.getClass}")
+    }
+    // the socket is gone: further pulls see a closed stream, not a hang
+    assert(!it.hasNext)
+  }
+
+  test("mid-scan connection drop is a transient fault and RetryingStore resumes exactly") {
+    // A rogue server that serves the REAL protocol but hard-drops the
+    // FIRST scan's connection after 2 frames — no Done, no Failure, just
+    // a closed socket (a crashed server / reset network). Subsequent
+    // connections serve correctly. The real client must surface the
+    // truncation as TransientStoreException (NOT a clean end — that
+    // would be silent data loss), and RetryingStore must resume past the
+    // last delivered key over a fresh socket with no dupes or gaps.
+    import SocketProtocol._
+    import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[ReadRows]()
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = new java.net.ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+    val accept = new Thread(() => {
+      try while (true) {
+        val sock = srv.accept()
+        val n = served.getAndIncrement()
+        val t = new Thread(() => {
+          try {
+            val out = new ObjectOutputStream(new BufferedOutputStream(sock.getOutputStream))
+            out.flush()
+            val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+            val req = in.readObject().asInstanceOf[ReadRows]
+            requests.add(req)
+            val rows = backing.readRows(req.table, req.ranges, req.filters)
+            var frames = 0
+            val batch = scala.collection.mutable.ArrayBuffer.empty[BtRow]
+            var dropped = false
+            while (rows.hasNext && !dropped) {
+              batch += rows.next()
+              if (batch.size == 100) {
+                out.writeObject(RowsBatch(batch.toVector)); out.reset(); out.flush()
+                batch.clear()
+                frames += 1
+                // drop the first TWO scans (the raw-client probe below and
+                // the retried run's first attempt); later connections serve
+                if (n <= 1 && frames == 2) { sock.close(); dropped = true } // hard drop, no Done
+              }
+            }
+            if (!dropped) {
+              if (batch.nonEmpty) { out.writeObject(RowsBatch(batch.toVector)); out.reset() }
+              out.writeObject(Done); out.flush()
+              sock.close()
+            }
+          } catch { case _: Throwable => () }
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    })
+    accept.setDaemon(true); accept.start()
+    try {
+      val flaky = new SocketBigtableStore("127.0.0.1", srv.getLocalPort)
+      // the raw client surfaces the drop as a TRANSIENT fault mid-stream
+      val e = intercept[TransientStoreException] {
+        flaky.readRows("wide", Seq(RowRange.full), Nil).size
+      }
+      assert(e.getMessage.contains("mid-stream"))
+      // with retries: exact scan, no dupes, no gaps — and the resumed
+      // request went out over a NEW connection covering only the
+      // remaining key space
+      val retried = new RetryingStore(flaky, sleep = _ => ())
+      val keys = retried.readRows("wide", Seq(RowRange.full), Nil).map(_.rowKey).toSeq
+      assert(keys.size == 1500)
+      assert(keys == keys.sorted && keys.distinct.size == 1500)
+      val reqs = requests.toArray(Array.empty[ReadRows])
+      assert(reqs.length >= 3) // probe scan, dropped scan, resumed scan
+      val resumed = reqs.last
+      assert(RowRange.compareKeys(resumed.ranges.head.startKey, "k000199") > 0,
+        s"resumed scan must start past the last delivered key, got ${resumed.ranges.head.startKey}")
+    } finally srv.close()
+  }
+
   test("concurrent scans from many threads interleave safely") {
     val counts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val threads = (0 until 8).map { _ =>
