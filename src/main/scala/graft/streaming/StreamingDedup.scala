@@ -151,8 +151,10 @@ object StreamingDedup {
       val estCut = Dedup.estimateCut(threshold)
       def estOk(a: Column, b: Column): Column =
         if (estCut > 0.0) Dedup.sigAgreement(a, b) >= lit(estCut) else lit(true)
+      // shuffle_hash on the index side: the (band, bucket) bucket joins
+      // otherwise plan sort-merge and SORT docs×bands rows per batch
       val cross = newBands.alias("n")
-        .join(oldBands.alias("o"), Seq("band", "bucket"))
+        .join(oldBands.alias("o").hint("shuffle_hash"), Seq("band", "bucket"))
         // a crash between the index append and the checkpoint commit makes
         // the restarted batch meet ITSELF in the index — the id guard keeps
         // that at-least-once replay from emitting self-pairs
@@ -161,15 +163,20 @@ object StreamingDedup {
           least(col("n.id"), col("o.id")).as("id1"),
           greatest(col("n.id"), col("o.id")).as("id2"))
       val within = newBands.alias("a")
-        .join(newBands.alias("b"), Seq("band", "bucket"))
+        .join(newBands.alias("b").hint("shuffle_hash"), Seq("band", "bucket"))
         .where(col("a.id") < col("b.id") && estOk(col("a.sigb"), col("b.sigb")))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
       val cands = cross.union(within).distinct()
 
+      // verify joins carry the shuffle_hash hint (same discipline as the
+      // batch operator's exactVerifyJoin): candidates × shingle-arrays is
+      // the only fat frame in the batch loop, and the default sort-merge
+      // plan would SORT it per pair join — hash lookup bounds spill by
+      // the data itself; AQE still upgrades tiny index sides to broadcast
       val allSh = newSh.union(oldSh)
       val pairs = cands
-        .join(allSh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(allSh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+        .join(allSh.select(col("id").as("id1"), col("sh").as("sh1")).hint("shuffle_hash"), "id1")
+        .join(allSh.select(col("id").as("id2"), col("sh").as("sh2")).hint("shuffle_hash"), "id2")
         .withColumn("j", Dedup.jaccardSortedCol(col("sh1"), col("sh2")))
         .where(col("j") >= threshold)
         .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
