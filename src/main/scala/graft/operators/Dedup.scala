@@ -402,12 +402,13 @@ object Dedup {
     val cands = if (persistIntermediate)
       cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else cands0
+    val candCount = if (persistIntermediate) cands.count() else -1L
     val candIds = cands.select(col("id1").as("__sid"))
       .union(cands.select(col("id2").as("__sid")))
       .distinct()
     val idFilter =
       if (!persistIntermediate) broadcast(candIds)
-      else if (cands.count() * 2 <= 5000000L) broadcast(candIds)
+      else if (candCount * 2 <= 5000000L) broadcast(candIds)
       else candIds // too many candidates to pin a broadcast: let the semi join shuffle
     val sh0 = sets.join(idFilter, Seq("__sid"), "left_semi")
     val sh = if (persistIntermediate)
@@ -419,7 +420,9 @@ object Dedup {
     // it twice (once per pair join), which exhausted the box's disk.
     //  - set frame within budget → broadcast both pair joins: the fat
     //    frame never exists; candidate pairs stream against an in-memory
-    //    map and only surviving pairs are materialized.
+    //    map and only surviving pairs are materialized (measured best at
+    //    10× AND 100× bench scale — a candidate-count regime gate was
+    //    tried and measured slower at 10×).
     //  - over budget → shuffle_hash hint: the intermediate still moves
     //    through one shuffle, but is never sorted (hash lookup, not
     //    merge), so spill is bounded by the data itself, not sort runs.
