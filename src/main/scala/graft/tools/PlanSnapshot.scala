@@ -20,6 +20,10 @@ object PlanSnapshot {
     // expression IDs: n_key#123, sum(x#45L)#67 … — the negative
     // lookahead keeps composite-key literals like `#1-URGENT` intact
     // (their digits run into a word/dash, exprIds never do)
+    // watermark-annotated exprIds first: `ts#123-T60000ms` — the dash
+    // would otherwise trip the composite-literal lookahead below and
+    // leave a fresh exprId in every streaming snapshot (plan flap)
+    ("""#\d+(-T\d+ms)""".r, "#N$1"),
     ("""#\d+L?(?![\w-])""".r, "#N"),
     // AQE / DSv2 plan identifiers
     ("""plan_id=\d+""".r, "plan_id=N"),

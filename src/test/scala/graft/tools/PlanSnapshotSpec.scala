@@ -28,6 +28,14 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(norm.contains("EPOCH_US") && !norm.contains("1755172800123456"))
   }
 
+  test("watermark-annotated exprIds mask; the watermark delay survives") {
+    // `ts#123-T60000ms` (streaming watermark suffix): the dash must not
+    // trip the composite-literal lookahead and leave a fresh exprId in
+    // every regenerated streaming snapshot
+    val norm = PlanSnapshot.normalize("((v_ts#60510-T3600000ms <= p_ts#60504-T3600000ms))")
+    assert(norm == "((v_ts#N-T3600000ms <= p_ts#N-T3600000ms))", norm)
+  }
+
   test("key literals and fixture-pinned constants survive") {
     val raw =
       """BigtableScan orders ranges=2 ([O#1-URGENT#0000000100, O#1-URGENT#0000000900])
