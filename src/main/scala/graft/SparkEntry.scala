@@ -1745,6 +1745,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- cluster formation on the RELIABLE-checkpoint path: identical
+    //     semantics to doc_near_dup_clusters, but each label-propagation
+    //     round checkpoints to stable storage (`checkpointDir`) instead
+    //     of executor-local blocks — the configuration a 100 TB run uses
+    //     so iteration survives executor churn (VERDICT r14 #8). Same
+    //     exhaustive oracle as the localCheckpoint gate. ---
+    "doc_near_dup_clusters_ckpt" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup
+        .nearDuplicates(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.9,
+          numHashes = 120, bands = 20, persistIntermediate = true)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+      graft.operators.Dedup.connectedComponents(pairs, "id1", "id2",
+          checkpointDir = Some(ckpt))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- PIPELINE on a MATERIALIZED pair table (VERDICT r14 #6): a real
+    //     corpus build runs LSH+verify ONCE, commits the pair table, and
+    //     derives clusters, keep-best survivors, and the leakage-safe
+    //     split from the TABLE — where the per-gate family recomputes
+    //     the full pipeline per consumer (at sf10 that re-spends the
+    //     shared ~60-90 s in each of three gates). The pair table rides
+    //     a CommitLog (atomic publish; the incremental path appends to
+    //     the same layout), and all three derivations here read the
+    //     committed files, not the LSH plan. Oracle recomputes the
+    //     exhaustive pair set once and derives all three in one query. ---
+    "doc_dedup_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-pairtable").toString
+      val pairs = graft.operators.Dedup
+        .nearDuplicates(docs, "doc_id", "text", threshold = 0.9,
+          numHashes = 120, bands = 20, persistIntermediate = true)
+      graft.streaming.CommitLog.appendAlways(
+        pairs.select(col("id1"), col("id2")), s"$work/pairs")
+      val pairTable = graft.streaming.CommitLog.read(s, s"$work/pairs")
+      val comps = graft.operators.Dedup.connectedComponents(pairTable, "id1", "id2")
+      val labeled = docs
+        .join(comps, docs("doc_id") === comps("id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+        .drop("id")
+      val survivors = graft.operators.Dedup
+        .keepBest(labeled, Seq(col("component")), col("quality"), col("doc_id"))
+        .select(col("doc_id").as("__surv"))
+      graft.operators.Sampling
+        .hashSplit(labeled, "component", Seq(("eval", "28"), ("test", "50")))
+        .join(survivors, col("doc_id") === col("__surv"), "left")
+        .select(col("doc_id"), col("component"),
+          col("__surv").isNotNull.cast("long").as("survivor"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- word-ngram Jaccard near-dup: EXACT prefix-filtered set-
     //     similarity join (AllPairs/PPJoin family) — recall 1 by
     //     construction, so the exhaustive-oracle equality gate can't
@@ -2949,6 +3002,69 @@ object SparkEntry {
          SELECT doc_id, component, quality FROM scored
          QUALIFY row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1
          ORDER BY doc_id""",
+    "doc_near_dup_clusters_ckpt" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents),
+         prs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
+         und AS (
+           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a)
+         SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "doc_dedup_pipeline" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents),
+         prs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
+         und AS (
+           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+         base AS (
+           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, text,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ntoks
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         scored AS (
+           SELECT doc_id, component,
+             round(least(nchars/200.0, 1.0)*0.25 +
+                   (CASE WHEN nchars/ntoks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+                   (CASE WHEN CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)/nchars <= 0.1 THEN 1.0 ELSE 0.5 END)*0.2 +
+                   least((CAST(len(regexp_extract_all(text,'[\p{L}]')) AS DOUBLE)/nchars)/0.6, 1.0)*0.3, 6) AS quality
+           FROM base),
+         ranked AS (
+           SELECT doc_id, component,
+                  row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+           FROM scored)
+         SELECT doc_id, component,
+                CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS survivor,
+                CASE WHEN md5(CAST(component AS VARCHAR)) < '28' THEN 'eval'
+                     WHEN md5(CAST(component AS VARCHAR)) < '50' THEN 'test'
+                     ELSE 'train' END AS split
+         FROM ranked ORDER BY doc_id""",
     "doc_ngram_near_dup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS t FROM documents),

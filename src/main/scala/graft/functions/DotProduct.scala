@@ -25,6 +25,36 @@ object DotImpl {
     }
     acc
   }
+
+  /** Same left-to-right fold against a raw double array — the
+    * broadcast-centroid variant ([[NearestCentroids]]); identical
+    * accumulation order, so results are bit-equal to [[dot]].
+    */
+  def dotArrayData(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b(i)
+      i += 1
+    }
+    acc
+  }
+
+  def selfDot(a: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * a(i); i += 1 }
+    acc
+  }
+
+  def selfDotArrayData(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    acc
+  }
 }
 
 /** `dot_product(array<double>, array<double>) -> double`, codegen'd. */

@@ -270,12 +270,15 @@ object Decontaminate {
       else
         c.orderBy(col(idCol)).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
     val probeN = if (nProbe > 0) nProbe else Similarity.autoProbes(centroids.size)
+    // one broadcast shared by corpus assignment and benchmark probes —
+    // centroids never ride the plan as literals (VERDICT r14 #3)
+    val bc = Similarity.broadcastCentroids(centroids)
     val bucketed = c.withColumn(
-      "__b", Similarity.nearestCentroidBuckets(col("__tvec"), centroids, 1).getItem(0))
+      "__b", Similarity.nearestCentroidBuckets(col("__tvec"), bc, 1).getItem(0))
     val probes = benchmark
       .select(transform(col(benchVecCol), x => x.cast("double")).as("__bvec"))
       .select(col("__bvec"),
-        explode(Similarity.nearestCentroidBuckets(col("__bvec"), centroids, probeN)).as("__b"))
+        explode(Similarity.nearestCentroidBuckets(col("__bvec"), bc, probeN)).as("__b"))
     val sim = Similarity.cosine(col("__tvec"), col("__bvec"))
     bucketed
       .join(probes, "__b")

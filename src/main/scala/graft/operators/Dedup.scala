@@ -21,6 +21,25 @@ object Dedup {
     */
   val AutoFrequencyOrderBytes: Long = 32L * 1024 * 1024
 
+  /** Estimated-input-size floor for the LSH oversized-bucket split
+    * guard: below this, the guard's bucket-count aggregate + broadcast
+    * join cost more wall-clock than the quadratic blowup they bound
+    * (worst case at 16 MB ≈ tens of thousands of docs → ~10^8 bucket
+    * pairs through the codegen'd prefilter — slow, not fatal), and
+    * skipping the guard returns EXACTLY the unguarded join. Decided
+    * from logical-plan statistics (file sizes for scans) — no job runs.
+    */
+  val GuardMinInputBytes: Long = 16L * 1024 * 1024
+
+  /** Default LSH bucket-split threshold. The small-input guard skip
+    * applies ONLY at this default: a caller passing an explicit
+    * `maxBucket` is asking for fanout bounding unconditionally.
+    */
+  val DefaultMaxBucket: Int = 1000
+
+  private def guardNeeded(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > GuardMinInputBytes
+
   /** Spread an under-partitioned input across the cluster before per-row
     * heavy compute (shingling, hashing, minhashing). A small parquet
     * file plans as ONE input partition, which serializes the whole map
@@ -209,8 +228,23 @@ object Dedup {
     * 210M bucket-pair candidates for 500k docs; this estimator is what
     * keeps the verify join (2.6 KB of shingle hashes PER SIDE per pair)
     * bounded by the near-threshold pairs instead of the S-curve tail.
+    *
+    * The margin scales with signature LENGTH (ADVICE r14): the 1e-8
+    * false-drop bound above is a 5.5σ tail of Binomial(numHashes, t),
+    * whose σ is sqrt(t(1-t)/numHashes) — a fixed 0.2 margin is ~5.5σ
+    * only near numHashes≈120. Shorter signatures (numHashes=16 is valid
+    * with bands=16) would silently drop true pairs at the threshold with
+    * ~percent probability, so the margin is max(0.2, 6σ); below
+    * [[PrefilterMinHashes]] components the 6σ margin exceeds any useful
+    * cut and the prefilter disables itself (cut 0 = keep everything).
     */
-  private[graft] def estimateCut(threshold: Double): Double = math.max(0.0, threshold - 0.2)
+  private[graft] val PrefilterMinHashes = 32
+
+  private[graft] def estimateCut(threshold: Double, numHashes: Int): Double = {
+    if (numHashes < PrefilterMinHashes) return 0.0
+    val sigma = math.sqrt(threshold * (1.0 - threshold) / numHashes)
+    math.max(0.0, threshold - math.max(0.2, 6.0 * sigma))
+  }
 
   /** LSH candidate pairs from MinHash signatures: split the signature
     * into `bands`, hash each band, and self-join on (band index, band
@@ -244,7 +278,8 @@ object Dedup {
   ): DataFrame =
     bucketCandidates(
       bandedMinhash(df, idCol, textCol, shingleK, numHashes, bands, withSketch = false),
-      maxBucket, persistIntermediate, estCut = 0.0)
+      maxBucket, persistIntermediate, estCut = 0.0,
+      guardNeeded = maxBucket != DefaultMaxBucket || guardNeeded(df))
 
   /** Banded LSH frame (__id, __band, __bucket[, __sigb]) for a corpus:
     * one minhash signature per doc, hashed per band. `withSketch` adds
@@ -296,7 +331,8 @@ object Dedup {
       banded0: DataFrame,
       maxBucket: Int,
       persistIntermediate: Boolean,
-      estCut: Double
+      estCut: Double,
+      guardNeeded: Boolean = true
   ): DataFrame = {
     // the banded frame feeds BOTH the bucket-count aggregate and the
     // guard join below — persist it so the shingle+minhash map stage
@@ -305,21 +341,30 @@ object Dedup {
     val banded =
       if (persistIntermediate) banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else banded0
-    val oversized = banded
-      .groupBy(col("__band"), col("__bucket"))
-      .agg(count(lit(1)).as("__bucket_n"))
-      .where(col("__bucket_n") > maxBucket)
-    val bounded0 = banded
-      .join(broadcast(oversized), Seq("__band", "__bucket"), "left")
-      // oversized buckets split by a secondary id-hash: nsub = 1 (a
-      // no-op) for every bucket within maxBucket (left-join miss),
-      // ceil(B/maxBucket) sub-buckets otherwise — join fanout stays
-      // linear in B
-      .withColumn("__nsub",
-        when(col("__bucket_n").isNull, lit(1L))
-          .otherwise(((col("__bucket_n") + lit(maxBucket - 1L)) / lit(maxBucket.toLong)).cast("long")))
-      .withColumn("__sub", pmod(xxhash64(col("__id")), col("__nsub")))
-      .drop("__bucket_n", "__nsub")
+    val bounded0 =
+      if (!guardNeeded)
+        // small corpus: the guard job (aggregate + broadcast join) costs
+        // more than the quadratic worst case it bounds, and skipping it
+        // yields EXACTLY the unguarded join (strictly ≥ recall — the
+        // guard only ever drops pairs inside oversized buckets)
+        banded.withColumn("__sub", lit(0L))
+      else {
+        val oversized = banded
+          .groupBy(col("__band"), col("__bucket"))
+          .agg(count(lit(1)).as("__bucket_n"))
+          .where(col("__bucket_n") > maxBucket)
+        banded
+          .join(broadcast(oversized), Seq("__band", "__bucket"), "left")
+          // oversized buckets split by a secondary id-hash: nsub = 1 (a
+          // no-op) for every bucket within maxBucket (left-join miss),
+          // ceil(B/maxBucket) sub-buckets otherwise — join fanout stays
+          // linear in B
+          .withColumn("__nsub",
+            when(col("__bucket_n").isNull, lit(1L))
+              .otherwise(((col("__bucket_n") + lit(maxBucket - 1L)) / lit(maxBucket.toLong)).cast("long")))
+          .withColumn("__sub", pmod(xxhash64(col("__id")), col("__nsub")))
+          .drop("__bucket_n", "__nsub")
+      }
     // both sides of the bucket self-join read this — persist so the
     // guard join runs once
     val bounded =
@@ -362,7 +407,8 @@ object Dedup {
     val pdf = parallelize(df)
     val cands = bucketCandidates(
       bandedMinhash(pdf, idCol, textCol, shingleK, numHashes, bands, withSketch = true),
-      maxBucket = 1000, persistIntermediate, estCut = estimateCut(threshold))
+      maxBucket = DefaultMaxBucket, persistIntermediate,
+      estCut = estimateCut(threshold, numHashes), guardNeeded = guardNeeded(pdf))
     val sh = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
     exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
   }
@@ -385,14 +431,19 @@ object Dedup {
     * it (unit-test scale) the hint is unconditional.
     */
   /** Broadcast budget for the element-set side of [[exactVerifyJoin]]:
-    * heap-scaled (an eighth of executor max heap, capped at 1.5 GB) —
+    * heap-scaled (a sixteenth of executor max heap, capped at 750 MB) —
     * a broadcastable set frame makes verification shuffle-free, and the
-    * budget only changes the PLAN, never the result.
+    * budget only changes the PLAN, never the result. Halved from heap/8
+    * (ADVICE r14): the set frame is broadcast into BOTH pair joins, so
+    * two relations are live at once, and the raw-bytes estimate below
+    * carries a 2× factor for BroadcastHashRelation/UnsafeRow overhead —
+    * together the worst case at the flip boundary is ~heap/4 of live
+    * broadcast state instead of ~heap/2.
     */
   private def verifyBroadcastBudget: Long =
-    math.min(1500L * 1024 * 1024, Runtime.getRuntime.maxMemory / 8)
+    math.min(750L * 1024 * 1024, Runtime.getRuntime.maxMemory / 16)
 
-  private def exactVerifyJoin(
+  private[graft] def exactVerifyJoin(
       cands0: DataFrame,
       sets: DataFrame, // (__sid, __sh)
       jaccard: (Column, Column) => Column,
@@ -431,7 +482,8 @@ object Dedup {
       val m = sh.agg(count(lit(1)), coalesce(sum(size(col("__sh"))), lit(0L))).head()
       val rows = m.getLong(0)
       val elems = m.getLong(1)
-      elems * 8L + rows * 48L <= verifyBroadcastBudget
+      // 2× on the raw-bytes estimate: UnsafeRow + hash-relation overhead
+      (elems * 8L + rows * 48L) * 2L <= verifyBroadcastBudget
     }
     def side(idAs: String, shAs: String) = {
       val renamed = sh.withColumnRenamed("__sid", idAs).withColumnRenamed("__sh", shAs)
@@ -625,7 +677,7 @@ object Dedup {
     // signature-agreement prefilter inline in the bucket join (see
     // estimateCut): kills the S-curve's low-j candidate mass inside
     // whole-stage codegen, before the distinct shuffle and verify join
-    val estCut = estimateCut(threshold)
+    val estCut = estimateCut(threshold, numHashes)
     val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id1"), col("__sigb").as("__sigb1"))
     val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id2"), col("__sigb").as("__sigb2"))
     val cands = l.join(r, Seq("__band", "__bucket"))
@@ -681,10 +733,19 @@ object Dedup {
       if (persistIntermediate) fpArrays0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else fpArrays0
     val fp = fpArrays.select(col("__id"), explode(col("__fps")).as("__fp"))
-    val bounded0 = fp
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__fp"))))
-      .where(col("__n") <= maxBucket)
-      .drop("__n")
+    // same aggregate-not-window discipline as minhashCandidates /
+    // simhashNearDuplicates: a window partitioned on __fp shuffles AND
+    // sorts the whole exploded fingerprint frame (|docs| × |fps/doc|
+    // rows — the sort is the scale-killer at corpus size), where the
+    // aggregate's map-side combiner collapses to one row per distinct
+    // fingerprint and the over-threshold survivors are bounded BY
+    // CONSTRUCTION at rows/maxBucket — always broadcastable
+    val fpOversized = fp
+      .groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(col("__fp"))
+    val bounded0 = fp.join(broadcast(fpOversized), Seq("__fp"), "left_anti")
     // referenced from both sides of the discovery self-join — persist so
     // the explode + bucket-count chain runs once
     val bounded =

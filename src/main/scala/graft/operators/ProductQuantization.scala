@@ -227,9 +227,11 @@ object ProductQuantization {
     val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCent, coarseIterations)
     val codebooks = train(corpus, idCol, vecCol, dim, m, codebookSize, iterations)
     val vd = transform(col(vecCol), x => x.cast("double"))
+    // one broadcast for corpus assignment + probes (VERDICT r14 #3)
+    val bc = Similarity.broadcastCentroids(coarse)
     val bucketed = corpus.select(
       col(idCol).as("nid"),
-      Similarity.nearestCentroidBuckets(vd, coarse, 1).getItem(0).as("bucket"),
+      Similarity.nearestCentroidBuckets(vd, bc, 1).getItem(0).as("bucket"),
       encode(col(vecCol), codebooks).as("__codes"))
     val reconstructed = bucketed.select(
       col("nid"), col("bucket"),
@@ -237,7 +239,7 @@ object ProductQuantization {
     val probes = queries.select(
       col(idCol).as("qid"),
       vd.as("qvec"),
-      explode(Similarity.nearestCentroidBuckets(vd, coarse, probeN)).as("bucket"))
+      explode(Similarity.nearestCentroidBuckets(vd, bc, probeN)).as("bucket"))
     val cand = Similarity.topKPerQuery(
       reconstructed
         .join(broadcast(probes), "bucket")

@@ -72,16 +72,29 @@ final class RetryingStore(
     }
   }
 
+  // AutoCloseable (ADVICE r14): the connector's partition reader closes
+  // its row source on early termination (pushed limit/topN), and a plain
+  // Iterator wrapper here would swallow that close — leaking the client
+  // socket and pinning the server writer thread on exactly the
+  // retry-wrapped configuration a real deployment runs.
   override def readRows(
       table: String,
       ranges: Seq[RowRange],
       filters: Seq[RowFilter]
-  ): Iterator[BtRow] = new Iterator[BtRow] {
+  ): Iterator[BtRow] = new Iterator[BtRow] with AutoCloseable {
     private var attempt = 0
     private var lastKey: Option[String] = None
     private var current: Iterator[BtRow] = withRetries(() => underlying.readRows(table, ranges, filters))
 
+    override def close(): Unit = current match {
+      case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+      case _ => ()
+    }
+
     private def reconnectFrom(): Iterator[BtRow] = {
+      // the broken stream may still hold transport resources — release
+      // them before opening the resumed read
+      close()
       val rs = lastKey.map(remaining(ranges, _)).getOrElse(ranges)
       if (rs.isEmpty) Iterator.empty
       else underlying.readRows(table, rs, filters)
@@ -154,7 +167,11 @@ final class FaultInjectingStore(
   ): Iterator[BtRow] = {
     val inner = underlying.readRows(table, ranges, filters)
     if (injected.getAndIncrement() >= maxFaults) inner // healthy stream
-    else new Iterator[BtRow] {
+    else new Iterator[BtRow] with AutoCloseable {
+      override def close(): Unit = inner match {
+        case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+        case _ => ()
+      }
       private var delivered = 0
       override def hasNext: Boolean = {
         if (delivered >= failAfterRows)

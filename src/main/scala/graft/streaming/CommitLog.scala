@@ -113,6 +113,30 @@ object CommitLog {
       Files.write(sf, schema.json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Evolve the recorded schema by ADDING columns: `newSchema` must be a
+    * superset of the current one (same names/types for existing fields,
+    * any order). Parquet schema evolution makes this safe for readers —
+    * files written before the evolution return null for the added
+    * columns — so owners that version their row format (e.g. the
+    * streaming dedup bands index gaining a sketch column) migrate with
+    * one call instead of bricking on analysis. Idempotent; throws when
+    * `newSchema` drops or retypes an existing field (that would need a
+    * data rewrite, not a metadata edit).
+    */
+  def evolveSchema(dir: String, newSchema: StructType): Unit = {
+    val sf = Paths.get(dir, "_schema.json")
+    require(Files.exists(sf), s"no commit log at $dir")
+    val current = schemaOf(dir)
+    val byName = newSchema.fields.map(f => f.name -> f.dataType).toMap
+    current.fields.foreach { f =>
+      require(byName.get(f.name).contains(f.dataType),
+        s"evolveSchema may only ADD columns: existing field ${f.name}: ${f.dataType} " +
+          s"missing or retyped in the new schema")
+    }
+    if (current.fields.length != newSchema.fields.length)
+      Files.write(sf, newSchema.json.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
   /** The table schema recorded at [[init]]. */
   def schemaOf(dir: String): StructType =
     DataType.fromJson(

@@ -55,6 +55,13 @@ object StreamingDedup {
   private def shinglesSchema = StructType(Seq(
     StructField("id", LongType), StructField("sh", ArrayType(LongType))))
 
+  /** Batch-side broadcast budget for the index probe join, in band rows
+    * (docs × bands). 500k rows ≈ 75–100 MB with the sigb sketch — small
+    * enough to pin, large enough to cover any steady-state micro-batch;
+    * catch-up batches past it fall back to the shuffle_hash plan.
+    */
+  private val MaxBroadcastBandRows = 500000L
+
   /** Start the incremental dedup over a STREAMING (idCol, textCol) frame.
     * Confirmed pairs land under `workDir`/pairs as (id1, id2, jaccard),
     * id1 < id2, exactly the batch operator's output contract.
@@ -99,6 +106,13 @@ object StreamingDedup {
     */
   def incrementalNearDuplicatesInit(spark: SparkSession, workDir: String): Unit = {
     CommitLog.init(s"$workDir/bands", bandsSchema)
+    // migrate pre-sigb bands logs in place (ADVICE r14): init never
+    // rewrites an existing _schema.json, so a workDir created before the
+    // sketch column froze a 3-column schema and every later batch failed
+    // analysis on col("o.sigb"). Adding the column is a metadata edit
+    // (parquet schema evolution reads legacy rows with sigb = null; the
+    // null-tolerant prefilter below routes them to exact verify).
+    CommitLog.evolveSchema(s"$workDir/bands", bandsSchema)
     CommitLog.init(s"$workDir/shingles", shinglesSchema)
     CommitLog.init(s"$workDir/pairs",
       StructType(Seq(StructField("id1", LongType), StructField("id2", LongType),
@@ -124,6 +138,9 @@ object StreamingDedup {
     if (batchId.exists(b =>
         Seq("pairs", "bands", "shingles").forall(d =>
           CommitLog.isCommitted(s"$workDir/$d", b)))) return
+    // batch-mode callers may drive a legacy (pre-sigb) workDir without
+    // going through init — same metadata-only migration, idempotent
+    CommitLog.evolveSchema(s"$workDir/bands", bandsSchema)
     val rowsPerBand = numHashes / bands
     val base = batch.select(
       col("id"),
@@ -147,14 +164,32 @@ object StreamingDedup {
 
       // estimated-Jaccard prefilter inline in both bucket joins (batch
       // operator's exact machinery — see Dedup.estimateCut): the low-j
-      // candidate mass dies in codegen before distinct/verify
-      val estCut = Dedup.estimateCut(threshold)
+      // candidate mass dies in codegen before distinct/verify.
+      // NULL-TOLERANT (ADVICE r14): index rows written before the sigb
+      // column exist with sigb = null after the schema migration, and a
+      // null predicate would silently drop every candidate against the
+      // pre-upgrade index — coalesce(..., true) routes those rows past
+      // the prefilter to exact verification instead.
+      val estCut = Dedup.estimateCut(threshold, numHashes)
       def estOk(a: Column, b: Column): Column =
-        if (estCut > 0.0) Dedup.sigAgreement(a, b) >= lit(estCut) else lit(true)
-      // shuffle_hash on the index side: the (band, bucket) bucket joins
-      // otherwise plan sort-merge and SORT docs×bands rows per batch
-      val cross = newBands.alias("n")
-        .join(oldBands.alias("o").hint("shuffle_hash"), Seq("band", "bucket"))
+        if (estCut > 0.0) coalesce(Dedup.sigAgreement(a, b) >= lit(estCut), lit(true))
+        else lit(true)
+      // Index-side join shape — the sf10 curve-bender (VERDICT r14 #5):
+      // the batch side is micro-batch-sized, so BROADCAST it and let the
+      // accumulated index STREAM map-side — the index (the one frame that
+      // grows without bound) is never shuffled, never sorted, never
+      // hash-built; per-batch cost is one index scan. Guarded by batch
+      // size: an AvailableNow catch-up batch can be the whole backlog,
+      // and broadcasting that would OOM — past the row budget the old
+      // shuffle_hash plan (shuffles both sides, sorts neither) returns.
+      val batchBandRows = base.count() * bands
+      val broadcastBatch = batchBandRows <= MaxBroadcastBandRows
+      val crossJoined =
+        if (broadcastBatch)
+          oldBands.alias("o").join(broadcast(newBands.alias("n")), Seq("band", "bucket"))
+        else
+          newBands.alias("n").join(oldBands.alias("o").hint("shuffle_hash"), Seq("band", "bucket"))
+      val cross = crossJoined
         // a crash between the index append and the checkpoint commit makes
         // the restarted batch meet ITSELF in the index — the id guard keeps
         // that at-least-once replay from emitting self-pairs
@@ -166,32 +201,36 @@ object StreamingDedup {
         .join(newBands.alias("b").hint("shuffle_hash"), Seq("band", "bucket"))
         .where(col("a.id") < col("b.id") && estOk(col("a.sigb"), col("b.sigb")))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      // persisted: the verify path references the candidate frame from
+      // three branches (both ids of the semi filter + the pair join),
+      // and without a cache each branch would re-run the bucket joins —
+      // tripling the per-batch index scan
       val cands = cross.union(within).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // exact verification through the batch operator's exactVerifyJoin
+        // (VERDICT r14 #5, second half): the accumulated shingles log is
+        // the FAT frame (thousands of longs per doc), and joining it whole
+        // per batch shuffled the entire corpus every trigger. The shared
+        // path semi-filters the sets to candidate ids first (broadcast
+        // semi join — candidate ids are pair-bounded), so per-batch verify
+        // I/O scales with the batch's candidates, not the corpus.
+        val allSh = newSh.union(oldSh).select(col("id").as("__sid"), col("sh").as("__sh"))
+        val pairs = Dedup.exactVerifyJoin(
+          cands, allSh, Dedup.jaccardSortedCol, threshold, persistIntermediate = false)
 
-      // verify joins carry the shuffle_hash hint (same discipline as the
-      // batch operator's exactVerifyJoin): candidates × shingle-arrays is
-      // the only fat frame in the batch loop, and the default sort-merge
-      // plan would SORT it per pair join — hash lookup bounds spill by
-      // the data itself; AQE still upgrades tiny index sides to broadcast
-      val allSh = newSh.union(oldSh)
-      val pairs = cands
-        .join(allSh.select(col("id").as("id1"), col("sh").as("sh1")).hint("shuffle_hash"), "id1")
-        .join(allSh.select(col("id").as("id2"), col("sh").as("sh2")).hint("shuffle_hash"), "id2")
-        .withColumn("j", Dedup.jaccardSortedCol(col("sh1"), col("sh2")))
-        .where(col("j") >= threshold)
-        .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
-
-      // each dataset's commit is independently idempotent on batchId: a
-      // crash after some of the three published replays to exactly the
-      // missing ones (the self-pair guard covers the index-before-pairs
-      // interleavings)
-      def commit(df: DataFrame, dataset: String): Unit = batchId match {
-        case Some(b) => CommitLog.append(df, s"$workDir/$dataset", b): Unit
-        case None => CommitLog.appendAlways(df, s"$workDir/$dataset")
-      }
-      commit(pairs, "pairs")
-      commit(newBands, "bands")
-      commit(newSh, "shingles")
+        // each dataset's commit is independently idempotent on batchId: a
+        // crash after some of the three published replays to exactly the
+        // missing ones (the self-pair guard covers the index-before-pairs
+        // interleavings)
+        def commit(df: DataFrame, dataset: String): Unit = batchId match {
+          case Some(b) => CommitLog.append(df, s"$workDir/$dataset", b): Unit
+          case None => CommitLog.appendAlways(df, s"$workDir/$dataset")
+        }
+        commit(pairs, "pairs")
+        commit(newBands, "bands")
+        commit(newSh, "shingles")
+      } finally cands.unpersist()
     } finally base.unpersist()
   }
 

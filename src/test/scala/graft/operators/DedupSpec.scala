@@ -140,6 +140,27 @@ class DedupSpec extends AnyFunSuite {
     val cands = Dedup.containmentCandidates(docs500.union(host), "doc_id", "text", minShared = 3)
     val found = cands.where($"id2" === $"id1" + 200000).count()
     assert(found == 50, s"expected all 50 embedded docs found, got $found")
+    // plan-shape pin (VERDICT r14 #1): the rare-fingerprint bucket guard
+    // is an aggregate + broadcast anti-join, NOT a window — a window
+    // partitioned on __fp shuffles AND SORTS the whole exploded
+    // |docs|×|fps/doc| frame, the shape that killed the sf10 near-dup
+    // family before the same fix landed in minhashCandidates
+    assert(!cands.queryExecution.executedPlan.toString.contains("Window"),
+      "containment bucket guard must not plan a Window over the exploded fingerprint frame")
+  }
+
+  test("estimateCut margin scales with signature length and disables below the floor") {
+    // classic regime: 6σ < 0.2 at numHashes≈120+ → the documented 0.2 margin
+    assert(Dedup.estimateCut(0.9, 120) === 0.7)
+    assert(Dedup.estimateCut(0.9, 128) === 0.7)
+    // short signatures: the fixed margin would false-drop true pairs at
+    // the threshold with ~percent probability (ADVICE r14) — margin
+    // widens to 6σ…
+    val cut64 = Dedup.estimateCut(0.9, 64)
+    assert(math.abs(cut64 - (0.9 - 6.0 * math.sqrt(0.9 * 0.1 / 64))) < 1e-12)
+    assert(cut64 < 0.7)
+    // …and below the floor the prefilter turns itself off entirely
+    assert(Dedup.estimateCut(0.9, 16) === 0.0)
   }
 
   test("jaccard column is exact set Jaccard") {

@@ -39,6 +39,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("broadcast nearestCentroidBuckets equals the literal higher-order-function formula") {
+    // the pre-r15 shape: centroids as a typedlit, cosine + (-sim, idx)
+    // sort via transform/zip_with/array_sort — the broadcast native
+    // expression (VERDICT r14 #3) must reproduce it element-for-element,
+    // including tie order and the shared-1e-12 denominator floor
+    val centroids: Seq[Seq[Double]] = emb.orderBy($"vec_id").limit(7).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // duplicate centroid 0 at index 5 to force an exact similarity tie
+    val withTie = centroids.updated(5, centroids.head)
+    val centLit = typedlit(withTie)
+    val vecD = transform($"embedding", x => x.cast("double"))
+    def normC(c: org.apache.spark.sql.Column) = sqrt(Similarity.dot(c, c))
+    val literalFormula = slice(
+      transform(
+        array_sort(
+          zip_with(
+            transform(centLit, cv =>
+              Similarity.dot(vecD, cv) / greatest(normC(vecD) * normC(cv), lit(1e-12))),
+            sequence(lit(0), lit(withTie.size - 1)),
+            (sim, idx) => struct((-sim).as("neg"), idx.as("idx"))
+          )
+        ),
+        s => s.getField("idx")
+      ),
+      1, 4
+    )
+    val rows = emb
+      .select(
+        $"vec_id",
+        literalFormula.as("lit_idx"),
+        Similarity.nearestCentroidBuckets(vecD, withTie, 4).as("bc_idx"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: literal=${r.getSeq[Int](1)} broadcast=${r.getSeq[Int](2)}")
+    }
+    // the duplicated centroid must rank immediately after its original
+    // (tie broken by smaller index) whenever centroid 0 is selected
+    rows.foreach { r =>
+      val got = r.getSeq[Int](2)
+      val i0 = got.indexOf(0)
+      if (i0 >= 0 && i0 < got.size - 1) assert(got(i0 + 1) == 5, s"tie order violated: $got")
+    }
+  }
+
   test("topK output has contiguous ranks and descending sims") {
     val queries = emb.where($"vec_id" < 3)
     val rows = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", K)

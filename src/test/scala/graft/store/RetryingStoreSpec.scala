@@ -30,6 +30,46 @@ class RetryingStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("retry and fault-injection iterators forward close() to the live stream") {
+    // ADVICE r14: a plain Iterator wrapper made the pivot's close() a
+    // no-op under retry wrapping — early termination (pushed limit/topN)
+    // then leaked the client socket on the real-deployment path
+    val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val closable = new BigtableStore {
+      val inner = freshStore
+      override def readRows(t: String, r: Seq[RowRange], f: Seq[RowFilter]): Iterator[BtRow] =
+        new Iterator[BtRow] with AutoCloseable {
+          private val it = inner.readRows(t, r, f)
+          override def hasNext: Boolean = it.hasNext
+          override def next(): BtRow = it.next()
+          override def close(): Unit = closed.incrementAndGet(): Unit
+        }
+      override def sampleRowKeys(t: String): Seq[String] = inner.sampleRowKeys(t)
+      override def estimateSize(t: String, r: Seq[RowRange]): Option[(Long, Long)] =
+        inner.estimateSize(t, r)
+    }
+    // retry wrapper alone
+    val (store, _) = retrying(closable)
+    store.readRows("t", Seq(RowRange.full), Nil) match {
+      case c: AutoCloseable => c.close()
+      case _ => fail("RetryingStore.readRows iterator must be AutoCloseable")
+    }
+    assert(closed.get() == 1, "close must reach the underlying stream")
+    // fault-injection wrapper (the faulty window) must forward too
+    val faulty = new FaultInjectingStore(closable, failAfterRows = 99, callFaults = false)
+    faulty.readRows("t", Seq(RowRange.full), Nil) match {
+      case c: AutoCloseable => c.close()
+      case _ => fail("FaultInjectingStore.readRows iterator must be AutoCloseable")
+    }
+    assert(closed.get() == 2)
+    // a mid-stream fault closes the broken stream before resuming
+    closed.set(0)
+    val (store2, _) = retrying(new FaultInjectingStore(closable, failAfterRows = 2, callFaults = false))
+    val keys = store2.readRows("t", Seq(RowRange.full), Nil).map(_.rowKey).toSeq
+    assert(keys == allKeys)
+    assert(closed.get() >= 1, "the faulted stream must be closed on resume")
+  }
+
   test("resume clamps multi-range reads correctly") {
     val ranges = Seq(RowRange.closed("a", "ab"), RowRange.closed("c", "e"))
     val (store, _) = retrying(new FaultInjectingStore(freshStore, failAfterRows = 2, callFaults = false))

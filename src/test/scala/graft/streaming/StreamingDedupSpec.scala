@@ -73,6 +73,45 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(raw.toSet == Set((1L, 2L), (1L, 10L), (2L, 10L)))
   }
 
+  test("legacy pre-sigb bands index migrates in place and still yields cross-batch pairs") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-legacy").toString
+    // build a real index for batch 0 with the current code...
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = Seq((1L, base),
+      (3L, "completely different text about spark partitions " * 5)).toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    // ...then simulate a PRE-UPGRADE workDir: the bands log frozen with
+    // the 3-column schema and data files carrying no sigb at all
+    val bandsDir = s"$work/bands"
+    val legacyRows = CommitLog.read(spark, bandsDir).drop("sigb").collect().toSeq
+    val legacySchema = org.apache.spark.sql.types.StructType(
+      CommitLog.schemaOf(bandsDir).filterNot(_.name == "sigb"))
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    rm(java.nio.file.Paths.get(bandsDir))
+    CommitLog.init(bandsDir, legacySchema)
+    CommitLog.append(
+      spark.createDataFrame(spark.sparkContext.parallelize(legacyRows), legacySchema),
+      bandsDir, 0L)
+    assert(CommitLog.schemaOf(bandsDir).fieldNames.toSeq == Seq("id", "band", "bucket"))
+    // the next batch must (a) not fail analysis against the legacy log —
+    // processBatch migrates the schema in place — and (b) still find the
+    // cross-batch duplicate: legacy rows read with sigb = null, and the
+    // null-tolerant prefilter routes them to exact verification instead
+    // of silently dropping every candidate against the old index
+    val b2 = Seq((10L, base + "tail.")).toDF("id", "text")
+    StreamingDedup.processBatch(b2, work, 0.9, 5, 120, 20, batchId = Some(1L))
+    assert(CommitLog.schemaOf(bandsDir).fieldNames.contains("sigb"), "schema not migrated")
+    val pairs = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)), s"cross-batch pair against legacy index missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positives: $pairs")
+  }
+
   test("restart from checkpoint resumes the index and converges to the batch oracle") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("sdedup-restart").toString
