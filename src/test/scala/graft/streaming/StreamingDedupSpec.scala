@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingDedupSpec extends AnyFunSuite {
@@ -168,6 +169,42 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"file counts not bounded: bands=${files("bands")} shingles=${files("shingles")} pairs=${files("pairs")}")
     assert(StreamingDedup.pairs(spark, work)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == preCompact)
+  }
+
+  test("bucketed bands compaction: probes prune to touched partitions, pairs unchanged") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-bucketed").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = (1L to 16L).map(i =>
+      (i, if (i == 1L) base else s"unique document number $i with its own content " * 6))
+      .toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    // force the partitioned layout: 16 docs × 20 bands = 320 rows > 10
+    val stats = StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L)
+    val files = CommitLog.currentFiles(s"$work/bands")
+    assert(files.forall(_.contains(s"/__p${StreamingDedup.IndexPartitions}=")),
+      s"bands not bucket-partitioned after compaction: ${files.take(3)}")
+    assert(stats("bands")._2 <= StreamingDedup.IndexPartitions.toLong)
+    // a 1-doc batch touches ≤ 20 of the 64 partitions → pruning must
+    // keep a strict subset of the index files
+    val oneDoc = Seq((10L, base + "tail.")).toDF("id", "text")
+    val touched = oneDoc
+      .select(graft.operators.Dedup.minhashSignature(col("text"), 5, 120).as("sig"))
+      .select(posexplode(transform(sequence(lit(0), lit(19)),
+        b => xxhash64(slice(col("sig"), b * 6 + 1, lit(6))))).as(Seq("band", "bucket")))
+      .select(pmod(xxhash64(col("band"), col("bucket")),
+        lit(StreamingDedup.IndexPartitions.toLong)).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = StreamingDedup.pruneBandFiles(
+      files, Map(StreamingDedup.IndexPartitions -> touched))
+    assert(pruned.size < files.size,
+      s"pruning kept everything: ${pruned.size} of ${files.size}")
+    // and the pruned probe still finds the cross-batch duplicate
+    StreamingDedup.processBatch(oneDoc, work, 0.9, 5, 120, 20, batchId = Some(1L))
+    val pairs = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)), s"cross-batch pair missing after compaction: $pairs")
+    assert(!pairs.exists(p => p._1 != 1L && p._2 != 10L), s"false positives: $pairs")
   }
 
   test("incremental pairs equal the batch operator's pairs on the same corpus") {
