@@ -46,6 +46,10 @@ object Bench {
     // that doesn't pin `vectorized` explicitly (option wins over conf)
     sys.env.get("SPARK_GRAFT_VECTORIZED_DEFAULT").foreach(v =>
       spark.conf.set(graft.connector.BigtableConfig.VectorizedDefaultConf, v))
+    // A/B knob for the streaming-dedup verify plan (see StreamingDedup
+    // .VerifySemiFilterConf): bytes floor; Long.MaxValue = always direct
+    sys.env.get("SPARK_GRAFT_VERIFY_SEMI_MIN_BYTES").foreach(v =>
+      spark.conf.set(graft.streaming.StreamingDedup.VerifySemiFilterConf, v))
 
     // Fixture seeding + once-per-JVM index/stream/ground-truth builds,
     // UNTIMED and identical at every scale factor: timings below measure

@@ -62,12 +62,49 @@ object StreamingDedup {
     */
   private val MaxBroadcastBandRows = 500000L
 
-  /** Accumulated-shingle-log size past which the verify joins
-    * semi-filter the log to candidate ids first (see the size-gate
-    * comment in [[processBatch]]). 64 MB ≈ a million short documents'
-    * hashes — well before the per-batch full-log shuffle dominates.
+  /** Accumulated-shingle-log size below which the verify joins always
+    * take the direct plan (see the gate comment in [[processBatch]]).
+    * 64 MB ≈ a million short documents' hashes — well before the
+    * per-batch full-log shuffle dominates. Overridable per session
+    * (ops knob + A/B measurement):
+    * `spark.graft.streaming.verifySemiFilterMinBytes`; Long.MaxValue
+    * disables the semi filter entirely, a negative value forces it.
     */
   private val VerifySemiFilterMinBytes = 64L * 1024 * 1024
+
+  private[graft] val VerifySemiFilterConf =
+    "spark.graft.streaming.verifySemiFilterMinBytes"
+
+  private def verifySemiFilterMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption(VerifySemiFilterConf).map(_.toLong).getOrElse(VerifySemiFilterMinBytes)
+
+  /** Duplicate-coverage ceiling for the verify semi filter: the filter
+    * only pays when the candidate ids are a SMALL fraction of the
+    * corpus (each kept id still rides both pair-join shuffles — at high
+    * coverage the filter's persist/distinct/broadcast machinery buys
+    * almost no shuffle reduction; measured at the 100× probe on a
+    * duplication-saturated corpus: direct 176.5s vs semi 254.2s).
+    * Coverage is estimated from ALREADY-COMMITTED data with zero jobs:
+    * 2 × confirmed-pair rows / corpus rows, both read from parquet
+    * footers driver-side. Confirmed pairs under-count candidates, but
+    * with the signature prefilter candidates ≈ near-threshold pairs,
+    * and the proxy errs toward the direct plan — the safe default.
+    */
+  private val VerifySemiFilterMaxCoverage = 0.2
+
+  /** Driver-side exact row count of a CommitLog dataset from parquet
+    * footers (no Spark job; file count is bounded by compaction).
+    */
+  private[streaming] def footerRows(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    CommitLog.currentFiles(dir).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }.sum
+  }
 
   /** Bucket-hash partition count for the COMPACTED bands index layout
     * (VERDICT r14 #5): [[compactIndex]] rewrites the index into
@@ -265,19 +302,34 @@ object StreamingDedup {
         .join(newBands.alias("b").hint("shuffle_hash"), Seq("band", "bucket"))
         .where(col("a.id") < col("b.id") && estOk(col("a.sigb"), col("b.sigb")))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      // Verify-side semi filter, SIZE-GATED (VERDICT r14 #5, second
-      // half): once the accumulated shingles log is big, joining it
-      // whole per batch shuffles the entire corpus every trigger — the
-      // semi filter bounds the shuffled volume by CANDIDATE ids
-      // (pair-bounded, broadcast), so per-batch verify I/O scales with
-      // the batch's duplicates, not the corpus. Below the gate the
-      // filter's own machinery (candidate persist + broadcast + extra
-      // scan) costs more than the small shuffle it avoids (measured
-      // +1.4 s on the sf0.1 gate unconditional), so small indexes keep
-      // the direct r14 plan. Driver-side file-length sum — no job.
+      // Verify-side semi filter, GATED on size AND duplicate coverage
+      // (VERDICT r14 #5, second half): once the accumulated shingles log
+      // is big, joining it whole per batch shuffles the entire corpus
+      // every trigger — the semi filter bounds the shuffled volume by
+      // CANDIDATE ids (pair-bounded, broadcast), so per-batch verify I/O
+      // scales with the batch's duplicates, not the corpus. Two regimes
+      // keep the direct r14 plan instead (both measured):
+      //   - small logs: the filter's persist/broadcast machinery costs
+      //     more than the small shuffle it avoids (+1.4 s sf0.1);
+      //   - duplication-saturated corpora: candidate ids cover most of
+      //     the corpus, so the filter pays its machinery and still
+      //     shuffles nearly everything (100× probe: 254.2s vs 176.5s).
+      // Both signals are driver-side (file lengths + parquet footer row
+      // counts of already-committed data) — no job runs to decide.
       val shinglesDir = s"$workDir/shingles"
-      val semiFilter = CommitLog.currentFiles(shinglesDir)
-        .map(f => new java.io.File(s"$shinglesDir/$f").length).sum >= VerifySemiFilterMinBytes
+      val semiFloor = verifySemiFilterMinBytes(spark)
+      val semiFilter =
+        if (semiFloor < 0L) true
+        else {
+          val logBytes = CommitLog.currentFiles(shinglesDir)
+            .map(f => new java.io.File(s"$shinglesDir/$f").length).sum
+          logBytes >= semiFloor && {
+            val corpusRows = footerRows(spark, shinglesDir)
+            val dupTouched = 2L * footerRows(spark, s"$workDir/pairs")
+            corpusRows > 0L &&
+              dupTouched.toDouble / corpusRows.toDouble <= VerifySemiFilterMaxCoverage
+          }
+        }
       // persisted only when the semi filter engages: the filter
       // references the candidate frame from three branches, and without
       // a cache each would re-run the bucket joins — tripling the

@@ -207,6 +207,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 != 1L && p._2 != 10L), s"false positives: $pairs")
   }
 
+  test("forced verify semi filter yields exactly the direct plan's pairs") {
+    import spark.implicits._
+    val b1 = Seq((1L, base), (2L, base),
+      (3L, "completely different text about spark partitions " * 5)).toDF("id", "text")
+    val b2 = Seq((10L, base + "tail."), (11L, base),
+      (12L, "yet another unrelated document body " * 6)).toDF("id", "text")
+    def run(): Set[(Long, Long, Double)] = {
+      val work = java.nio.file.Files.createTempDirectory("sdedup-semi").toString
+      StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+      StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+      StreamingDedup.processBatch(b2, work, 0.9, 5, 120, 20, batchId = Some(1L))
+      StreamingDedup.pairs(spark, work)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val direct = run() // tiny log — the gate picks the direct plan
+    spark.conf.set(StreamingDedup.VerifySemiFilterConf, "-1") // force semi
+    val semi =
+      try run()
+      finally spark.conf.unset(StreamingDedup.VerifySemiFilterConf)
+    assert(semi == direct, s"semi=$semi direct=$direct")
+    assert(direct.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 10L), (2L, 10L),
+      (1L, 11L), (2L, 11L), (10L, 11L)), s"unexpected pair set: $direct")
+  }
+
   test("incremental pairs equal the batch operator's pairs on the same corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
