@@ -1404,6 +1404,31 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- the same incremental dedup with index MAINTENANCE in the loop:
+    //     batch 1 ingests, compactIndex rewrites the bands log into the
+    //     bucket-hash partitioned layout (__p64=<k>/ — the steady-state
+    //     shape a long-running stream converges to), and batch 2's probe
+    //     PRUNES index files by partition (StreamingDedup.pruneBandFiles).
+    //     Same exhaustive oracle as the streaming gate: the pair set is
+    //     batching- and layout-invariant, so this gate pins that the
+    //     partition-pruned read loses nothing. Driven through
+    //     processBatch (the periodic-ingest entry point) rather than a
+    //     readStream so the compaction call sits between ingests exactly
+    //     where a maintenance job runs it. ---
+    "stream_doc_near_dup_compact" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-sdedupc").toString
+      graft.streaming.StreamingDedup.incrementalNearDuplicatesInit(s, work)
+      graft.streaming.StreamingDedup.processBatch(
+        docs.where(pmod(col("id"), lit(2)) === 0), work, 0.9, 5, 120, 20, batchId = Some(0L))
+      graft.streaming.StreamingDedup.compactIndex(s, work, targetRecordsPerFile = 1000L)
+      graft.streaming.StreamingDedup.processBatch(
+        docs.where(pmod(col("id"), lit(2)) === 1), work, 0.9, 5, 120, 20, batchId = Some(1L))
+      graft.streaming.StreamingDedup.pairs(s, work)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // --- incremental SPAN dedup over the documents change stream:
     //     spans claimed by earlier arrival batches drop, keep-first
     //     within each batch, result + span index exactly-once in a
@@ -3208,6 +3233,21 @@ object SparkEntry {
          SELECT 'orders' AS src, o_orderstatus AS k, count(*) AS n FROM orders GROUP BY 2
          ORDER BY src, k""",
     "stream_doc_near_dup" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      greatest(length(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
+         ORDER BY id1, id2""",
+    // layout-invariant: the compacted/partition-pruned index must yield
+    // exactly the exhaustive pair set the streaming gate is held to
+    "stream_doc_near_dup_compact" ->
       """WITH s AS (
            SELECT doc_id,
                   list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
