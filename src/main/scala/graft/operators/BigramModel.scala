@@ -46,7 +46,7 @@ object BigramModel {
     * nothing the backoff would not have to re-derive.
     */
   def fit(docs: DataFrame, textCol: String): Lm = {
-    val counts = docs
+    val counts = Spread.small(docs)
       .select(TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(explode(concat(col("__ts"), TextFunctions.tokenNgrams(col("__ts"), 2))).as("g"))
       .groupBy(col("g"))

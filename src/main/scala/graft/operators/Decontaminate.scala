@@ -71,7 +71,9 @@ object Decontaminate {
   ): DataFrame = {
     val benchGrams0 = explodedGrams(benchmark, benchTextCol, n, Nil).distinct()
     val benchGrams = if (broadcastBenchmark) broadcast(benchGrams0) else benchGrams0
-    explodedGrams(train, textCol, n, Seq(col(idCol)))
+    // corpus-side gram hashing is the heavy map stage — spread a
+    // one-split input before it (Spread.small: stats-gated, no-op at scale)
+    explodedGrams(Spread.small(train), textCol, n, Seq(col(idCol)))
       .join(benchGrams, "__gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched"))

@@ -40,20 +40,10 @@ object Dedup {
   private def guardNeeded(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes > GuardMinInputBytes
 
-  /** Spread an under-partitioned input across the cluster before per-row
-    * heavy compute (shingling, hashing, minhashing). A small parquet
-    * file plans as ONE input partition, which serializes the whole map
-    * stage regardless of cluster size; at real scale inputs already have
-    * >= defaultParallelism partitions and this is a no-op (no shuffle).
-    * The decision reads logical-plan statistics (file sizes for scans) —
-    * never `.rdd`, which under AQE eagerly executes query stages.
+  /** Spread-before-heavy-compute (see [[Spread.small]] for the full
+    * discipline and the streaming caveat).
     */
-  private def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(target.toLong) * 8L * 1024 * 1024
-    if (small) df.repartition(target) else df
-  }
+  private def parallelize(df: DataFrame): DataFrame = Spread.small(df)
 
   /** Exact dedup: keep one row per distinct `keyCols` combination, the
     * one with the smallest `tieBreaker`. One hash shuffle on the key.

@@ -56,7 +56,7 @@ object Phrases {
     // corpus-sized) so the corpus explode+shuffle runs exactly once even
     // though three consumers read it — and, unlike persist, its blocks
     // free on GC instead of leaking in the CacheManager (the Pack rule).
-    val counts = docs
+    val counts = Spread.small(docs)
       .select(TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(explode(concat(col("__ts"), TextFunctions.tokenNgrams(col("__ts"), 2))).as("g"))
       .groupBy(col("g"))
@@ -126,7 +126,7 @@ object Phrases {
     * vocabulary build runs AFTER phrase mining.
     */
   def fuseCorpus(docs: DataFrame, idCol: String, textCol: String, phrases: Seq[(String, String)]): DataFrame =
-    docs
+    Spread.small(docs)
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(col(idCol), fuseTokens(col("__ts"), phrases).as("fused"))
 
@@ -166,7 +166,7 @@ object Phrases {
         return docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("fused"))
       return fuseCorpus(docs, idCol, textCol, ps)
     }
-    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+    val toks = Spread.small(docs).select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
     // adjacent "w1 w2" pair strings with 0-based start positions — staged
     // into its own projection BEFORE the generator (a generator sharing a
     // select with a lambda expression strips struct field names)

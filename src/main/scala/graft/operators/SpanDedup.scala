@@ -83,6 +83,9 @@ object SpanDedup {
       spanTokens: Int
   ): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
+    // NO Spread.small here: span hashing is cheap per row, and the
+    // repartition's text shuffle measured SLOWER than the one-split map
+    // stage it avoids (0.59 -> 0.76s on the sf0.1 gate)
     keepFirst(explodedSpans(docs, idCol, textCol, spanTokens), idCol, textCol)
   }
 
