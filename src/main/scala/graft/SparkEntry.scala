@@ -1420,17 +1420,17 @@ object SparkEntry {
     // beat 32 tasks of scheduling overhead; compactIndex's partitioned
     // layout is pinned by its own explicit repartition(IndexPartitions).
     "stream_doc_near_dup_compact" -> ((s, dir) => withFastStreams(s) {
-      // repartition(16): the sf0.1 parquet is one input split, which
-      // would compute every minhash signature on one thread (~2s/batch
-      // measured); a real periodic-ingest batch arrives partitioned
-      // from its source, like the readStream gate's bigtable ranges.
-      // Deliberately NOT inside processBatch: streaming micro-batch
-      // frames report source statistics, and a stats-driven spread
-      // there re-shuffles raw text every trigger (measured 2x on the
-      // readStream gate when tried).
+      // repartition(defaultParallelism): the sf0.1 parquet is one input
+      // split, which would compute every minhash signature on one thread
+      // (~2s/batch measured); a real periodic-ingest batch arrives
+      // partitioned from its source, like the readStream gate's bigtable
+      // ranges. Deliberately NOT inside processBatch: streaming
+      // micro-batch frames report source statistics, and a stats-driven
+      // spread there re-shuffles raw text every trigger (measured 2x on
+      // the readStream gate when tried).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("id"), col("text"))
-        .repartition(16, col("id"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
       val work = java.nio.file.Files.createTempDirectory("graft-sdedupc").toString
       graft.streaming.StreamingDedup.incrementalNearDuplicatesInit(s, work)
       graft.streaming.StreamingDedup.processBatch(
