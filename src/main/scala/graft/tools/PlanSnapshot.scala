@@ -39,7 +39,10 @@ object PlanSnapshot {
     // wall-clock epochs (ms then µs), current era only — fixture-pinned
     // 16…-prefixed constants stay
     ("""\b17\d{14}\b""".r, "EPOCH_US"),
-    ("""\b17\d{11}\b""".r, "EPOCH_MS")
+    ("""\b17\d{11}\b""".r, "EPOCH_MS"),
+    // RDD ids in ExistingRDD scans: MapPartitionsRDD[12282] — a session-
+    // lifetime counter, different on every run with zero plan content
+    ("""RDD\[\d+\]""".r, "RDD[N]")
   )
 
   def normalize(txt: String): String =

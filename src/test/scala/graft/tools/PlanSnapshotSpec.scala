@@ -15,6 +15,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
         |   runId = 3f2a1b4c-0d5e-6f70-8192-a3b4c5d6e7f8
         |   checkpoint = file:/tmp/temporary-abc123/state, dir=/tmp/graft-btsw42/cp
         |   batchTimestampMs = 1755172800123, eventTimeUs = 1755172800123456
+        |   MapPartitionsRDD[12282] at createDataFrame at Stats.scala:58
         |""".stripMargin
     val norm = PlanSnapshot.normalize(raw)
     assert(!norm.contains("#1234") && !norm.contains("#77L") && !norm.contains("#901L"), norm)
@@ -26,6 +27,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(norm.contains("/tmp/TMPPATH") && !norm.contains("graft-btsw42"))
     assert(norm.contains("EPOCH_MS") && !norm.contains("1755172800123,"))
     assert(norm.contains("EPOCH_US") && !norm.contains("1755172800123456"))
+    assert(norm.contains("MapPartitionsRDD[N]") && !norm.contains("RDD[12282]"), norm)
   }
 
   test("watermark-annotated exprIds mask; the watermark delay survives") {
