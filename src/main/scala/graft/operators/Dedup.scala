@@ -22,23 +22,26 @@ object Dedup {
   val AutoFrequencyOrderBytes: Long = 32L * 1024 * 1024
 
   /** Estimated-input-size floor for the LSH oversized-bucket split
-    * guard: below this, the guard's bucket-count aggregate + broadcast
-    * join cost more wall-clock than the quadratic blowup they bound
-    * (worst case at 16 MB ≈ tens of thousands of docs → ~10^8 bucket
-    * pairs through the codegen'd prefilter — slow, not fatal), and
-    * skipping the guard returns EXACTLY the unguarded join. Decided
-    * from logical-plan statistics (file sizes for scans) — no job runs.
+    * guard: above this, the guard is ALWAYS on — decided from
+    * logical-plan statistics (file sizes for scans), no job runs. Below
+    * it the skip must still be PROVABLY a no-op, and compressed bytes
+    * cannot prove that (a duplicate-saturated corpus — the exact input
+    * dedup exists for — dictionary/RLE-encodes millions of identical
+    * docs under this floor), so small-stats inputs pay one bounded
+    * `limit(maxBucket+1).count()` probe: ≤ maxBucket docs means no
+    * bucket can exceed maxBucket and skipping returns EXACTLY the
+    * unguarded join; more means the guard runs. The probe scans at most
+    * maxBucket+1 rows regardless of corpus size.
     */
   val GuardMinInputBytes: Long = 16L * 1024 * 1024
 
-  /** Default LSH bucket-split threshold. The small-input guard skip
-    * applies ONLY at this default: a caller passing an explicit
-    * `maxBucket` is asking for fanout bounding unconditionally.
-    */
+  /** Default LSH bucket-split threshold. */
   val DefaultMaxBucket: Int = 1000
 
-  private def guardNeeded(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes > GuardMinInputBytes
+  private def guardNeeded(df: DataFrame, maxBucket: Int): Boolean =
+    maxBucket < Int.MaxValue &&
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes > GuardMinInputBytes ||
+        df.limit(maxBucket + 1).count() > maxBucket)
 
   /** Spread-before-heavy-compute (see [[Spread.small]] for the full
     * discipline and the streaming caveat).
@@ -269,7 +272,7 @@ object Dedup {
     bucketCandidates(
       bandedMinhash(df, idCol, textCol, shingleK, numHashes, bands, withSketch = false),
       maxBucket, persistIntermediate, estCut = 0.0,
-      guardNeeded = maxBucket != DefaultMaxBucket || guardNeeded(df))
+      guardNeeded = guardNeeded(df, maxBucket))
 
   /** Banded LSH frame (__id, __band, __bucket[, __sigb]) for a corpus:
     * one minhash signature per doc, hashed per band. `withSketch` adds
@@ -398,7 +401,8 @@ object Dedup {
     val cands = bucketCandidates(
       bandedMinhash(pdf, idCol, textCol, shingleK, numHashes, bands, withSketch = true),
       maxBucket = DefaultMaxBucket, persistIntermediate,
-      estCut = estimateCut(threshold, numHashes), guardNeeded = guardNeeded(pdf))
+      estCut = estimateCut(threshold, numHashes),
+      guardNeeded = guardNeeded(df, DefaultMaxBucket))
     val sh = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
     exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
   }

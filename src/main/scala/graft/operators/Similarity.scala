@@ -148,9 +148,14 @@ object Similarity {
       c.orderBy(col("__id")).limit(k).collect().map(_.getSeq[Double](1)).toSeq
     var iter = 0
     while (iter < iterations) {
+      // per-iteration broadcast, destroyed after the (eager) collect —
+      // the assignment plan is fully executed by then, and leaving each
+      // iteration's centroid copy to driver GC accumulates k×dim arrays
+      // in every executor's block manager across iterations/invocations
+      val bcIter = broadcastCentroids(centroids)
       val assigned = c.withColumn(
         "__bucket",
-        nearestCentroidBuckets(col("__v"), centroids, 1).getItem(0)
+        nearestCentroidBuckets(col("__v"), bcIter, 1).getItem(0)
       )
       // mean per bucket: one whole-vector sum per bucket via the array
       // fold aggregator (map-side partials, shuffle and driver transfer
@@ -158,10 +163,12 @@ object Similarity {
       // k×dim, so the driver is bounded by its own output at any (k, d),
       // never by k×dim ROW objects like the posexplode shape was)
       val vecSum = udaf(new VecSumAggregator)
-      val sums = assigned
-        .groupBy(col("__bucket"))
-        .agg(vecSum(col("__v")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
+      val sums =
+        try assigned
+          .groupBy(col("__bucket"))
+          .agg(vecSum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        finally bcIter.destroy()
       val byBucket = sums.map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
       centroids = centroids.indices.map { b =>
         byBucket.get(b) match {
@@ -182,7 +189,11 @@ object Similarity {
     * multi-MB, which as a `typedlit` bloated every plan and re-serialized
     * per task (VERDICT r14 #3). One broadcast per operator invocation;
     * callers composing several assignments over the same centroids
-    * should broadcast once via [[broadcastCentroids]].
+    * should broadcast once via [[broadcastCentroids]], and callers whose
+    * consuming action is EAGER (collect/write/localCheckpoint) should
+    * use the broadcast overload and `destroy()` afterwards — this
+    * convenience overload leaves the copy to driver GC, which is only
+    * acceptable for one-shot lazily-returned frames.
     */
   def nearestCentroidBuckets(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
     nearestCentroidBuckets(vec, broadcastCentroids(centroids), n)
@@ -332,18 +343,23 @@ object Similarity {
         kmeansCentroids(corpus, idCol, vecCol, nCent, kmeansIterations)
       else
         c.orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
-    val bucketed = c.withColumn("__b",
-      nearestCentroidBuckets(col("cvec"), centroids, 1).getItem(0))
-    // centroid vectors ride the SAME atomic commit as the fileset they
-    // bucketed (exact-round-trip text, java.lang.Double syntax): a crash
-    // or concurrent search around a rebuild can never pair new bucket
-    // files with old centroids — the manifest rename swaps both at once
-    val body = centroids.map(_.mkString(",")).mkString("\n")
-    CommitLogAccess.publishBucketed(
-      bucketed, "__b", centroids.size, dir,
-      meta = s"""{"numBuckets":${centroids.size},"corpusSize":0}""",
-      sortCols = Seq("nid"),
-      extraFiles = Seq("_centroids.txt" -> body))
+    // broadcast destroyed after the (eager) publish — the build is a
+    // one-shot write, nothing lazy retains the centroid copy
+    val bc = broadcastCentroids(centroids)
+    try {
+      val bucketed = c.withColumn("__b",
+        nearestCentroidBuckets(col("cvec"), bc, 1).getItem(0))
+      // centroid vectors ride the SAME atomic commit as the fileset they
+      // bucketed (exact-round-trip text, java.lang.Double syntax): a crash
+      // or concurrent search around a rebuild can never pair new bucket
+      // files with old centroids — the manifest rename swaps both at once
+      val body = centroids.map(_.mkString(",")).mkString("\n")
+      CommitLogAccess.publishBucketed(
+        bucketed, "__b", centroids.size, dir,
+        meta = s"""{"numBuckets":${centroids.size},"corpusSize":0}""",
+        sortCols = Seq("nid"),
+        extraFiles = Seq("_centroids.txt" -> body))
+    } finally bc.destroy()
   }
 
   /** The centroids recorded by [[buildIvfIndex]], resolved THROUGH the
@@ -396,12 +412,19 @@ object Similarity {
       col(idCol).as("nid"),
       transform(col(vecCol), x => x.cast("double")).as("cvec"))
     if (c.isEmpty) return
-    val bucketed = c.withColumn("__b",
-      nearestCentroidBuckets(col("cvec"), centroids, 1).getItem(0))
-    CommitLogAccess.publishBucketed(
-      bucketed, "__b", centroids.size, dir,
-      meta = s"""{"numBuckets":${centroids.size},"corpusSize":0}""",
-      replace = false, sortCols = Seq("nid"), batchId = batchId)
+    // per-batch broadcast destroyed after the (eager) publish: the
+    // streaming sink drives this every trigger, and an undestroyed copy
+    // per micro-batch accumulates the full centroid table in executor
+    // block managers until driver GC happens to collect the handles
+    val bc = broadcastCentroids(centroids)
+    try {
+      val bucketed = c.withColumn("__b",
+        nearestCentroidBuckets(col("cvec"), bc, 1).getItem(0))
+      CommitLogAccess.publishBucketed(
+        bucketed, "__b", centroids.size, dir,
+        meta = s"""{"numBuckets":${centroids.size},"corpusSize":0}""",
+        replace = false, sortCols = Seq("nid"), batchId = batchId)
+    } finally bc.destroy()
     if (batchId.exists(b => b % 32 == 31)) graft.streaming.CommitLog.checkpoint(dir): Unit
   }
 
@@ -450,10 +473,17 @@ object Similarity {
       col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qvec"))
     // probes computed once and pinned: the frame feeds both the touched-
-    // bucket collect and the join (query-batch sized)
-    val probes = q.select(col("qid"), col("qvec"),
-      explode(nearestCentroidBuckets(col("qvec"), centroids, probeN)).as("__b"))
-      .localCheckpoint()
+    // bucket collect and the join (query-batch sized). localCheckpoint
+    // is EAGER, so the centroid broadcast is fully consumed by the time
+    // it returns — destroy it rather than leaving one copy per query
+    // batch in executor block managers (serving paths call this in a
+    // loop)
+    val bc = broadcastCentroids(centroids)
+    val probes =
+      try q.select(col("qid"), col("qvec"),
+        explode(nearestCentroidBuckets(col("qvec"), bc, probeN)).as("__b"))
+        .localCheckpoint()
+      finally bc.destroy()
     val touched = probes.select(col("__b")).distinct().collect().map(_.getInt(0)).toSet
     val bucketRe = "__b=(\\d+)/".r.unanchored
     val files = graft.streaming.CommitLog.currentFiles(dir).filter { f =>

@@ -92,25 +92,32 @@ final class RetryingStore(
     }
 
     private def reconnectFrom(): Iterator[BtRow] = {
-      // the broken stream may still hold transport resources — release
-      // them before opening the resumed read
-      close()
       val rs = lastKey.map(remaining(ranges, _)).getOrElse(ranges)
       if (rs.isEmpty) Iterator.empty
       else underlying.readRows(table, rs, filters)
     }
 
     /** Run `f` on the live stream, resuming past `lastKey` on transient
-      * mid-stream faults.
+      * mid-stream faults. The RE-OPEN runs inside the try (via the
+      * `current == null` arm), not inside the catch handler: a server
+      * still coming back up throws again on the resumed readRows, and a
+      * throw from a catch block would escape the loop with retry
+      * attempts unused — exactly the outage pattern the decorator
+      * exists to survive.
       */
     private def guarded[A](f: Iterator[BtRow] => A): A = {
       while (true) {
-        try return f(current)
-        catch {
+        try {
+          if (current == null) current = reconnectFrom()
+          return f(current)
+        } catch {
           case e: Throwable if isTransient(e) && attempt < maxAttempts - 1 =>
             backoff(attempt)
             attempt += 1
-            current = reconnectFrom()
+            // the broken stream may still hold transport resources —
+            // release them before the next iteration's re-open
+            close()
+            current = null
         }
       }
       throw new IllegalStateException("unreachable")

@@ -133,8 +133,15 @@ object CommitLog {
         s"evolveSchema may only ADD columns: existing field ${f.name}: ${f.dataType} " +
           s"missing or retyped in the new schema")
     }
-    if (current.fields.length != newSchema.fields.length)
-      Files.write(sf, newSchema.json.getBytes(StandardCharsets.UTF_8)): Unit
+    if (current.fields.length != newSchema.fields.length) {
+      // same tmp + ATOMIC_MOVE discipline as every other metadata
+      // publish: a truncate-in-place write that dies mid-flush leaves a
+      // torn _schema.json that bricks every later read of the log
+      val tmp = Paths.get(dir, s".tmp-schema-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, newSchema.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, sf,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE): Unit
+    }
   }
 
   /** The table schema recorded at [[init]]. */

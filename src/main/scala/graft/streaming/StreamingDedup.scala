@@ -307,18 +307,22 @@ object StreamingDedup {
       // is big, joining it whole per batch shuffles the entire corpus
       // every trigger — the semi filter bounds the shuffled volume by
       // CANDIDATE ids (pair-bounded, broadcast), so per-batch verify I/O
-      // scales with the batch's duplicates, not the corpus. Two regimes
-      // keep the direct r14 plan instead (both measured):
+      // scales with the batch's duplicates, not the corpus. Three
+      // regimes keep the direct r14 plan instead:
       //   - small logs: the filter's persist/broadcast machinery costs
       //     more than the small shuffle it avoids (+1.4 s sf0.1);
       //   - duplication-saturated corpora: candidate ids cover most of
       //     the corpus, so the filter pays its machinery and still
-      //     shuffles nearly everything (100× probe: 254.2s vs 176.5s).
-      // Both signals are driver-side (file lengths + parquet footer row
-      // counts of already-committed data) — no job runs to decide.
+      //     shuffles nearly everything (100× probe: 254.2s vs 176.5s);
+      //   - a candidate set too big to broadcast (budget check on THIS
+      //     batch's candidates, below) — the committed-data coverage
+      //     gate cannot see a duplicate-heavy catch-up batch.
+      // The first two signals are driver-side (file lengths + parquet
+      // footer row counts of already-committed data) — no job runs to
+      // decide; the third reuses the persist the filter needs anyway.
       val shinglesDir = s"$workDir/shingles"
       val semiFloor = verifySemiFilterMinBytes(spark)
-      val semiFilter =
+      val wantSemi =
         if (semiFloor < 0L) true
         else {
           val logBytes = CommitLog.currentFiles(shinglesDir)
@@ -336,9 +340,23 @@ object StreamingDedup {
       // per-batch index scan. Unfiltered, candidates feed ONE plan.
       val candsRaw = cross.union(within).distinct()
       val cands =
-        if (semiFilter) candsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (wantSemi) candsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else candsRaw
       try {
+        // the coverage gate above inspects only COMMITTED data, so a
+        // duplicate-heavy catch-up batch could still make the candidate
+        // id set broadcast-fatal (the adjacent index join guards its
+        // broadcast by batch size for exactly this reason). The persist
+        // makes counting candidates one cheap reuse of work the three
+        // consumers materialize anyway — size the broadcast on THIS
+        // batch's candidates, falling back to the direct plan past the
+        // budget: 2 ids/pair × (8 B long + 48 B row) × 2× relation
+        // overhead against heap/16 (capped 750 MB), the exactVerifyJoin
+        // budget discipline.
+        val semiFilter = wantSemi && {
+          val budget = math.min(750L * 1024 * 1024, Runtime.getRuntime.maxMemory / 16)
+          2L * cands.count() * (8L + 48L) * 2L <= budget
+        }
         val allShBase = newSh.union(oldSh)
         val allSh =
           if (semiFilter) {
@@ -368,7 +386,7 @@ object StreamingDedup {
         commit(pairs, "pairs")
         commit(newBands, "bands")
         commit(newSh, "shingles")
-      } finally { if (semiFilter) cands.unpersist(): Unit }
+      } finally { if (wantSemi) cands.unpersist(): Unit }
     } finally base.unpersist()
   }
 
@@ -411,9 +429,12 @@ object StreamingDedup {
   private def compactBands(
       spark: SparkSession, dir: String, targetRecordsPerFile: Long): (Long, Long) = {
     val before = CommitLog.currentFiles(dir).size.toLong
-    val df = CommitLog.read(spark, dir)
-    if (df.count() <= targetRecordsPerFile)
+    // layout decision from parquet footers (driver-side, no job) — a
+    // full count() over the index would scan the largest dataset in the
+    // workDir just to pick a code path
+    if (footerRows(spark, dir) <= targetRecordsPerFile)
       return CommitLog.compact(spark, dir, targetRecordsPerFile, sortBy = Seq("band", "bucket"))
+    val df = CommitLog.read(spark, dir)
     val pcol = s"__p$IndexPartitions"
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"

@@ -306,6 +306,25 @@ class DedupSpec extends AnyFunSuite {
       "bucket-size guard must not plan a Window over the banded frame")
   }
 
+  test("guard decision sees a duplicate-saturated corpus that compresses under the stats floor") {
+    // a corpus of identical docs dictionary-encodes to almost nothing,
+    // so compressed-bytes statistics alone would skip the split guard on
+    // EXACTLY the degenerate input it exists for; the bounded
+    // limit(maxBucket+1) probe catches it. >DefaultMaxBucket clones with
+    // tiny stats must still plan the bucket-count aggregate.
+    val clones = (1L to (Dedup.DefaultMaxBucket + 100L))
+      .map(i => (i, "dup")).toDF("doc_id", "text")
+    val guarded = Dedup.minhashCandidates(clones, "doc_id", "text")
+    assert(guarded.queryExecution.optimizedPlan.toString.contains("__bucket_n"),
+      "default-maxBucket candidates over >maxBucket docs must plan the split guard " +
+        "even when plan statistics undercount a duplicate-saturated corpus")
+    // and a provably-small corpus (docs <= maxBucket) skips it: no bucket
+    // can exceed maxBucket, so the skip is exactly the unguarded join
+    val tiny = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val skipped = Dedup.minhashCandidates(tiny, "doc_id", "text")
+    assert(!skipped.queryExecution.optimizedPlan.toString.contains("__bucket_n"))
+  }
+
   test("connectedComponents matches union-find ground truth on random graphs") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

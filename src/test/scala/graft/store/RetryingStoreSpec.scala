@@ -108,6 +108,39 @@ class RetryingStoreSpec extends AnyFunSuite {
     assert(slept.isEmpty)
   }
 
+  test("a transient fault at RECONNECT time consumes the retry budget instead of failing") {
+    // a server still coming back up throws on the resumed readRows call
+    // itself — that throw must re-enter the retry loop (backoff + next
+    // attempt), not escape from the catch handler with attempts unused
+    val inner = freshStore
+    val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new BigtableStore {
+      override def readRows(t: String, r: Seq[RowRange], f: Seq[RowFilter]): Iterator[BtRow] = {
+        val n = opens.getAndIncrement()
+        if (n == 0) new Iterator[BtRow] { // first stream breaks mid-read
+          private val it = inner.readRows(t, r, f)
+          private var d = 0
+          override def hasNext: Boolean = {
+            if (d >= 2) throw new TransientStoreException("mid-stream"); it.hasNext
+          }
+          override def next(): BtRow = {
+            if (d >= 2) throw new TransientStoreException("mid-stream"); d += 1; it.next()
+          }
+        }
+        else if (n <= 2) throw new TransientStoreException("server still restarting")
+        else inner.readRows(t, r, f)
+      }
+      override def sampleRowKeys(t: String): Seq[String] = inner.sampleRowKeys(t)
+      override def estimateSize(t: String, r: Seq[RowRange]): Option[(Long, Long)] =
+        inner.estimateSize(t, r)
+    }
+    val (store, slept) = retrying(flaky)
+    val keys = store.readRows("t", Seq(RowRange.full), Nil).map(_.rowKey).toSeq
+    assert(keys == allKeys)
+    // one mid-stream fault + two failed re-opens = three backoffs
+    assert(slept.toSeq == Seq(10L, 20L, 40L))
+  }
+
   test("a connector query through a flaky store returns correct results") {
     val spark = graft.SparkTestSession.spark
     val name = "retrying-spec-store"

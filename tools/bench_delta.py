@@ -28,8 +28,9 @@ def main(old_path, new_path, floor=0.05):
     shared = sorted(set(old) & set(new))
     t_old = sum(old[k] for k in shared)
     t_new = sum(new[k] for k in shared)
+    pct = f", {100 * (t_new / t_old - 1):+.1f}%" if t_old > 0 else ""
     print(f"shared gates: {len(shared)}  total {t_old:.3f}s -> {t_new:.3f}s "
-          f"({t_new - t_old:+.3f}s, {100 * (t_new / t_old - 1):+.1f}%)")
+          f"({t_new - t_old:+.3f}s{pct})")
     added = sorted(set(new) - set(old))
     gone = sorted(set(old) - set(new))
     if added:
