@@ -24,24 +24,45 @@ object Dedup {
   /** Estimated-input-size floor for the LSH oversized-bucket split
     * guard: above this, the guard is ALWAYS on — decided from
     * logical-plan statistics (file sizes for scans), no job runs. Below
-    * it the skip must still be PROVABLY a no-op, and compressed bytes
-    * cannot prove that (a duplicate-saturated corpus — the exact input
-    * dedup exists for — dictionary/RLE-encodes millions of identical
-    * docs under this floor), so small-stats inputs pay one bounded
-    * `limit(maxBucket+1).count()` probe: ≤ maxBucket docs means no
-    * bucket can exceed maxBucket and skipping returns EXACTLY the
-    * unguarded join; more means the guard runs. The probe scans at most
-    * maxBucket+1 rows regardless of corpus size.
+    * it, compressed bytes alone must not authorize the skip (a
+    * duplicate-saturated corpus — the exact input dedup exists for —
+    * dictionary/RLE-encodes millions of identical docs under this
+    * floor, and an unguarded self-join over millions of same-bucket
+    * rows is a job-killer, not a slowdown), so small-stats inputs pay
+    * one bounded row-count probe against [[GuardProbeSkipDocs]]. The
+    * probe scans at most that many rows regardless of corpus size.
     */
   val GuardMinInputBytes: Long = 16L * 1024 * 1024
 
-  /** Default LSH bucket-split threshold. */
+  /** Row-count ceiling for skipping the guard when plan statistics read
+    * small and the caller left `maxBucket` on AUTO. The skip is a COST
+    * decision, not a correctness one — without the guard the bucket
+    * self-join has strictly higher recall and the exact verify keeps
+    * results right; what the guard bounds is the quadratic worst case.
+    * Below this many docs that worst case (every doc identical →
+    * docs²/2 × bands codegen'd prefilter rows, ~0.7G at 8192 docs / 20
+    * bands) is seconds on one box — cheaper than the guard's
+    * aggregate + broadcast join at the same scale — while past it the
+    * blowup outgrows any cluster.
+    */
+  val GuardProbeSkipDocs: Int = 8192
+
+  /** Default LSH bucket-split threshold (the AUTO resolution). */
   val DefaultMaxBucket: Int = 1000
 
-  private def guardNeeded(df: DataFrame, maxBucket: Int): Boolean =
-    maxBucket < Int.MaxValue &&
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes > GuardMinInputBytes ||
-        df.limit(maxBucket + 1).count() > maxBucket)
+  /** Guard decision. An EXPLICIT maxBucket is a request for fanout
+    * bounding: the guard is skipped only when provably irrelevant
+    * (docs ≤ maxBucket → no bucket can be oversized). AUTO additionally
+    * grants the [[GuardProbeSkipDocs]] cost allowance. Either probe
+    * scans a bounded row count; at large scale the statistics floor
+    * short-circuits it entirely.
+    */
+  private def guardNeeded(df: DataFrame, maxBucket: Int, auto: Boolean): Boolean = {
+    if (maxBucket == Int.MaxValue) return false // no bucket can exceed it: guard is a no-op
+    val cap = if (auto) math.max(maxBucket, GuardProbeSkipDocs) else maxBucket
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > GuardMinInputBytes ||
+      df.limit(cap + 1).count() > cap
+  }
 
   /** Spread-before-heavy-compute (see [[Spread.small]] for the full
     * discipline and the streaming caveat).
@@ -266,13 +287,19 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32,
-      maxBucket: Int = 1000,
+      /** < 0 = AUTO: [[DefaultMaxBucket]] with the small-corpus cost
+        * allowance ([[GuardProbeSkipDocs]]). An explicit value requests
+        * fanout bounding whenever a bucket COULD exceed it.
+        */
+      maxBucket: Int = -1,
       persistIntermediate: Boolean = false
-  ): DataFrame =
+  ): DataFrame = {
+    val mb = if (maxBucket < 0) DefaultMaxBucket else maxBucket
     bucketCandidates(
       bandedMinhash(df, idCol, textCol, shingleK, numHashes, bands, withSketch = false),
-      maxBucket, persistIntermediate, estCut = 0.0,
-      guardNeeded = guardNeeded(df, maxBucket))
+      mb, persistIntermediate, estCut = 0.0,
+      guardNeeded = guardNeeded(df, mb, auto = maxBucket < 0))
+  }
 
   /** Banded LSH frame (__id, __band, __bucket[, __sigb]) for a corpus:
     * one minhash signature per doc, hashed per band. `withSketch` adds
@@ -402,7 +429,7 @@ object Dedup {
       bandedMinhash(pdf, idCol, textCol, shingleK, numHashes, bands, withSketch = true),
       maxBucket = DefaultMaxBucket, persistIntermediate,
       estCut = estimateCut(threshold, numHashes),
-      guardNeeded = guardNeeded(df, DefaultMaxBucket))
+      guardNeeded = guardNeeded(df, DefaultMaxBucket, auto = true))
     val sh = pdf.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
     exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
   }

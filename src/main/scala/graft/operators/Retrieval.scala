@@ -296,7 +296,7 @@ private[operators] object CommitLogAccess {
       replace: Boolean = true, sortCols: Seq[String] = Seq("term"),
       batchId: Option[Long] = None, extraFiles: Seq[(String, String)] = Nil): Unit = {
     graft.streaming.CommitLog.init(dir, df.drop(bucketCol).schema)
-    Files.write(Paths.get(dir, "_index.json"), meta.getBytes(StandardCharsets.UTF_8))
+    writeMetaAtomically(dir, meta)
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"
     df.repartition(numBuckets, col(bucketCol))
@@ -313,6 +313,18 @@ private[operators] object CommitLogAccess {
       .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
       .sorted.toSeq
     graft.streaming.CommitLog.commitFiles(dir, files, replace = replace, batchId = batchId): Unit
+  }
+
+  /** tmp + ATOMIC_MOVE, the CommitLog metadata discipline: a crash
+    * mid-write must leave either the old meta or the new one, never a
+    * torn _index.json that bricks every later readMeta.
+    */
+  private def writeMetaAtomically(dir: String, meta: String): Unit = {
+    val tmp = Paths.get(dir, s".tmp-meta-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, meta.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_index.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   /** (numBuckets, corpusSize) recorded at build time. */
@@ -332,8 +344,7 @@ private[operators] object CommitLogAccess {
     val p = Paths.get(dir, "_index.json")
     if (!Files.exists(p)) {
       Files.createDirectories(Paths.get(dir))
-      Files.write(p,
-        s"""{"numBuckets":$numBuckets,"corpusSize":0}""".getBytes(StandardCharsets.UTF_8)): Unit
+      writeMetaAtomically(dir, s"""{"numBuckets":$numBuckets,"corpusSize":0}""")
     }
     readMeta(dir)
   }

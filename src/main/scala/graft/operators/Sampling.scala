@@ -184,13 +184,44 @@ object Sampling {
     df.where(h < thresh)
   }
 
-  /** k rows per stratum, deterministically: per-group top-k by md5.
-    * One hash shuffle on the stratum columns.
+  /** k rows per stratum, deterministically: per-group k smallest md5
+    * hashes — selection identical to a per-stratum
+    * `row_number() over (partition by strata order by md5(key)) <= k`.
+    *
+    * Scale shape: NOT that window — partitioned on the strata alone it
+    * sends each stratum to ONE reducer and sorts it whole, so a corpus
+    * that is 90% one language serializes on a single task. Same
+    * discipline as [[tokenBudgetSample]]: the hash's first two hex
+    * digits split every stratum into 256 sub-buckets; per-bucket counts
+    * (map-side-combined aggregate, ≤256 rows per stratum) prefix-sum
+    * into bucket start-ranks over that tiny aggregate, buckets that end
+    * at or below k are kept WHOLE with no sort at all, and only the one
+    * boundary bucket per stratum (~1/256 of the stratum) pays a
+    * row_number. Because the bucket is a PREFIX of the ordering hash,
+    * bucket-rank + in-bucket rank equals the global per-stratum rank
+    * exactly. Ties (md5 collisions between distinct keys) break on the
+    * key itself, making the sample fully deterministic.
     */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(samplingHash(col(keyCol)))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
+    val strata = strataCols.map(col)
+    val staged = df
+      .withColumn("__h", samplingHash(col(keyCol)))
+      .withColumn("__hb", substring(col("__h"), 1, 2))
+    val counts = staged.groupBy(strata :+ col("__hb"): _*).agg(count(lit(1)).as("__bn"))
+    val offWin = Window.partitionBy(strata: _*).orderBy(col("__hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.withColumn("__boff", coalesce(sum(col("__bn")).over(offWin), lit(0L)))
+    // unhinted join on (strata, bucket): the offsets frame is
+    // strata×256 rows — AQE broadcasts it when small, and a huge
+    // stratum set shuffle-joins instead of flooding the driver
+    val joined = staged.join(offs, strataCols :+ "__hb")
+    val whole = joined.where(col("__boff") + col("__bn") <= k)
+    val boundary = joined.where(col("__boff") < k && col("__boff") + col("__bn") > k)
+    val inWin = Window.partitionBy(strata :+ col("__hb"): _*).orderBy(col("__h"), col(keyCol))
+    val fromBoundary = boundary
+      .withColumn("__rn", row_number().over(inWin))
+      .where(col("__boff") + col("__rn") <= k)
       .drop("__rn")
+    whole.unionAll(fromBoundary).drop("__h", "__hb", "__bn", "__boff")
   }
 }

@@ -109,8 +109,15 @@ object CommitLog {
     Files.createDirectories(Paths.get(dir, "data"))
     Files.createDirectories(Paths.get(dir, "_commits"))
     val sf = Paths.get(dir, "_schema.json")
-    if (!Files.exists(sf))
-      Files.write(sf, schema.json.getBytes(StandardCharsets.UTF_8))
+    if (!Files.exists(sf)) {
+      // tmp + ATOMIC_MOVE even on first write: a crash mid-write would
+      // otherwise leave a torn _schema.json that exists-checks here skip
+      // and every later schemaOf() chokes on
+      val tmp = Paths.get(dir, s".tmp-schema-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, sf,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE): Unit
+    }
   }
 
   /** Evolve the recorded schema by ADDING columns: `newSchema` must be a
@@ -243,6 +250,22 @@ object CommitLog {
     seq
   }
 
+  /** Exact committed row count from parquet footers, driver-side — no
+    * Spark job (file count is bounded by checkpoint folding/compaction).
+    * The cheap answer for layout/plan decisions that would otherwise pay
+    * a full count() scan over the table.
+    */
+  def rowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    currentFiles(dir).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }.sum
+  }
+
   /** All committed rows: the latest `replace` manifest's fileset plus
     * every appended commit after it.
     */
@@ -281,6 +304,10 @@ object CommitLog {
     Option(new java.io.File(s"$dir/_commits").listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith(".tmp-"))
       .foreach(f => Files.deleteIfExists(f.toPath): Unit)
+    // crashed evolveSchema publishes leave .tmp-schema-* at the root
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".tmp-schema-"))
+      .foreach(f => Files.deleteIfExists(f.toPath): Unit)
     st.maxSeq
   }
 
@@ -299,7 +326,10 @@ object CommitLog {
     require(targetRecordsPerFile >= 1)
     val before = currentFiles(dir)
     val df = read(spark, dir)
-    val rows = df.count()
+    // file-count sizing from parquet footers: the rewrite below reads
+    // the data once regardless, so paying a second full scan just to
+    // count rows doubled compaction I/O
+    val rows = rowCount(spark, dir)
     val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val shaped =
       if (sortBy.nonEmpty)

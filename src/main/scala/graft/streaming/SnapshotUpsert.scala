@@ -244,8 +244,7 @@ object SnapshotUpsert {
       .repartition(numBuckets, col(BucketCol))
       .sortWithinPartitions((BucketCol +: keys).map(col): _*)
       .write.partitionBy(BucketCol).parquet(dataDir)
-    Files.write(Paths.get(dir, "_snapshot.json"),
-      s"""{"numBuckets":$numBuckets}""".getBytes(StandardCharsets.UTF_8))
+    writeSnapshotMeta(dir, numBuckets)
     CommitLog.commitFiles(dir, bucketFiles(dir, dataDir).sorted, replace = true): Unit
   }
 
@@ -263,9 +262,21 @@ object SnapshotUpsert {
         .map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(s"corrupt $p"))
     } else {
-      Files.write(p, s"""{"numBuckets":$requested}""".getBytes(StandardCharsets.UTF_8))
+      writeSnapshotMeta(dir, requested)
       requested
     }
+  }
+
+  /** tmp + ATOMIC_MOVE (the CommitLog metadata discipline): a crash
+    * mid-write must never leave a torn _snapshot.json — it exists but
+    * parses as corrupt, and ensureNumBuckets would brick the table.
+    */
+  private def writeSnapshotMeta(dir: String, numBuckets: Int): Unit = {
+    val tmp = Paths.get(dir, s".tmp-snapshot-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"""{"numBuckets":$numBuckets}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_snapshot.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   private def bucketOfPath(relative: String): Option[Int] =

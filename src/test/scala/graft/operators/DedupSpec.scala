@@ -309,19 +309,30 @@ class DedupSpec extends AnyFunSuite {
   test("guard decision sees a duplicate-saturated corpus that compresses under the stats floor") {
     // a corpus of identical docs dictionary-encodes to almost nothing,
     // so compressed-bytes statistics alone would skip the split guard on
-    // EXACTLY the degenerate input it exists for; the bounded
-    // limit(maxBucket+1) probe catches it. >DefaultMaxBucket clones with
-    // tiny stats must still plan the bucket-count aggregate.
-    val clones = (1L to (Dedup.DefaultMaxBucket + 100L))
+    // EXACTLY the degenerate input it exists for; the bounded row-count
+    // probe catches it. AUTO maxBucket grants the GuardProbeSkipDocs
+    // cost allowance, so past THAT many clones with tiny stats the
+    // bucket-count aggregate must still be planned.
+    val clones = (1L to (Dedup.GuardProbeSkipDocs + 100L))
       .map(i => (i, "dup")).toDF("doc_id", "text")
     val guarded = Dedup.minhashCandidates(clones, "doc_id", "text")
     assert(guarded.queryExecution.optimizedPlan.toString.contains("__bucket_n"),
-      "default-maxBucket candidates over >maxBucket docs must plan the split guard " +
+      "AUTO-maxBucket candidates over >GuardProbeSkipDocs docs must plan the split guard " +
         "even when plan statistics undercount a duplicate-saturated corpus")
-    // and a provably-small corpus (docs <= maxBucket) skips it: no bucket
-    // can exceed maxBucket, so the skip is exactly the unguarded join
+    // an EXPLICIT maxBucket requests bounding whenever a bucket could
+    // exceed it — no cost allowance, even at the default's own value
+    val some = (1L to (Dedup.DefaultMaxBucket + 100L)).map(i => (i, "dup")).toDF("doc_id", "text")
+    val explicit = Dedup.minhashCandidates(some, "doc_id", "text",
+      maxBucket = Dedup.DefaultMaxBucket)
+    assert(explicit.queryExecution.optimizedPlan.toString.contains("__bucket_n"),
+      "an explicit maxBucket must engage the guard whenever docs exceed it")
+    // and the same corpus under AUTO rides the cost allowance: the
+    // unguarded join is strictly-higher-recall and cheap at this scale
+    val auto = Dedup.minhashCandidates(some, "doc_id", "text")
+    assert(!auto.queryExecution.optimizedPlan.toString.contains("__bucket_n"))
+    // a provably-small corpus (docs <= maxBucket) always skips
     val tiny = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-    val skipped = Dedup.minhashCandidates(tiny, "doc_id", "text")
+    val skipped = Dedup.minhashCandidates(tiny, "doc_id", "text", maxBucket = 1000)
     assert(!skipped.queryExecution.optimizedPlan.toString.contains("__bucket_n"))
   }
 

@@ -51,6 +51,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stratifiedSample equals the naive per-stratum window at every k, incl. skewed strata") {
+    // the bucketed (count + prefix-sum + boundary-bucket-only window)
+    // implementation must select EXACTLY the k smallest hashes per
+    // stratum — the naive full-stratum window's result — at k values
+    // hitting empty strata, sub-k strata, bucket-interior and
+    // bucket-boundary cutoffs; the skewed frame puts 97% of rows in one
+    // stratum (the shape whose single-reducer sort the rewrite removes)
+    import org.apache.spark.sql.expressions.Window
+    val skewed = spark.range(3000).select(
+      $"id".as("doc_id"),
+      when($"id" % 33 === 0, "rare").otherwise("big").as("lang"))
+    for (k <- Seq(1, 3, 91, 500, 5000)) {
+      val got = Sampling.stratifiedSample(skewed, Seq("lang"), "doc_id", k)
+        .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy($"lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val want = skewed.withColumn("__rn", row_number().over(w)).where($"__rn" <= k)
+        .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"k=$k: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("mixtureSample: membership is deterministic, monotone in the fraction, and growth-stable") {
     val df = spark.range(4000)
       .select($"id", (when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").otherwise("fr")).as("g"))
