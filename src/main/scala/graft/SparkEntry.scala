@@ -1743,6 +1743,23 @@ object SparkEntry {
           numHashes = 120, bands = 20, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))),
 
+    // --- CROSS-CORPUS near-dup: dedup a new crawl batch against the
+    //     accumulated corpus WITHOUT re-pairing the corpus with itself
+    //     (the batch twin of stream_doc_near_dup's index probe). The
+    //     fixture's "new batch" is 250 exact copies of existing docs
+    //     with shifted ids, so every new doc must match its original
+    //     (j = 1) plus that original's own near-dup family; the oracle
+    //     recomputes exact shingle jaccard over the base × new cross
+    //     product only — base × base pairs must NOT appear. ---
+    "doc_near_dup_incr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val fresh = docs.where(col("doc_id") < 250)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      graft.operators.Dedup.nearDuplicatesAgainst(docs, fresh, "doc_id", "text",
+          threshold = 0.9, numHashes = 120, bands = 20, persistIntermediate = true)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // --- near-dup CLUSTER formation: connected components over the
     //     near-dup pair graph (a≈b, b≈c ⇒ one cluster {a,b,c}) — the
     //     step that turns pairwise detections into one-survivor-per-
@@ -3549,6 +3566,24 @@ object SparkEntry {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
+         ORDER BY id1, id2""",
+    "doc_near_dup_incr" ->
+      """WITH sb AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents),
+         sn AS (
+           SELECT doc_id + 100000 AS doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM documents WHERE doc_id < 250)
+         SELECT b.doc_id AS id1, n.doc_id AS id2,
+                round(CAST(length(list_intersect(b.sh, n.sh)) AS DOUBLE) /
+                      greatest(length(list_distinct(b.sh || n.sh)), 1), 6) AS jaccard
+         FROM sb b JOIN sn n
+           ON CAST(length(list_intersect(b.sh, n.sh)) AS DOUBLE) /
+              greatest(length(list_distinct(b.sh || n.sh)), 1) >= 0.9
          ORDER BY id1, id2""",
     "doc_quality_oracle" ->
       """WITH base AS (

@@ -434,6 +434,64 @@ object Dedup {
     exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
   }
 
+  /** Cross-corpus near-duplicates — dedup a NEW document batch against
+    * an accumulated BASE corpus without ever pairing the base with
+    * itself: (id1 = base id, id2 = new id, jaccard ≥ threshold). The
+    * batch twin of [[graft.streaming.StreamingDedup]]'s per-trigger
+    * index probe (crawl N+1 against crawls 1..N), sharing its
+    * machinery: banded minhash on both sides, a bucket EQUI-join that
+    * only ever forms base × new pairs, the signature-agreement
+    * prefilter ([[estimateCut]]) inline in that join, and the
+    * candidate-bounded exact verify ([[exactVerifyJoin]] — the base
+    * corpus's element sets are semi-filtered to candidate ids, so the
+    * accumulated corpus never shuffles whole for verification). Ids
+    * must be unique ACROSS the two frames (the normal corpus contract);
+    * an id appearing on both sides is treated as the same document and
+    * never paired with itself.
+    *
+    * No bucket-split guard here by design: splitting a CROSS join's
+    * oversized bucket changes nothing (s sub-buckets of B/s × N rows
+    * still join B × N pairs) — the volume bound is the prefilter, which
+    * kills the low-similarity mass in whole-stage codegen before the
+    * distinct/verify stages exist.
+    */
+  def nearDuplicatesAgainst(
+      base: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      persistIntermediate: Boolean = false
+  ): DataFrame = {
+    val pb = parallelize(base)
+    val pn = parallelize(newDocs)
+    val estCut = estimateCut(threshold, numHashes)
+    val withSketch = estCut > 0.0
+    def maybePersist(df: DataFrame) =
+      if (persistIntermediate) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val bBanded = bandedMinhash(pb, idCol, textCol, shingleK, numHashes, bands, withSketch)
+    val nBanded = maybePersist(
+      bandedMinhash(pn, idCol, textCol, shingleK, numHashes, bands, withSketch))
+    val joined = bBanded.alias("b")
+      .join(nBanded.alias("n"), Seq("__band", "__bucket"))
+      .where(col("b.__id") =!= col("n.__id"))
+    val filtered =
+      if (withSketch)
+        joined.where(sigAgreement(col("b.__sigb"), col("n.__sigb")) >= lit(estCut))
+      else joined
+    val cands = filtered
+      .select(col("b.__id").as("id1"), col("n.__id").as("id2"))
+      .distinct()
+    val sh = pb.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh"))
+      .unionByName(
+        pn.select(col(idCol).as("__sid"), sortedShingleHashes(col(textCol), shingleK).as("__sh")))
+    exactVerifyJoin(cands, sh, jaccardSortedCol, threshold, persistIntermediate)
+  }
+
   /** Shared exact-verification join: candidates × per-doc element sets →
     * (id1, id2, jaccard ≥ threshold).
     *

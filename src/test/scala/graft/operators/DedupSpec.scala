@@ -306,6 +306,29 @@ class DedupSpec extends AnyFunSuite {
       "bucket-size guard must not plan a Window over the banded frame")
   }
 
+  test("nearDuplicatesAgainst pairs only base × new, matching brute-force cross jaccard") {
+    val base = docs.select($"doc_id", $"text")
+    val fresh = base.where($"doc_id" < 100)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val got = Dedup
+      .nearDuplicatesAgainst(base, fresh, "doc_id", "text",
+        threshold = 0.9, numHashes = 120, bands = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exhaustive ground truth over the FULL cross product (500 × 100)
+    val a = base.select($"doc_id".as("id1"), Dedup.sortedShingleHashes($"text", 5).as("s1"))
+    val b = fresh.select($"doc_id".as("id2"), Dedup.sortedShingleHashes($"text", 5).as("s2"))
+    val want = a.crossJoin(b)
+      .withColumn("j", Dedup.jaccardSortedCol($"s1", $"s2"))
+      .where($"j" >= 0.9)
+      .select($"id1", $"id2", round($"j", 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    // the base corpus must never pair with itself, nor new with new
+    assert(got.forall { case (i1, i2, _) => i1 < 100000L && i2 >= 100000L })
+    // every planted copy finds its original at jaccard 1
+    assert(got.count { case (i1, i2, j) => i2 == i1 + 100000L && j == 1.0 } == 100)
+  }
+
   test("guard decision sees a duplicate-saturated corpus that compresses under the stats floor") {
     // a corpus of identical docs dictionary-encodes to almost nothing,
     // so compressed-bytes statistics alone would skip the split guard on
