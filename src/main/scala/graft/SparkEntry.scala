@@ -2066,6 +2066,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- BPE tokenizer-merge learning (Bpe.learn): the corpus is
+    //     scanned ONCE into a word-type count; 8 merge steps then run on
+    //     the vocab-sized state (driver fast path here — the production
+    //     trainer shape). Oracle replays the identical algorithm in SQL,
+    //     unrolled one CTE trio per step ---
+    "doc_bpe_merges" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.learn(docs, "text", steps = 8)
+      graft.operators.Bpe.mergesDf(s, model.merges).orderBy(col("step"))
+    }),
+
+    // --- same learning through the DISTRIBUTED merge loop (driver path
+    //     disabled): each step is one map-side-combined pair-count
+    //     aggregate + a TakeOrdered top-1 + a codegen'd fold
+    //     re-segmentation — the plan a vocabulary too big to collect
+    //     runs. Same oracle: two PLANS, one semantic ---
+    "doc_bpe_merges_dist" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.learn(docs, "text", steps = 8, maxDriverWords = 0L)
+      graft.operators.Bpe.mergesDf(s, model.merges).orderBy(col("step"))
+    }),
+
+    // --- encoding under the trained model: per-doc token count after
+    //     the 8 merges — the number token-budget planning needs; the
+    //     corpus probes the vocab-sized segment table and never shuffles
+    //     before the per-doc aggregate ---
+    "doc_bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.learn(docs, "text", steps = 8)
+      graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANALYZE: one-pass per-column table statistics; NDV via the KMV
     //     sketch (exact below k=4096 — this table's regime), partials
     //     carry counts + extrema + <=k hashes per column, never values ---
@@ -2703,6 +2736,65 @@ object SparkEntry {
          FROM enc GROUP BY doc_id)
        SELECT doc_id, CAST(n_ids AS INT) AS n_ids, CAST(n_oov AS INT) AS n_oov, ids_hash
        FROM agg ORDER BY doc_id"""
+
+  /** BPE training oracle CTEs: the identical word-type algorithm in
+    * SQL, the merge loop unrolled one (pair-count, argmax, re-segment)
+    * CTE trio per step. Word state is a separator-normalized symbol
+    * string (`' l  o  w '`): `replace(' l  r ', ' lr ')` is exactly the
+    * greedy left-to-right non-overlapping merge — double-space
+    * separators mean every match keeps a boundary space on BOTH sides,
+    * so adjacent occurrences still match — and the whitespace re-split
+    * re-normalizes for the next round.
+    */
+  /** The [[graft.functions.TextFunctions.tokens]] convention as a DuckDB
+    * expression (raw string: interpolators would eat the backslashes).
+    */
+  private val bpeTokSql = """regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')"""
+
+  private def bpeCtes(steps: Int): String = {
+    val rounds = (1 to steps).map { k =>
+      s""",
+       p$k AS (
+         SELECT t.toks[i] AS l, t.toks[i+1] AS r, sum(t.cnt) AS c
+         FROM (SELECT string_split(trim(seq), '  ') AS toks, cnt FROM w${k - 1}) t,
+              UNNEST(range(1, len(t.toks))) AS u(i)
+         GROUP BY 1, 2),
+       b$k AS (SELECT l, r, l || r AS m, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+       w$k AS (
+         SELECT w, ' ' || array_to_string(
+             string_split_regex(trim(replace(seq, ' '||b.l||'  '||b.r||' ', ' '||b.m||' ')), ' +'),
+             '  ') || ' ' AS seq, cnt
+         FROM w${k - 1}, b$k b)"""
+    }.mkString
+    s"""WITH tok AS (
+         SELECT unnest($bpeTokSql) AS w
+         FROM documents),
+       w0 AS (
+         SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq,
+                count(*) AS cnt
+         FROM tok GROUP BY w)$rounds"""
+  }
+
+  /** Shared by doc_bpe_merges and doc_bpe_merges_dist (driver-local vs
+    * distributed merge loop — two PLANS, one semantic).
+    */
+  private def bpeMergesOracle(steps: Int): String = {
+    val union = (1 to steps).map(k =>
+      s"SELECT $k AS step, l AS lft, r AS rgt, m AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k")
+      .mkString("\n       UNION ALL ")
+    s"""${bpeCtes(steps)}
+       SELECT * FROM ($union) ORDER BY step"""
+  }
+
+  private def bpeEncodeOracle(steps: Int): String =
+    s"""${bpeCtes(steps)},
+       wl AS (SELECT w, len(string_split(trim(seq), '  ')) AS nt FROM w$steps),
+       dw AS (
+         SELECT doc_id, unnest($bpeTokSql) AS w
+         FROM documents)
+       SELECT d.doc_id, CAST(sum(wl.nt) AS BIGINT) AS bpe_tokens
+       FROM dw d JOIN wl USING (w)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   /** Shared by doc_unigram_rarity and doc_unigram_rarity_join (literal
     * vs broadcast-join plan — integer points make them value-exact).
@@ -3773,6 +3865,9 @@ object SparkEntry {
          FROM cnt QUALIFY id < 20 ORDER BY id""",
     "doc_vocab_encode" -> vocabEncodeOracle,
     "doc_vocab_encode_join" -> vocabEncodeOracle,
+    "doc_bpe_merges" -> bpeMergesOracle(8),
+    "doc_bpe_merges_dist" -> bpeMergesOracle(8),
+    "doc_bpe_encode" -> bpeEncodeOracle(8),
     "rel_stats" ->
       """WITH s AS (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** One learned BPE merge: at `step`, the adjacent symbol pair
+  * (`lft`, `rgt`) — the corpus-most-frequent at that point, ties broken
+  * lexicographically — was fused into `merged`, with `pairCount`
+  * weighted occurrences at decision time.
+  */
+case class BpeMerge(step: Int, lft: String, rgt: String, merged: String, pairCount: Long)
+
+/** A trained BPE model: the ordered merge list plus the final per-word
+  * segmentation (`wordTokens`: word, cnt, syms) the merges imply over
+  * the training vocabulary.
+  */
+final class BpeModel(val merges: Seq[BpeMerge], val wordTokens: DataFrame)
+
+/** Byte-pair-encoding tokenizer TRAINING — the step an LLM data
+  * pipeline runs before any token-budget accounting is meaningful
+  * (token_count/bpe_token_count in [[graft.functions.TextFunctions]]
+  * only approximate a tokenizer; this learns one from the corpus).
+  *
+  * Algorithm (Sennrich et al. 2016, the standard word-type
+  * formulation): tokenize the corpus into words, count word TYPES
+  * (word → frequency) — the only pass that ever touches the corpus —
+  * then iterate on the vocabulary-sized type table: each step counts
+  * adjacent symbol pairs weighted by word frequency, fuses the most
+  * frequent pair (count desc, then left/right symbol ascending — a
+  * total order, so training is deterministic), and re-segments every
+  * word by a greedy left-to-right scan.
+  *
+  * Scale shape (100 TB): the corpus contributes ONE map-side-combined
+  * word-count shuffle; every subsequent step is O(|vocab|), not
+  * O(corpus). Even a 100 TB web corpus has ~10^7-10^8 word types, so
+  * after the count the working set is GB-scale. Two execution paths,
+  * same results by construction (BpeSpec pins equality):
+  *
+  *  - driver path (vocab ≤ `maxDriverWords`): collect (word, cnt) and
+  *    run the merge loop locally — zero Spark jobs per step; this is
+  *    how production tokenizer trainers work, and with 30k+ merge steps
+  *    it is the only sensible shape.
+  *  - distributed path: the type table stays a DataFrame; each step is
+  *    one map-side-combined pair-count aggregate + a TakeOrdered top-1
+  *    (one row to the driver) + a codegen'd fold re-segmentation.
+  *    Lineage is cut periodically. For vocabularies too big for the
+  *    driver — or steps small enough that per-step job overhead is
+  *    acceptable.
+  */
+object Bpe {
+
+  /** Steps between localCheckpoint lineage cuts on the distributed
+    * path: each step adds one projection (whose fold expression
+    * references the symbol array exactly once, so collapsed expression
+    * size stays linear in steps); cutting every 16 keeps plans shallow
+    * without paying a materialization every step (the per-step persist
+    * already bounds recompute).
+    */
+  val CutEverySteps = 16
+
+  /** Learn `steps` merges over `textCol` of `docs`. Stops early if no
+    * adjacent pair reaches `minCount`. Word tokenization is
+    * [[TextFunctions.tokens]] (the library-wide convention); initial
+    * symbols are single characters.
+    */
+  def learn(
+      docs: DataFrame,
+      textCol: String,
+      steps: Int,
+      minCount: Long = 1L,
+      maxDriverWords: Long = 1000000L
+  ): BpeModel = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val spark = docs.sparkSession
+    val wordCounts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = wordCounts.count()
+      if (nWords <= maxDriverWords) learnLocal(spark, wordCounts, steps, minCount)
+      else learnDistributed(wordCounts, steps, minCount)
+    } finally wordCounts.unpersist(blocking = false)
+  }
+
+  /** The learned merges as a DataFrame (step, lft, rgt, merged,
+    * pair_count) — the artifact a pipeline persists beside its corpus.
+    */
+  def mergesDf(spark: SparkSession, merges: Seq[BpeMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** Per-document token count under the trained model: explode words,
+    * probe the word→segment-length table (vocab-sized — Spark
+    * auto-broadcasts it when it fits, the corpus side never shuffles
+    * before the final per-doc aggregate), sum. Documents whose words
+    * all fall outside the training vocabulary (e.g. an empty text)
+    * produce no row, matching a relational join's semantics.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .join(model.wordTokens.select(col("word").as("__w"), size(col("syms")).as("__nt")), "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__nt")).as("bpe_tokens"))
+
+  // ---------------------------------------------------------------
+  // driver path
+  // ---------------------------------------------------------------
+
+  /** UTF-8 byte order (unsigned), matching Spark's UTF8String binary
+    * comparison and DuckDB's default collation, so driver-path
+    * tie-breaks equal distributed-path and oracle tie-breaks even
+    * beyond ASCII.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def learnLocal(
+      spark: SparkSession,
+      wordCounts: DataFrame,
+      steps: Int,
+      minCount: Long
+  ): BpeModel = {
+    val words: Array[(mutable.ArrayBuffer[String], Long)] = wordCounts
+      .collect()
+      .map(r => (mutable.ArrayBuffer(r.getString(0).split("").filter(_.nonEmpty).toSeq: _*),
+        r.getLong(1)))
+    val merges = mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + cnt))
+      if (pairCounts.isEmpty) done = true
+      else {
+        // argmax: count desc, then (l, r) ascending in UTF-8 byte order
+        var l: String = null; var r: String = null; var c = -1L
+        for (((pl, pr), pc) <- pairCounts) {
+          val better = pc > c ||
+            (pc == c && (utf8Lt(pl, l) || (pl == l && utf8Lt(pr, r))))
+          if (better) { l = pl; r = pr; c = pc }
+        }
+        if (c < minCount) done = true
+        else {
+          val m = l + r
+          merges += BpeMerge(step, l, r, m, c)
+          var w = 0
+          while (w < words.length) {
+            val syms = words(w)._1
+            // greedy left-to-right fold: merge when the accumulated top
+            // is l and the incoming symbol is r (equivalent to scan-and-
+            // skip because merged == l would need r to be empty)
+            val acc = mutable.ArrayBuffer.empty[String]
+            for (s <- syms)
+              if (acc.nonEmpty && acc.last == l && s == r) acc(acc.length - 1) = m
+              else acc += s
+            if (acc.length != syms.length) words(w) = (acc, words(w)._2)
+            w += 1
+          }
+          step += 1
+        }
+      }
+    }
+    import spark.implicits._
+    val wordTokens = words.toSeq
+      .map { case (syms, cnt) => (syms.mkString, cnt, syms.toSeq) }
+      .toDF("word", "cnt", "syms")
+    new BpeModel(merges.toSeq, wordTokens)
+  }
+
+  // ---------------------------------------------------------------
+  // distributed path
+  // ---------------------------------------------------------------
+
+  /** Greedy left-to-right merge of adjacent (l, r) into `l+r` as a
+    * codegen'd fold over the symbol array. `try_element_at(acc, -1)`
+    * (null, never an ANSI error, on the empty accumulator) keeps the
+    * first iteration on the append branch.
+    */
+  private[operators] def applyMergeCol(syms: Column, l: String, r: String): Column = {
+    val m = l + r
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(s))))
+  }
+
+  private def learnDistributed(
+      wordCounts: DataFrame,
+      steps: Int,
+      minCount: Long
+  ): BpeModel = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var words = wordCounts
+      .withColumn("syms", filter(split(col("word"), ""), s => length(s) > lit(0)))
+      .persist(mem)
+    var prev: Option[DataFrame] = None
+    val merges = mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      // pair-count: explode only multi-symbol words; partial aggregation
+      // combines map-side, TakeOrdered ships ONE row to the driver
+      val best = words
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(
+            element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      // that action materialized the current `words` cache; the frame it
+      // was derived from no longer feeds anything unmaterialized
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
+      val next = best.headOption.map(b => (b.getString(0), b.getString(1), b.getLong(2)))
+      next match {
+        case Some((l, r, c)) if c >= minCount =>
+          merges += BpeMerge(step, l, r, l + r, c)
+          val applied = words.withColumn("syms", applyMergeCol(col("syms"), l, r))
+          prev = Some(words)
+          words =
+            if (step % CutEverySteps == 0) applied.localCheckpoint()
+            else applied.persist(mem)
+          step += 1
+        case _ => done = true
+      }
+    }
+    new BpeModel(merges.toSeq, words.select(col("word"), col("cnt"), col("syms")))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Sennrich et al.'s worked example shape: low/lower/newest/widest
+  private lazy val corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("learn fuses the most frequent pair each step, ties lexicographic") {
+    // pair counts over types weighted by freq: es=9 (newest 6 + widest 3),
+    // st=9, lo=7, ow=7, ne=6, ew=6, we=8 (lower 2 + newest 6)... compute:
+    // low:5 l-o,o-w; lower:2 l-o,o-w,w-e,e-r; newest:6 n-e,e-w,w-e,e-s,s-t;
+    // widest:3 w-i,i-d,d-e,e-s,s-t
+    // l-o 7, o-w 7, w-e 8, e-r 2, n-e 6, e-w 6, e-s 9, s-t 9, w-i 3, i-d 3, d-e 3
+    // step1: tie e-s vs s-t at 9 → 'e' < 's' → merge (e,s)->es
+    // step2: now es-t appears 9 (newest 6 + widest 3): (es,t) 9 wins
+    val model = Bpe.learn(corpus, "text", steps = 3)
+    val got = model.merges.map(m => (m.step, m.lft, m.rgt, m.merged, m.pairCount))
+    assert(got.take(2) == Seq((1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L)))
+    // step3: l-o 7 ties o-w 7 (low 5 + lower 2 each) → 'l' < 'o'
+    assert(got(2) == ((3, "l", "o", "lo", 7L)))
+  }
+
+  test("driver and distributed paths learn identical merges and segmentations") {
+    val local = Bpe.learn(corpus, "text", steps = 5)
+    val dist = Bpe.learn(corpus, "text", steps = 5, maxDriverWords = 0L)
+    assert(local.merges == dist.merges)
+    def seg(m: BpeModel) = m.wordTokens
+      .select($"word", $"syms")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg(local) == seg(dist))
+  }
+
+  test("greedy fold matches scan semantics on overlapping pairs") {
+    // 'aaaa' with merge (a,a): greedy non-overlap → [aa, aa]; 'aaa' → [aa, a]
+    val df = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val model = Bpe.learn(df, "text", steps = 1)
+    assert(model.merges.map(m => (m.lft, m.rgt)) == Seq(("a", "a")))
+    val segs = model.wordTokens.select($"word", $"syms")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segs("aaaa") == Seq("aa", "aa"))
+    assert(segs("aaa") == Seq("aa", "a"))
+    // distributed fold agrees on the same overlap edge
+    val dist = Bpe.learn(df, "text", steps = 1, maxDriverWords = 0L)
+    val dsegs = dist.wordTokens.select($"word", $"syms")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(dsegs == segs)
+  }
+
+  test("tokenCounts sums per-word segment lengths per document") {
+    val model = Bpe.learn(corpus, "text", steps = 2) // es, est learned
+    // after (e,s)+(es,t): low=[l,o,w] 3; lower=[l,o,w,e,r] 5;
+    // newest=[n,e,w,est] 4; widest=[w,i,d,est] 4
+    val counts = Bpe.tokenCounts(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 15L, 2L -> 10L, 3L -> 24L, 4L -> 12L))
+  }
+
+  test("learning stops early when no pair reaches minCount or none remain") {
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // (a,b) count 2, (c,d) count 1 — minCount=2 learns exactly one merge
+    val m1 = Bpe.learn(tiny, "text", steps = 10, minCount = 2L)
+    assert(m1.merges.map(m => (m.lft, m.rgt, m.pairCount)) == Seq(("a", "b", 2L)))
+    // single-char words: no adjacent pairs at all → zero merges
+    val chars = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.learn(chars, "text", steps = 3).merges.isEmpty)
+    assert(Bpe.learn(chars, "text", steps = 3, maxDriverWords = 0L).merges.isEmpty)
+  }
+
+  test("matches the corpus fixture's DuckDB-checked shape at sf0.001") {
+    // the oracle prototype (same algorithm in SQL) produced these exact
+    // first merges on /root/testdata/sf0.001/documents.parquet — pin them
+    // so the gate's oracle and the operator can't drift apart silently
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Bpe.learn(docs, "text", steps = 3)
+    assert(model.merges.map(m => (m.step, m.lft, m.rgt, m.merged, m.pairCount)) ==
+      Seq((1, "e", "r", "er", 4650L), (2, "o", "r", "or", 2880L), (3, "i", "n", "in", 2858L)))
+  }
+}

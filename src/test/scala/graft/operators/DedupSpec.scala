@@ -280,6 +280,22 @@ class DedupSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("connectedComponents checkpointInterval spans rounds without changing labels") {
+    // path 1-..-9: diameter 8 forces ~8 propagation rounds, so interval=3
+    // exercises durable rounds, persisted in-between rounds, AND the
+    // final-round flush (8 % 3 != 0); interval=1 is the legacy every-round
+    // behavior. All three must agree exactly.
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val expected = (1L to 9L).map(_ -> 1L).toMap
+    for (interval <- Seq(1, 3, 100)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"cc-ckpt-iv$interval").toString
+      val got = Dedup.connectedComponents(pairs, "id1", "id2",
+          checkpointDir = Some(dir), checkpointInterval = interval)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"interval=$interval")
+    }
+  }
+
   test("oversized LSH buckets split instead of dropping: pairs survive, fanout stays linear") {
     // 40 identical docs -> every band puts all 40 in ONE bucket. With
     // maxBucket=10 the old guard dropped the bucket (zero candidates);
