@@ -2099,6 +2099,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- the PERSISTED-model encode path: train, save (atomic-metadata
+    //     model directory), load, then encode through the loaded
+    //     artifact — the tokenize-later shape a real pipeline runs
+    //     (train once, ship merges.parquet + word_tokens.parquet).
+    //     Same oracle as doc_bpe_encode ---
+    "doc_bpe_encode_loaded" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.learn(docs, "text", steps = 8)
+      val mdir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+      graft.operators.Bpe.save(model, mdir)
+      val loaded = graft.operators.Bpe.load(s, mdir)
+      graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", loaded)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANALYZE: one-pass per-column table statistics; NDV via the KMV
     //     sketch (exact below k=4096 — this table's regime), partials
     //     carry counts + extrema + <=k hashes per column, never values ---
@@ -3868,6 +3883,7 @@ object SparkEntry {
     "doc_bpe_merges" -> bpeMergesOracle(8),
     "doc_bpe_merges_dist" -> bpeMergesOracle(8),
     "doc_bpe_encode" -> bpeEncodeOracle(8),
+    "doc_bpe_encode_loaded" -> bpeEncodeOracle(8),
     "rel_stats" ->
       """WITH s AS (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

@@ -111,6 +111,47 @@ object Bpe {
       .agg(sum(col("__nt")).as("bpe_tokens"))
 
   // ---------------------------------------------------------------
+  // model persistence
+  // ---------------------------------------------------------------
+
+  /** Persist a trained model: `merges.parquet` (the ordered merge list —
+    * the artifact every consumer needs) + `word_tokens.parquet` (the
+    * training vocabulary's final segmentation, what [[tokenCounts]]
+    * probes) + `_model.json` LAST via tmp + ATOMIC_MOVE — a crash
+    * mid-save leaves a directory [[load]] refuses, never a torn model.
+    */
+  def save(model: BpeModel, dir: String): Unit = {
+    val spark = model.wordTokens.sparkSession
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    mergesDf(spark, model.merges)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges.parquet")
+    model.wordTokens.write.mode("overwrite").parquet(s"$dir/word_tokens.parquet")
+    val meta = s"""{"steps": ${model.merges.size}}"""
+    val tmp = java.nio.file.Paths.get(dir, "_model.json.tmp")
+    java.nio.file.Files.writeString(tmp, meta)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_model.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Load a model [[save]]d to `dir`. The merge list (small by
+    * construction — one row per learned merge) collects to the driver;
+    * the vocabulary-sized segmentation table stays a DataFrame.
+    */
+  def load(spark: SparkSession, dir: String): BpeModel = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_model.json")),
+      s"$dir is not a committed BPE model (missing _model.json — interrupted save?)")
+    val merges = spark.read.parquet(s"$dir/merges.parquet")
+      .select(col("step"), col("lft"), col("rgt"), col("merged"), col("pair_count"))
+      .orderBy(col("step"))
+      .collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+    new BpeModel(merges, spark.read.parquet(s"$dir/word_tokens.parquet"))
+  }
+
+  // ---------------------------------------------------------------
   // driver path
   // ---------------------------------------------------------------
 

@@ -77,6 +77,38 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn(chars, "text", steps = 3, maxDriverWords = 0L).merges.isEmpty)
   }
 
+  test("save/load round-trips the model; load refuses an uncommitted dir") {
+    val model = Bpe.learn(corpus, "text", steps = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    Bpe.save(model, dir)
+    val loaded = Bpe.load(spark, dir)
+    assert(loaded.merges == model.merges)
+    val before = Bpe.tokenCounts(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Bpe.tokenCounts(corpus, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    // a dir without the final metadata commit (crash mid-save) is refused
+    val torn = java.nio.file.Files.createTempDirectory("bpe-torn").toString
+    mergesDfCopy(dir, torn)
+    val e = intercept[IllegalArgumentException](Bpe.load(spark, torn))
+    assert(e.getMessage.contains("_model.json"))
+  }
+
+  private def mergesDfCopy(from: String, to: String): Unit = {
+    // copy only the data dirs, not _model.json — simulates the crash window
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(from)
+    java.nio.file.Files.walk(src).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("_model"))
+      .foreach { p =>
+        val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
   test("matches the corpus fixture's DuckDB-checked shape at sf0.001") {
     // the oracle prototype (same algorithm in SQL) produced these exact
     // first merges on /root/testdata/sf0.001/documents.parquet — pin them
