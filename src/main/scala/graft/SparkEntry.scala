@@ -2099,6 +2099,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- the EXPRESSION encode path: token counts from the merge list
+    //     alone (Bpe.tokensCol — greedy folds composed per merge, no
+    //     vocabulary join), the plan that also handles words never seen
+    //     in training. Third plan, same oracle ---
+    "doc_bpe_encode_expr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.learn(docs, "text", steps = 8)
+      docs.select(col("doc_id"),
+          size(graft.operators.Bpe.tokensCol(col("text"), model.merges))
+            .cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- the PERSISTED-model encode path: train, save (atomic-metadata
     //     model directory), load, then encode through the loaded
     //     artifact — the tokenize-later shape a real pipeline runs
@@ -3884,6 +3897,7 @@ object SparkEntry {
     "doc_bpe_merges_dist" -> bpeMergesOracle(8),
     "doc_bpe_encode" -> bpeEncodeOracle(8),
     "doc_bpe_encode_loaded" -> bpeEncodeOracle(8),
+    "doc_bpe_encode_expr" -> bpeEncodeOracle(8),
     "rel_stats" ->
       """WITH s AS (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

@@ -96,6 +96,23 @@ object Bpe {
     merges.toDF("step", "lft", "rgt", "merged", "pair_count")
   }
 
+  /** BPE token sequence of `text` computed from the merge list ALONE —
+    * the shipped-tokenizer behavior: words never seen in training still
+    * segment correctly (greedy merges over their characters), which the
+    * [[tokenCounts]] vocabulary join cannot do. Pure projection: each of
+    * the `merges.size` folds composes as a codegen'd higher-order
+    * expression, so this is the right shape for the tens-of-merges
+    * regime (feature hashing, sub-token stats); a vocabulary-scale
+    * encoder (30k merges) wants [[tokenCounts]]' vocab-table probe —
+    * 30k nested folds would not compile, and real trainers ship the
+    * word→segment table for exactly this reason.
+    */
+  def tokensCol(text: Column, merges: Seq[BpeMerge]): Column =
+    flatten(transform(TextFunctions.tokens(text), w => {
+      val chars = filter(split(w, ""), s => length(s) > lit(0))
+      merges.foldLeft(chars)((syms, m) => applyMergeCol(syms, m.lft, m.rgt))
+    }))
+
   /** Per-document token count under the trained model: explode words,
     * probe the word→segment-length table (vocab-sized — Spark
     * auto-broadcasts it when it fits, the corpus side never shuffles

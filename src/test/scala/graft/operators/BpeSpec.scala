@@ -77,6 +77,23 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn(chars, "text", steps = 3, maxDriverWords = 0L).merges.isEmpty)
   }
 
+  test("tokensCol segments unseen words with the shipped merges alone") {
+    val model = Bpe.learn(corpus, "text", steps = 2) // (e,s) then (es,t)
+    // 'bestest' never appears in the corpus: chars b,e,s,t,e,s,t →
+    // (e,s): [b,es,t,es,t] → (es,t): [b,est,est]
+    val out = Seq((1L, "bestest lowest"))
+      .toDF("doc_id", "text")
+      .select(Bpe.tokensCol($"text", model.merges).as("toks"))
+      .collect()(0).getSeq[String](0)
+    // lowest: l,o,w,e,s,t → [l,o,w,es,t] → [l,o,w,est]
+    assert(out == Seq("b", "est", "est", "l", "o", "w", "est"))
+    // and on the training vocab it reproduces wordTokens exactly
+    val viaExpr = model.wordTokens
+      .select($"word", Bpe.tokensCol($"word", model.merges).as("e"), $"syms")
+      .where(not($"e" === $"syms"))
+    assert(viaExpr.count() == 0)
+  }
+
   test("save/load round-trips the model; load refuses an uncommitted dir") {
     val model = Bpe.learn(corpus, "text", steps = 3)
     val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString
