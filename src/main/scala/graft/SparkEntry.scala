@@ -1801,8 +1801,9 @@ object SparkEntry {
     }),
 
     // --- cluster formation on the RELIABLE-checkpoint path: identical
-    //     semantics to doc_near_dup_clusters, but each label-propagation
-    //     round checkpoints to stable storage (`checkpointDir`) instead
+    //     semantics to doc_near_dup_clusters, but label propagation cuts
+    //     to stable storage every checkpointInterval rounds (`checkpointDir`,
+    //     MEMORY_AND_DISK persists in between) instead
     //     of executor-local blocks — the configuration a 100 TB run uses
     //     so iteration survives executor churn (VERDICT r14 #8). Same
     //     exhaustive oracle as the localCheckpoint gate. ---
@@ -2109,6 +2110,9 @@ object SparkEntry {
       docs.select(col("doc_id"),
           size(graft.operators.Bpe.tokensCol(col("text"), model.merges))
             .cast("long").as("bpe_tokens"))
+        // tokenless docs: the projection yields 0 where the oracle's
+        // word unnest (and the join gates) yield no row — align on no-row
+        .where(col("bpe_tokens") > 0)
         .orderBy(col("doc_id"))
     }),
 
@@ -2120,7 +2124,10 @@ object SparkEntry {
     "doc_bpe_encode_loaded" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val model = graft.operators.Bpe.learn(docs, "text", steps = 8)
-      val mdir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+      // one model dir per (tmp, sfDir) — save overwrites, so repeated
+      // bench/verify invocations reuse it instead of accreting tmp dirs
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bpe-model-${Integer.toHexString(dir.hashCode)}").toString
       graft.operators.Bpe.save(model, mdir)
       val loaded = graft.operators.Bpe.load(s, mdir)
       graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", loaded)
@@ -2780,6 +2787,10 @@ object SparkEntry {
   private val bpeTokSql = """regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')"""
 
   private def bpeCtes(steps: Int): String = {
+    // b_k LEFT JOIN ON TRUE + CASE: a corpus that exhausts its mergeable
+    // pairs before step `steps` leaves later b CTEs empty — the word
+    // state must pass through unchanged (matching the operator's early
+    // stop), not empty out via an inner cross join
     val rounds = (1 to steps).map { k =>
       s""",
        p$k AS (
@@ -2789,10 +2800,10 @@ object SparkEntry {
          GROUP BY 1, 2),
        b$k AS (SELECT l, r, l || r AS m, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
        w$k AS (
-         SELECT w, ' ' || array_to_string(
+         SELECT w, CASE WHEN b.l IS NULL THEN seq ELSE ' ' || array_to_string(
              string_split_regex(trim(replace(seq, ' '||b.l||'  '||b.r||' ', ' '||b.m||' ')), ' +'),
-             '  ') || ' ' AS seq, cnt
-         FROM w${k - 1}, b$k b)"""
+             '  ') || ' ' END AS seq, cnt
+         FROM w${k - 1} LEFT JOIN b$k b ON TRUE)"""
     }.mkString
     s"""WITH tok AS (
          SELECT unnest($bpeTokSql) AS w

@@ -42,8 +42,10 @@ final class BpeModel(val merges: Seq[BpeMerge], val wordTokens: DataFrame)
   *
   *  - driver path (vocab ≤ `maxDriverWords`): collect (word, cnt) and
   *    run the merge loop locally — zero Spark jobs per step; this is
-  *    how production tokenizer trainers work, and with 30k+ merge steps
-  *    it is the only sensible shape.
+  *    how production tokenizer trainers work. Pair counts build ONCE and
+  *    update incrementally through an inverted pair→word index, so a
+  *    merge step costs O(affected words), not O(total symbols) — the
+  *    property that makes vocabulary-scale (30k+) step counts viable.
   *  - distributed path: the type table stays a DataFrame; each step is
   *    one map-side-combined pair-count aggregate + a TakeOrdered top-1
   *    (one row to the driver) + a codegen'd fold re-segmentation.
@@ -61,6 +63,15 @@ object Bpe {
     * already bounds recompute).
     */
   val CutEverySteps = 16
+
+  /** Initial symbols of a word, one per CODE POINT (`.` in Java regex
+    * matches a full code point; a word from [[TextFunctions.tokens]]
+    * never contains line terminators). `split("")` would cut supplementary
+    * characters into lone UTF-16 surrogates, which UTF8String/UTF-8
+    * encode as replacement chars — collapsing distinct symbols and
+    * diverging from the driver path and the DuckDB oracle.
+    */
+  private def charsCol(w: Column): Column = regexp_extract_all(w, lit("."), lit(0))
 
   /** Learn `steps` merges over `textCol` of `docs`. Stops early if no
     * adjacent pair reaches `minCount`. Word tokenization is
@@ -108,10 +119,8 @@ object Bpe {
     * word→segment table for exactly this reason.
     */
   def tokensCol(text: Column, merges: Seq[BpeMerge]): Column =
-    flatten(transform(TextFunctions.tokens(text), w => {
-      val chars = filter(split(w, ""), s => length(s) > lit(0))
-      merges.foldLeft(chars)((syms, m) => applyMergeCol(syms, m.lft, m.rgt))
-    }))
+    flatten(transform(TextFunctions.tokens(text), w =>
+      merges.foldLeft(charsCol(w))((syms, m) => applyMergeCol(syms, m.lft, m.rgt))))
 
   /** Per-document token count under the trained model: explode words,
     * probe the word→segment-length table (vocab-sized — Spark
@@ -134,12 +143,15 @@ object Bpe {
   /** Persist a trained model: `merges.parquet` (the ordered merge list —
     * the artifact every consumer needs) + `word_tokens.parquet` (the
     * training vocabulary's final segmentation, what [[tokenCounts]]
-    * probes) + `_model.json` LAST via tmp + ATOMIC_MOVE — a crash
-    * mid-save leaves a directory [[load]] refuses, never a torn model.
+    * probes) + `_model.json` LAST via tmp + ATOMIC_MOVE. Saving over an
+    * EXISTING model drops the commit marker before touching any data —
+    * so a crash at ANY point mid-save (fresh dir or retrain-in-place)
+    * leaves a directory [[load]] refuses, never a mixed or torn model.
     */
   def save(model: BpeModel, dir: String): Unit = {
     val spark = model.wordTokens.sparkSession
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_model.json"))
     mergesDf(spark, model.merges)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges.parquet")
     model.wordTokens.write.mode("overwrite").parquet(s"$dir/word_tokens.parquet")
@@ -172,22 +184,27 @@ object Bpe {
   // driver path
   // ---------------------------------------------------------------
 
-  /** UTF-8 byte order (unsigned), matching Spark's UTF8String binary
-    * comparison and DuckDB's default collation, so driver-path
-    * tie-breaks equal distributed-path and oracle tie-breaks even
-    * beyond ASCII.
+  /** UTF-8 byte order, matching Spark's UTF8String binary comparison
+    * and DuckDB's default collation, so driver-path tie-breaks equal
+    * distributed-path and oracle tie-breaks even beyond ASCII (the same
+    * definition of "Spark binary order" BigtableAgg's MIN/MAX uses).
     */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** One symbol per code point (see [[charsCol]] — `split("")` cuts
+    * supplementary characters into lone surrogates).
+    */
+  private def codePointSyms(w: String): mutable.ArrayBuffer[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
     var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      buf += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
     }
-    x.length < y.length
+    buf
   }
 
   private def learnLocal(
@@ -198,15 +215,31 @@ object Bpe {
   ): BpeModel = {
     val words: Array[(mutable.ArrayBuffer[String], Long)] = wordCounts
       .collect()
-      .map(r => (mutable.ArrayBuffer(r.getString(0).split("").filter(_.nonEmpty).toSeq: _*),
-        r.getLong(1)))
+      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
+    // pair counts build ONCE; every merge step updates them through the
+    // inverted pair→word index, touching only affected words — O(delta)
+    // per step, which is what makes 30k-step training runs viable
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def indexWord(idx: Int, syms: mutable.ArrayBuffer[String], cnt: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = pairCounts.getOrElse(p, 0L) + sign * cnt
+        if (c == 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        if (sign > 0) occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+        else occ.get(p).foreach { s => s -= idx; if (s.isEmpty) occ.remove(p) }
+        i += 1
+      }
+    }
+    var w0 = 0
+    while (w0 < words.length) {
+      indexWord(w0, words(w0)._1, words(w0)._2, 1L); w0 += 1
+    }
     val merges = mutable.ArrayBuffer.empty[BpeMerge]
     var step = 1
     var done = false
     while (step <= steps && !done) {
-      val pairCounts = mutable.HashMap.empty[(String, String), Long]
-      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
-        pairCounts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + cnt))
       if (pairCounts.isEmpty) done = true
       else {
         // argmax: count desc, then (l, r) ascending in UTF-8 byte order
@@ -220,9 +253,11 @@ object Bpe {
         else {
           val m = l + r
           merges += BpeMerge(step, l, r, m, c)
-          var w = 0
-          while (w < words.length) {
-            val syms = words(w)._1
+          // only words actually containing (l, r) re-segment
+          val affected = occ.get((l, r)).map(_.toArray).getOrElse(Array.emptyIntArray)
+          for (idx <- affected) {
+            val (syms, cnt) = words(idx)
+            indexWord(idx, syms, cnt, -1L)
             // greedy left-to-right fold: merge when the accumulated top
             // is l and the incoming symbol is r (equivalent to scan-and-
             // skip because merged == l would need r to be empty)
@@ -230,8 +265,8 @@ object Bpe {
             for (s <- syms)
               if (acc.nonEmpty && acc.last == l && s == r) acc(acc.length - 1) = m
               else acc += s
-            if (acc.length != syms.length) words(w) = (acc, words(w)._2)
-            w += 1
+            words(idx) = (acc, cnt)
+            indexWord(idx, acc, cnt, 1L)
           }
           step += 1
         }
@@ -271,7 +306,7 @@ object Bpe {
   ): BpeModel = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var words = wordCounts
-      .withColumn("syms", filter(split(col("word"), ""), s => length(s) > lit(0)))
+      .withColumn("syms", charsCol(col("word")))
       .persist(mem)
     var prev: Option[DataFrame] = None
     val merges = mutable.ArrayBuffer.empty[BpeMerge]
@@ -309,6 +344,11 @@ object Bpe {
         case _ => done = true
       }
     }
+    // step-budget exit leaves the final frame persisted but never
+    // materialized (no action ran after the last re-segmentation) —
+    // materialize it before releasing the cached frame it reads from,
+    // and release that frame (it otherwise leaks for the session's life)
+    prev.foreach { p => words.count(); p.unpersist(blocking = false) }
     new BpeModel(merges.toSeq, words.select(col("word"), col("cnt"), col("syms")))
   }
 }

@@ -138,7 +138,13 @@ object Dedup {
     * rounds back to the last durable cut (persist does NOT truncate
     * lineage, so an executor loss replays at most that window instead of
     * killing the job), and the stable-storage write amortizes across the
-    * interval. 1 restores the old every-round behavior.
+    * interval. 1 restores the old every-round behavior. Capped at 8:
+    * `labels` feeds BOTH the neighbor aggregate and the update join, so
+    * the un-truncated plan doubles per non-durable round (2^interval×
+    * base by the next cut) — the exact blowup cut() exists to prevent;
+    * localCheckpoint between cuts would bound the plan but truncates
+    * lineage, which forfeits the executor-loss recompute that IS
+    * reliable mode's contract.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -148,7 +154,9 @@ object Dedup {
       checkpointDir: Option[String] = None,
       checkpointInterval: Int = 3
   ): DataFrame = {
-    require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
+    require(checkpointInterval >= 1 && checkpointInterval <= 8,
+      s"checkpointInterval must be in [1, 8] (plans double per non-durable round), " +
+        s"got $checkpointInterval")
     // Checkpoint (not persist): persisting does NOT truncate the
     // logical plan, and an iterative loop otherwise nests each round's
     // plan inside the next — exponential plan trees that OOM the driver

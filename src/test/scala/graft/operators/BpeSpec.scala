@@ -77,6 +77,33 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn(chars, "text", steps = 3, maxDriverWords = 0L).merges.isEmpty)
   }
 
+  test("supplementary-plane symbols: driver == distributed (code-point split)") {
+    // U+10437 (Deseret) is outside the BMP: a UTF-16 code-unit split
+    // would cut it into lone surrogates, which UTF-8/UTF8String encode
+    // as replacement chars — collapsing distinct symbols. Both paths
+    // must segment per CODE POINT and learn identical merges.
+    val d = new String(Character.toChars(0x10437))
+    val e = new String(Character.toChars(0x10438))
+    val docs = Seq((1L, s"$d$e$d$e $d$e"), (2L, s"$e$d")).toDF("doc_id", "text")
+    val local = Bpe.learn(docs, "text", steps = 2)
+    val dist = Bpe.learn(docs, "text", steps = 2, maxDriverWords = 0L)
+    assert(local.merges.nonEmpty)
+    assert(local.merges == dist.merges)
+    assert(local.merges.head.lft == d && local.merges.head.rgt == e)
+    def seg(m: BpeModel) = m.wordTokens.select($"word", $"syms")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg(local) == seg(dist))
+  }
+
+  test("saving over an existing model dir replaces it atomically") {
+    val m3 = Bpe.learn(corpus, "text", steps = 3)
+    val m5 = Bpe.learn(corpus, "text", steps = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-retrain").toString
+    Bpe.save(m3, dir)
+    Bpe.save(m5, dir) // retrain in place: marker dropped first, re-committed last
+    assert(Bpe.load(spark, dir).merges == m5.merges)
+  }
+
   test("tokensCol segments unseen words with the shipped merges alone") {
     val model = Bpe.learn(corpus, "text", steps = 2) // (e,s) then (es,t)
     // 'bestest' never appears in the corpus: chars b,e,s,t,e,s,t →

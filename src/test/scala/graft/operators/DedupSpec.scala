@@ -284,10 +284,15 @@ class DedupSpec extends AnyFunSuite {
     // path 1-..-9: diameter 8 forces ~8 propagation rounds, so interval=3
     // exercises durable rounds, persisted in-between rounds, AND the
     // final-round flush (8 % 3 != 0); interval=1 is the legacy every-round
-    // behavior. All three must agree exactly.
+    // behavior; 8 is the cap (plans double per non-durable round). All
+    // three must agree exactly.
     val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
     val expected = (1L to 9L).map(_ -> 1L).toMap
-    for (interval <- Seq(1, 3, 100)) {
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id1", "id2",
+        checkpointDir = Some("/tmp/x"), checkpointInterval = 9)
+    }
+    for (interval <- Seq(1, 3, 8)) {
       val dir = java.nio.file.Files.createTempDirectory(s"cc-ckpt-iv$interval").toString
       val got = Dedup.connectedComponents(pairs, "id1", "id2",
           checkpointDir = Some(dir), checkpointInterval = interval)
