@@ -153,6 +153,54 @@ class BpeSpec extends AnyFunSuite {
       }
   }
 
+  test("property: incremental == naive full-recount == distributed on random corpora") {
+    // the driver path's inverted-index delta updates must be observably
+    // identical to recounting every pair from scratch each step (the
+    // textbook formulation), and to the distributed loop. Small alphabet
+    // + duplicate-heavy corpora force deep merge chains and count ties.
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nWords = 3 + rng.nextInt(12)
+      val words = Seq.fill(nWords)(
+        (1 to (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(4)).toChar).mkString)
+      val docs = words.zipWithIndex.flatMap { case (w, i) =>
+        Seq.fill(1 + rng.nextInt(5))(w -> i.toLong)
+      }
+      val df = docs.zipWithIndex.map { case ((w, _), i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val steps = 1 + rng.nextInt(6)
+
+      // naive reference: full pair recount every step, same tie-break
+      var ref = Vector.empty[(String, String, Long)]
+      var state = docs.map(_._1).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, c) => (w.split("").toVector, c) }.toVector
+      var halted = false
+      for (_ <- 1 to steps if !halted) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((syms, c) <- state; i <- 0 until syms.length - 1)
+          pc.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+        if (pc.isEmpty) halted = true
+        else {
+          val ((l, r), c) = pc.toSeq.minBy { case ((pl, pr), pcc) => (-pcc, pl, pr) }
+          ref = ref :+ ((l, r, c))
+          state = state.map { case (syms, cnt) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms)
+              if (acc.nonEmpty && acc.last == l && s == r) acc(acc.length - 1) = l + r
+              else acc += s
+            (acc.toVector, cnt)
+          }
+        }
+      }
+
+      val local = Bpe.learn(df, "text", steps = steps)
+      assert(local.merges.map(m => (m.lft, m.rgt, m.pairCount)) == ref,
+        s"trial $trial: incremental != naive (words=$words steps=$steps)")
+      val dist = Bpe.learn(df, "text", steps = steps, maxDriverWords = 0L)
+      assert(dist.merges == local.merges, s"trial $trial: distributed != incremental")
+    }
+  }
+
   test("matches the corpus fixture's DuckDB-checked shape at sf0.001") {
     // the oracle prototype (same algorithm in SQL) produced these exact
     // first merges on /root/testdata/sf0.001/documents.parquet — pin them
