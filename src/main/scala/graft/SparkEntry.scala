@@ -1506,6 +1506,38 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("score"))
     }),
 
+    // --- streaming encode through a FROZEN BPE model: train + save on
+    //     the batch corpus, then stream the same documents through the
+    //     loaded artifact — batch-local encode per arrival, exactly-once
+    //     CommitLog appends; the final table equals the batch encode
+    //     (same oracle). The nightly-ingest serving shape ---
+    "stream_bpe_encode" -> ((s, dir) => withFastStreams(s) {
+      GraftTables.ensure(s, dir)
+      val model = graft.operators.Bpe.learn(
+        s.read.parquet(s"$dir/documents.parquet"), "text", steps = 8)
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bpe-model-stream-${Integer.toHexString(dir.hashCode)}").toString
+      graft.operators.Bpe.save(model, mdir)
+      val loaded = graft.operators.Bpe.load(s, mdir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "documents")
+        .option("columnFamily", "f")
+        .option("partitionCols", "d_key")
+        .option("qualifiers", "text:string")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", "4000000")
+        .load()
+        .select(col("d_key").cast("long").as("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-bpe-stream").toString
+      val q = graft.operators.Bpe.encodeSink(stream, "doc_id", "text", loaded,
+        s"$work/enc", checkpoint = s"$work/_checkpoint")
+      q.awaitTermination()
+      snapshotStreamingPlan(q, "stream_bpe_encode")
+      graft.streaming.CommitLog.read(s, s"$work/enc").orderBy(col("doc_id"))
+    }),
+
     // --- streaming CDC upsert: the events change stream maintains a
     //     keep-latest snapshot through versioned parquet commits (one
     //     Upsert.mergeLatest per micro-batch); final snapshot == the
@@ -3909,6 +3941,7 @@ object SparkEntry {
     "doc_bpe_encode" -> bpeEncodeOracle(8),
     "doc_bpe_encode_loaded" -> bpeEncodeOracle(8),
     "doc_bpe_encode_expr" -> bpeEncodeOracle(8),
+    "stream_bpe_encode" -> bpeEncodeOracle(8),
     "rel_stats" ->
       """WITH s AS (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

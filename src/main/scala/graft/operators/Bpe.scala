@@ -136,6 +136,37 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("__nt")).as("bpe_tokens"))
 
+  /** Streaming encode through a trained model: each arrival batch
+    * encodes batch-locally ([[tokenCounts]] — complete per document,
+    * since a document arrives as one row) and appends to a CommitLog
+    * table exactly-once (replayed batch ids are skipped). Training stays
+    * a batch job by nature; this is the serving half — new corpus
+    * partitions stream through a FROZEN model, the nightly-ingest shape.
+    */
+  def encodeSink(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BpeModel,
+      dir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    graft.streaming.CommitLog.init(dir, StructType(Seq(
+      StructField(idCol, stream.schema(idCol).dataType, nullable = true),
+      StructField("bpe_tokens", LongType, nullable = true))))
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.streaming.CommitLog.append(
+          tokenCounts(batch, idCol, textCol, model), dir, bid): Unit
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   // ---------------------------------------------------------------
   // model persistence
   // ---------------------------------------------------------------

@@ -201,6 +201,28 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeSink: streaming encode == batch encode, exactly-once across restart") {
+    val model = Bpe.learn(corpus, "text", steps = 2)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-sink").toString
+    val src = java.nio.file.Files.createTempDirectory("bpe-sink-src").toString
+    val ckpt = s"$dir-ckpt"
+    val half1 = corpus.where($"doc_id" <= 2)
+    val half2 = corpus.where($"doc_id" > 2)
+    half1.write.mode("append").parquet(src)
+    def stream() = spark.readStream.schema(corpus.schema).parquet(src)
+    Bpe.encodeSink(stream(), "doc_id", "text", model, s"$dir/enc", ckpt)
+      .awaitTermination()
+    half2.write.mode("append").parquet(src)
+    // restart from the same checkpoint: only the new file's docs land
+    Bpe.encodeSink(stream(), "doc_id", "text", model, s"$dir/enc", ckpt)
+      .awaitTermination()
+    val streamed = graft.streaming.CommitLog.read(spark, s"$dir/enc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Bpe.tokenCounts(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("matches the corpus fixture's DuckDB-checked shape at sf0.001") {
     // the oracle prototype (same algorithm in SQL) produced these exact
     // first merges on /root/testdata/sf0.001/documents.parquet — pin them
