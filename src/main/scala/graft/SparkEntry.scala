@@ -997,6 +997,23 @@ object SparkEntry {
         .orderBy(col("u_key"), col("session_id"))
     }),
 
+    // --- conversation assembly (SFT example building): each user's
+    //     event log splits into conversations at 30-min gaps, turns
+    //     serialize IN (ts, event_id) ORDER into one transcript record.
+    //     ONE exchange: the groupBy reuses the window's user-key
+    //     partitioning (pinned in ConversationsSpec) ---
+    "rel_conversations" -> ((s, dir) => {
+      // ts is TIMESTAMP_NTZ in the fixture; session tz is pinned UTC, so
+      // the cast + unix_micros equals DuckDB's epoch_us on the naive value
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      graft.operators.Conversations
+        .assemble(events, "user_id", "ts_us", "event_id", "event_type",
+          gapMicros = 30L * 60 * 1000000)
+        .orderBy(col("user_id"), col("conv_id"))
+    }),
+
     // --- bucketed co-located join: orders and lineitem written bucketed
     //     by order key (the persisted-partitioning strategy for
     //     repeatedly-joined fact tables), then joined WITHOUT a shuffle —
@@ -1637,6 +1654,19 @@ object SparkEntry {
         .mixtureSample(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
           Map("en" -> 0.5, "zh" -> 0.25, "fr" -> 0.125))
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // --- temperature mixture (α=0.5 sampling, the multilingual
+    //     rebalancing rule): per-source keep fractions derived from the
+    //     corpus' own counts — one k-row count aggregate, then the same
+    //     stateless md5-gate projection as doc_mixture. sqrt/·// are all
+    //     correctly-rounded IEEE ops, so the oracle recomputes f_i
+    //     bit-for-bit ---
+    "doc_mixture_temp" -> ((s, dir) =>
+      graft.operators.Sampling
+        .temperatureMixture(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "source", targetFraction = 0.25)
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
     // --- END-TO-END curation pipeline: the composition a real corpus
@@ -2737,6 +2767,29 @@ object SparkEntry {
           graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // --- frozen-classifier quality filtering (fastText-style hashing
+    //     trick): linear model over md5-hashed bag-of-token features as
+    //     a PURE PROJECTION — zero shuffles over the corpus; integer
+    //     weights keep the score exact for the oracle ---
+    "doc_classifier" -> ((s, dir) =>
+      graft.operators.Classifier
+        .classify(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          dims = 256, weightOf = b => (b % 7) - 3, bias = 2L)
+        .orderBy(col("doc_id"))),
+
+    // --- same model through the weight-TABLE plan (bucket → weight,
+    //     broadcast left join + one map-side-combined aggregate) — the
+    //     shape for learned vocabulary-scale weight vectors that must
+    //     not ride the plan as literals. Two plans, one oracle ---
+    "doc_classifier_join" -> ((s, dir) => {
+      val weights = s.range(256).select(
+        col("id").as("bucket"), (col("id") % 7 - 3).as("w"))
+      graft.operators.Classifier
+        .classifyJoin(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          dims = 256, weights, "bucket", "w", bias = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- multimodal frame-sampling arithmetic (oracle-checkable) ---
     "mm_frames" -> ((s, dir) => {
       val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -2780,6 +2833,20 @@ object SparkEntry {
     * queries are alternative PLANS (map-literal projection vs broadcast
     * join) for one semantic — one oracle certifies both.
     */
+  /** Hashed-linear-classifier oracle: md5-top-8-hex bucket mod 256,
+    * integer weight (b % 7) - 3, bias 2 — the exact model both
+    * doc_classifier plans apply; empty token lists score the bare bias.
+    */
+  private val classifierOracle =
+    """WITH s AS (
+         SELECT doc_id,
+                CAST(coalesce(list_aggregate(list_transform(
+                  regexp_extract_all(lower(text), '[\p{L}\p{N}'']+'),
+                  t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) % 7) - 3), 'sum'), 0)
+                  + 2 AS BIGINT) AS score
+         FROM documents)
+       SELECT doc_id, score, score >= 0 AS keep FROM s ORDER BY doc_id"""
+
   private val vocabEncodeOracle =
     """WITH tokc AS (
          SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}'']+')) AS t
@@ -3358,6 +3425,24 @@ object SparkEntry {
                 min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
                 count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM sess GROUP BY u_key, session_id ORDER BY u_key, session_id""",
+    "rel_conversations" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+         lagd AS (
+           SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+           FROM e),
+         marks AS (
+           SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_c
+           FROM lagd),
+         conv AS (
+           SELECT *, sum(new_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS conv_id
+           FROM marks)
+         SELECT user_id, CAST(conv_id AS BIGINT) AS conv_id,
+                min(ts_us) AS conv_start_us, max(ts_us) AS conv_end_us,
+                count(*) AS n_turns,
+                string_agg(event_type, ' > ' ORDER BY ts_us, event_id) AS transcript
+         FROM conv GROUP BY user_id, conv_id ORDER BY user_id, conv_id""",
     "rel_skew_join" ->
       """SELECT e.event_type, CAST(length(e.event_type) AS BIGINT) AS type_len,
                 count(*) AS n, round(sum(e.value), 4) AS sum_value
@@ -3879,6 +3964,21 @@ object SparkEntry {
                          WHEN 'fr' THEN 144115188075855872
                          ELSE 9223372036854775807 END
          ORDER BY doc_id""",
+    "doc_mixture_temp" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         t AS (SELECT sum(n) AS total, sum(sqrt(CAST(n AS DOUBLE))) AS z FROM c),
+         fr AS (SELECT c.source,
+                       LEAST(1.0, 0.25 * CAST(t.total AS DOUBLE) * sqrt(CAST(c.n AS DOUBLE))
+                                  / t.z / CAST(c.n AS DOUBLE)) AS f
+                FROM c, t)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN fr ON d.source = fr.source
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT <
+               CASE WHEN fr.f >= 1.0 THEN 9223372036854775807
+                    ELSE CAST(floor(fr.f * 1152921504606846976.0) AS BIGINT) END
+         ORDER BY d.doc_id""",
+    "doc_classifier" -> classifierOracle,
+    "doc_classifier_join" -> classifierOracle,
     "rel_quantile_sketch" ->
       """SELECT o_orderpriority,
                 quantile_disc(o_totalprice, 0.5) AS p50,

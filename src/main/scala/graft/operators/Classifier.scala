@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frozen-model quality-classifier inference — the filtering step a
+  * training-data pipeline runs after heuristic quality scores
+  * ([[graft.functions.TextFunctions.qualityScore]]): a linear model over
+  * hashed bag-of-token features (the fastText / Vowpal-Wabbit hashing
+  * trick), applied at corpus scale with the model frozen.
+  *
+  * Two execution plans, same result by construction (both oracle-gated
+  * against one SQL truth, the vocab-encode discipline):
+  *
+  *  - [[classify]]: score as a PURE PROJECTION — tokens fold through a
+  *    codegen'd `aggregate`, each token hashing to a bucket whose weight
+  *    is an expression of the bucket id. ZERO shuffles: the only plan
+  *    over a 100 TB corpus is scan → project → (filter). This is the
+  *    shape when the weight vector is compact enough to express inline
+  *    (or compiled into a native expression).
+  *  - [[classifyJoin]]: weights as a TABLE (bucket → weight) — the shape
+  *    for learned, vocabulary-scale weight vectors that do not belong in
+  *    the plan (the IVF-centroid lesson: no multi-MB plan literals).
+  *    Tokens explode, broadcast-join the weight table, re-aggregate per
+  *    document: ONE shuffle, map-side combined, corpus never broadcast.
+  *
+  * Integer weights keep scores exact (sum order never matters), which is
+  * what makes the gate oracle-exact; the API is `Column`-typed so real
+  * float weights drop in unchanged.
+  */
+object Classifier {
+
+  /** Feature bucket of a token: top-8-hex of md5 mod `dims` —
+    * engine-replicable (DuckDB: `('0x' || substr(md5(t), 1, 8))::BIGINT %
+    * dims`), uniform, and cheap (one md5 per token, the same primitive
+    * every md5-keyed operator here uses).
+    */
+  def featureBucket(token: Column, dims: Int): Column =
+    conv(substring(md5(token.cast("binary")), 1, 8), 16, 10).cast("long") % dims
+
+  /** Σ weightOf(bucket(token)) + init over the document's tokens, as a
+    * single codegen'd fold — no explode, no shuffle, no UDF.
+    */
+  def scoreCol(text: Column, dims: Int, weightOf: Column => Column, init: Column): Column =
+    aggregate(TextFunctions.tokens(text), init,
+      (acc, t) => acc + weightOf(featureBucket(t, dims)))
+
+  /** Projection-path inference: (id, score, keep). `keep` is
+    * `score >= threshold` — the corpus filter a pipeline composes with
+    * dedup/decontamination gates.
+    */
+  def classify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      weightOf: Column => Column,
+      bias: Long = 0L,
+      threshold: Long = 0L
+  ): DataFrame =
+    docs
+      .select(col(idCol), scoreCol(col(textCol), dims, weightOf, lit(bias)).as("score"))
+      .withColumn("keep", col("score") >= lit(threshold))
+
+  /** Weight-table inference: same contract as [[classify]], weights read
+    * from `weights(bucketCol, weightCol)` — broadcast when it fits (a
+    * 2^20-bucket int-weight table is ~16 MB; Spark's auto-broadcast or
+    * the explicit hint below covers it), LEFT join so out-of-table
+    * buckets weigh 0 and tokenless documents keep `score = bias`,
+    * exactly like the projection path.
+    */
+  def classifyJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      weights: DataFrame,
+      bucketCol: String,
+      weightCol: String,
+      bias: Long = 0L,
+      threshold: Long = 0L
+  ): DataFrame =
+    docs
+      .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", featureBucket(col("__t"), dims))
+      .join(
+        broadcast(weights.select(col(bucketCol).as("__b"), col(weightCol).as("__w"))),
+        Seq("__b"), "left_outer")
+      .groupBy(col(idCol))
+      .agg((coalesce(sum(col("__w")), lit(0L)) + lit(bias)).as("score"))
+      .withColumn("keep", col("score") >= lit(threshold))
+}

@@ -184,6 +184,53 @@ object Sampling {
     df.where(h < thresh)
   }
 
+  /** Temperature-weighted mixture (α-sampling, the multilingual
+    * rebalancing rule mT5/XLM-R popularized): sample group `i` with
+    * probability ∝ p_i^α where p_i is its corpus share, flattening the
+    * head so low-resource groups survive. Per-group keep fractions
+    * derive from the data — f_i = min(1, targetFraction · N ·
+    * (n_i^α / Σ n_j^α) / n_i) — then apply as the same stateless
+    * md5-gate projection as [[mixtureSample]]: membership stays
+    * deterministic, monotone in targetFraction, and engine-verifiable.
+    *
+    * Scale shape: ONE map-side-combined count aggregate over the corpus
+    * (k rows to the driver, k = #groups — bounded like languages or
+    * sources), then a pure projection; the corpus never shuffles.
+    *
+    * Exactness: α = 0.5 (the default and the gated value) computes via
+    * `sqrt`, which IEEE 754 rounds exactly — every step of f_i
+    * (sqrt, ·, /) is then a correctly-rounded double op any engine
+    * reproduces bit-for-bit, up to the Σ n_j^α addition order (k-term
+    * sum; a last-ulp divergence would need a doc's 60-bit hash to land
+    * within ~2^7 of the threshold — odds ~2^-53 per doc). Other α are
+    * supported but use `pow`, whose libm rounding is not cross-engine
+    * portable — don't oracle-gate those.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      targetFraction: Double,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(targetFraction >= 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in [0,1]: $targetFraction")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    // group name order fixes the Σ addition order (determinism across runs)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    def powA(x: Double): Double = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val z = counts.map { case (_, n) => powA(n.toDouble) }.sum
+    val fractions = counts.map { case (g, n) =>
+      // association mirrors the oracle SQL exactly: ((((tf·N)·n^α)/z)/n)
+      g -> math.min(1.0, targetFraction * total.toDouble * powA(n.toDouble) / z / n.toDouble)
+    }.toMap
+    mixtureSample(df, keyCol, groupCol, fractions, defaultFraction = 0.0)
+  }
+
   /** k rows per stratum, deterministically: per-group k smallest md5
     * hashes — selection identical to a per-stratum
     * `row_number() over (partition by strata order by md5(key)) <= k`.

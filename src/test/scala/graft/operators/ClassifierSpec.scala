@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  private val Dims = 256
+  private def weightOf(b: org.apache.spark.sql.Column) = (b % 7) - 3
+
+  /** Driver-side reference of the exact model: md5-top-8-hex bucket mod
+    * 256, weight (b % 7) - 3, bias 2, tokens = lowercase [\p{L}\p{N}']+.
+    */
+  private def refScore(text: String, bias: Long): Long = {
+    val toks = "[\\p{L}\\p{N}']+".r.findAllIn(text.toLowerCase).toSeq
+    toks.foldLeft(bias) { (acc, t) =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(t).take(8)
+      val b = java.lang.Long.parseLong(hex, 16) % Dims
+      acc + ((b % 7) - 3)
+    }
+  }
+
+  test("classify matches a driver-side replica of the model") {
+    val got = Classifier.classify(docs, "doc_id", "text", Dims, weightOf, bias = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val want = refScore(text, 2L)
+      assert(got(id) == ((want, want >= 0L)), s"doc $id")
+    }
+  }
+
+  test("join path computes the identical scores (two plans, one model)") {
+    val weights = spark.range(Dims).select($"id".as("bucket"), ($"id" % 7 - 3).as("w"))
+    val a = Classifier.classify(docs, "doc_id", "text", Dims, weightOf, bias = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = Classifier.classifyJoin(docs, "doc_id", "text", Dims, weights, "bucket", "w", bias = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+
+  test("tokenless documents score the bare bias on both paths") {
+    val empty = Seq((1L, ""), (2L, "!!! ???"), (3L, "ok")).toDF("doc_id", "text")
+    val weights = spark.range(Dims).select($"id".as("bucket"), ($"id" % 7 - 3).as("w"))
+    val a = Classifier.classify(empty, "doc_id", "text", Dims, weightOf, bias = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Classifier.classifyJoin(empty, "doc_id", "text", Dims, weights, "bucket", "w", bias = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(1L) == 5L && a(2L) == 5L)
+    assert(b == a)
+  }
+
+  test("projection path plans with zero exchanges; join path exactly one") {
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (p.collect {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(ad.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        }).sum
+      df.count() // materialize AQE
+      walk(df.queryExecution.executedPlan)
+    }
+    val proj = Classifier.classify(docs, "doc_id", "text", Dims, weightOf)
+    assert(shuffles(proj) == 0,
+      s"classifier inference must be a pure projection:\n${proj.queryExecution.executedPlan}")
+    val weights = spark.range(Dims).select($"id".as("bucket"), ($"id" % 7 - 3).as("w"))
+    val joined = Classifier.classifyJoin(docs, "doc_id", "text", Dims, weights, "bucket", "w")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(shuffles(joined) == 1,
+      s"weight-table inference must shuffle once (the per-doc aggregate):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast, never shuffle the corpus:\n$plan")
+  }
+}

@@ -94,6 +94,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(sampledSubset == half.filter(_ < 1000))
   }
 
+  test("temperatureMixture: α-flattening keeps low-resource groups at higher rates") {
+    // 9:1 head/tail imbalance — α=0.5 must sample the tail at 3× the
+    // head's per-row rate (f_i ∝ n_i^(α-1) = 1/sqrt(n_i); sqrt(9) = 3)
+    val df = spark.range(10000)
+      .select($"id", (when($"id" % 10 < 9, "head").otherwise("tail")).as("g"))
+    val kept = Sampling.temperatureMixture(df, "id", "g", targetFraction = 0.3)
+      .select($"id", $"g").as[(Long, String)].collect()
+    val headRate = kept.count(_._2 == "head").toDouble / 9000.0
+    val tailRate = kept.count(_._2 == "tail").toDouble / 1000.0
+    assert(math.abs(tailRate / headRate - 3.0) < 0.5,
+      s"tail/head rate ratio ${tailRate / headRate}, want ~3")
+    // overall volume lands near the target
+    assert(math.abs(kept.length / 10000.0 - 0.3) < 0.05, s"total ${kept.length}")
+    // deterministic and monotone in targetFraction
+    val again = Sampling.temperatureMixture(df, "id", "g", targetFraction = 0.3)
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    val more = Sampling.temperatureMixture(df, "id", "g", targetFraction = 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet.subsetOf(more))
+  }
+
+  test("temperatureMixture: α=1 is proportional (uniform rate); tiny groups cap at 1.0") {
+    val df = spark.range(1000)
+      .select($"id", (when($"id" < 995, "big").otherwise("rare")).as("g"))
+    // α=1: q_i = p_i, so f_i = targetFraction for every group
+    val uniform = Sampling.temperatureMixture(df, "id", "g", targetFraction = 0.4, alpha = 1.0)
+      .select($"id").as[Long].collect().toSet
+    val direct = Sampling.mixtureSample(df, "id", "g",
+      Map("big" -> 0.4, "rare" -> 0.4)).select($"id").as[Long].collect().toSet
+    assert(uniform == direct)
+    // α=0.5 with a 5-row group: f_rare = min(1, ...) must not exceed 1
+    val kept = Sampling.temperatureMixture(df, "id", "g", targetFraction = 0.9)
+      .where($"g" === "rare").count()
+    assert(kept == 5L, s"rare group must cap at keep-all, got $kept")
+  }
+
   test("tokenBudgetSample: hash-order prefix under budget, bucket-parallel == naive, monotone") {
     val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b", 1L + i % 5))
       .toDF("id", "g", "ntok")
