@@ -42,7 +42,10 @@ object PlanSnapshot {
     ("""\b17\d{11}\b""".r, "EPOCH_MS"),
     // RDD ids in ExistingRDD scans: MapPartitionsRDD[12282] — a session-
     // lifetime counter, different on every run with zero plan content
-    ("""RDD\[\d+\]""".r, "RDD[N]")
+    ("""RDD\[\d+\]""".r, "RDD[N]"),
+    // lambda variable names: `lambda x_92`, `x_92#N` — NamedLambdaVariable's
+    // session-lifetime counter; diffs on every regeneration, zero content
+    ("""\bx_\d+""".r, "x_N")
   )
 
   def normalize(txt: String): String =

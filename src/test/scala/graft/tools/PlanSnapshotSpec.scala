@@ -30,6 +30,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(norm.contains("MapPartitionsRDD[N]") && !norm.contains("RDD[12282]"), norm)
   }
 
+  test("lambda variable counters mask; non-lambda underscores survive") {
+    val raw = "transform(a#12, lambdafunction(substr(t#3, lambda x_92#45, 5), lambda x_92#45, false)) AS __sig#7"
+    val norm = PlanSnapshot.normalize(raw)
+    assert(norm.contains("lambda x_N#N") && !norm.contains("x_92"), norm)
+    assert(norm.contains("__sig#N"), norm) // double-underscore aliases untouched
+  }
+
   test("watermark-annotated exprIds mask; the watermark delay survives") {
     // `ts#123-T60000ms` (streaming watermark suffix): the dash must not
     // trip the composite-literal lookahead and leave a fresh exprId in
