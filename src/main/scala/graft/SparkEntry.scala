@@ -1387,6 +1387,49 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // --- streaming conversation assembly: the stream_sessionize state
+    //     machine, but CLOSED conversations emit ordered transcripts —
+    //     the streaming twin of rel_conversations (flush sentinels push
+    //     the watermark past every real event so all conversations
+    //     close; per-key state is bounded by conversation length) ---
+    "stream_conversations" -> ((s, dir) => withFastStreams(s) {
+      import s.implicits._
+      GraftTables.ensure(s, dir)
+      val stream = s.readStream.format("bigtable")
+        .option("store", GraftTables.storeName(dir))
+        .option("table", "events_flush")
+        .option("columnFamily", "f")
+        .option("partitionCols", "u_key")
+        .option("qualifiers", "event_type:string,value:double")
+        .option("onlyReadLatest", "false")
+        .option("allowFullScan", "true")
+        .option("streamStepMicros", GraftTables.FlushStepMicros.toString)
+        .load()
+      val evs = stream.select(
+        lit(0L).as("event_id"),
+        col("_timestamp").as("ts"),
+        col("u_key").cast("long").as("user_id"),
+        col("event_type"),
+        col("value")).as[graft.streaming.EventStreams.Event]
+      val convs = graft.streaming.EventStreams
+        .assembleConversations(s, evs, gapMinutes = 30, watermarkDelay = "10 minutes")
+      val qname = s"stream_cv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = convs.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      snapshotStreamingPlan(q, "stream_conversations")
+      s.table(qname)
+        .where(col("user_id") < 999990L) // drop flush sentinels
+        .select(col("user_id"),
+          unix_micros(col("conv_start")).as("conv_start_us"),
+          unix_micros(col("conv_end")).as("conv_end_us"),
+          col("n_turns").cast("long").as("n_turns"),
+          col("transcript"))
+        .orderBy(col("user_id"), col("conv_start_us"))
+    }),
+
     // --- incremental streaming near-dup: documents arrive on the change
     //     stream in 8 timestamp-stepped batches; each batch's MinHash-LSH
     //     buckets probe the accumulated signature index (new-vs-corpus)
@@ -3554,6 +3597,23 @@ object SparkEntry {
                 min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
                 count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_start_us""",
+    "stream_conversations" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         lagd AS (
+           SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+         marks AS (
+           SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_c
+           FROM lagd),
+         conv AS (
+           SELECT *, sum(new_c) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS conv_id
+           FROM marks)
+         SELECT CAST(user_id AS BIGINT) AS user_id,
+                min(ts_us) AS conv_start_us, max(ts_us) AS conv_end_us,
+                count(*) AS n_turns,
+                string_agg(event_type, ' > ' ORDER BY ts_us) AS transcript
+         FROM conv GROUP BY user_id, conv_id ORDER BY user_id, conv_start_us""",
     "emb_near_dup" ->
       """WITH c AS (
            SELECT vec_id, embedding FROM embeddings

@@ -216,10 +216,12 @@ object Sampling {
     require(targetFraction >= 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in [0,1]: $targetFraction")
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
-    // group name order fixes the Σ addition order (determinism across runs)
+    // group name order fixes the Σ addition order (determinism across
+    // runs); NULL-group rows get no fraction and fall to the md5 gate's
+    // default-0 arm (dropped), same as any group absent from the map
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .sortBy(_._1)
     val total = counts.map(_._2).sum
     def powA(x: Double): Double = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)

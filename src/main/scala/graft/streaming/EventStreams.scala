@@ -116,4 +116,79 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
   }
+
+  final case class Conversation(user_id: Long, conv_start: java.sql.Timestamp, conv_end: java.sql.Timestamp, n_turns: Int, transcript: String)
+  final case class ConvState(start: Long, end: Long, ts: Seq[Long], turns: Seq[String])
+
+  /** Streaming conversation assembly — the streaming twin of
+    * [[graft.operators.Conversations.assemble]]: each user's live event
+    * stream splits at inactivity gaps, and a CLOSED conversation emits
+    * one record whose transcript serializes the turns in event-time
+    * order. Same state machine as [[sessionize]] (event-time timeout at
+    * watermark + gap), but state carries the conversation's turns —
+    * O(conversation length) per key, bounded by the gap rule, NOT by
+    * stream history (the output intrinsically carries the turns; no
+    * assembly operator can hold less). Turns sort by timestamp at emit,
+    * so late-but-within-watermark arrivals still serialize in order.
+    */
+  def assembleConversations(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours",
+      sep: String = " > "
+  ): Dataset[Conversation] = {
+    import spark.implicits._
+
+    def updateState(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[ConvState]
+    ): Iterator[Conversation] = {
+      def tsMicros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      def microsTs(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      }
+      def close(s: ConvState): Conversation = {
+        val ordered = (s.ts zip s.turns).sortBy(_._1).map(_._2)
+        Conversation(userId, microsTs(s.start), microsTs(s.end),
+          s.ts.length, ordered.mkString(sep))
+      }
+      val gapUs = gapMinutes * 60L * 1000000L
+      val out = scala.collection.mutable.ArrayBuffer.empty[Conversation]
+      if (state.hasTimedOut) {
+        out += close(state.get)
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = tsMicros(e.ts)
+          cur match {
+            case Some(s) if t - s.end <= gapUs =>
+              cur = Some(ConvState(s.start, math.max(s.end, t),
+                s.ts :+ t, s.turns :+ e.event_type))
+            case Some(s) =>
+              out += close(s)
+              cur = Some(ConvState(t, t, Seq(t), Seq(e.event_type)))
+            case None =>
+              cur = Some(ConvState(t, t, Seq(t), Seq(e.event_type)))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
+  }
 }

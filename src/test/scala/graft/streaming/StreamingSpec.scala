@@ -103,6 +103,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.session_start == ts("2024-01-01 10:00:00") && s.session_end == ts("2024-01-01 10:10:00"))
   }
 
+  test("assembleConversations emits ordered transcripts on conversation close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .assembleConversations(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("convs").outputMode("append").start()
+    // user 1: three turns inside one conversation, delivered OUT OF
+    // event-time order within the batch — transcript must still be in
+    // time order
+    in.addData(
+      Event(2, ts("2024-01-01 10:10:00"), 1, "assistant", 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1, "user", 1.0),
+      Event(3, ts("2024-01-01 10:20:00"), 1, "user", 1.0))
+    q.processAllAvailable()
+    // a late-but-within-watermark turn from another batch joins in order
+    in.addData(Event(4, ts("2024-01-01 10:15:00"), 1, "system", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past end + gap, then once more so the
+    // event-time timeout fires and the conversation closes
+    in.addData(Event(5, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(6, ts("2024-01-01 12:30:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    val convs = spark.table("convs")
+      .as[graft.streaming.EventStreams.Conversation].collect().filter(_.user_id == 1)
+    q.stop()
+    assert(convs.length == 1)
+    val c = convs.head
+    assert(c.n_turns == 4 && c.transcript == "user > assistant > system > user")
+    assert(c.conv_start == ts("2024-01-01 10:00:00") && c.conv_end == ts("2024-01-01 10:20:00"))
+  }
+
+  test("assembleConversations matches the batch operator on a replayed log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic multi-user log: 40 events across 4 users with gaps
+    val log = (0 until 40).map { i =>
+      val user = i % 4L
+      val us = (i / 4) * (if ((i / 4) % 3 == 0) 2000L * 1000000 else 60L * 1000000)
+      Event(i.toLong, new java.sql.Timestamp(1704067200000L + us / 1000), user,
+        if (i % 3 == 0) "user" else "assistant", 1.0)
+    }
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .assembleConversations(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("convtwin").outputMode("append").start()
+    in.addData(log: _*)
+    q.processAllAvailable()
+    // flush: advance the watermark far past every event, twice
+    in.addData(Event(998, new java.sql.Timestamp(1704067200000L + 10000000000L), 99, "x", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(999, new java.sql.Timestamp(1704067200000L + 20000000000L), 99, "x", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("convtwin")
+      .where($"user_id" < 99)
+      .select($"user_id", unix_micros($"conv_start").as("s"), unix_micros($"conv_end").as("e"),
+        $"n_turns".cast("long"), $"transcript")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    q.stop()
+    val batch = graft.operators.Conversations.assemble(
+      log.toDF().select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type"),
+      "user_id", "ts_us", "event_id", "event_type", gapMicros = 30L * 60 * 1000000)
+      .select($"user_id", $"conv_start_us", $"conv_end_us", $"n_turns", $"transcript")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("connector micro-batch stream replays cell versions in timestamp-stepped batches") {
     Fixtures.ensureSeeded()
     val stream = spark.readStream
