@@ -1735,6 +1735,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- scored curation: this session's operators composed the way a
+    //     corpus build runs them — exact-dedup survivors, frozen-
+    //     classifier keep (score >= 0), temperature-mixture gate with
+    //     rates set on the raw corpus. One oracle certifies the
+    //     composition; each stage is independently gated ---
+    "doc_curate_scored" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val keepers = graft.operators.Dedup
+        .exact(docs, Seq("text"), "doc_id").select(col("doc_id"))
+      val scored = graft.operators.Classifier
+        .classify(docs, "doc_id", "text", dims = 256, weightOf = b => (b % 7) - 3, bias = 2L)
+        .where(col("keep")).select(col("doc_id"))
+      graft.operators.Sampling
+        .temperatureMixture(docs, "doc_id", "source", targetFraction = 0.5)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(scored, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- text analysis: token / punctuation / length stats ---
     "doc_token_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -4025,7 +4045,8 @@ object SparkEntry {
                          ELSE 9223372036854775807 END
          ORDER BY doc_id""",
     "doc_mixture_temp" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+                    WHERE source IS NOT NULL GROUP BY source),
          t AS (SELECT sum(n) AS total, sum(sqrt(CAST(n AS DOUBLE))) AS z FROM c),
          fr AS (SELECT c.source,
                        LEAST(1.0, 0.25 * CAST(t.total AS DOUBLE) * sqrt(CAST(c.n AS DOUBLE))
@@ -4039,6 +4060,31 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "doc_classifier" -> classifierOracle,
     "doc_classifier_join" -> classifierOracle,
+    "doc_curate_scored" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+                      WHERE source IS NOT NULL GROUP BY source),
+         tot AS (SELECT sum(n) AS total, sum(sqrt(CAST(n AS DOUBLE))) AS z FROM cnt),
+         fr AS (SELECT cnt.source,
+                       LEAST(1.0, 0.5 * CAST(tot.total AS DOUBLE) * sqrt(CAST(cnt.n AS DOUBLE))
+                                  / tot.z / CAST(cnt.n AS DOUBLE)) AS f
+                FROM cnt, tot),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         sc AS (SELECT doc_id,
+                       CAST(coalesce(list_aggregate(list_transform(
+                         regexp_extract_all(lower(text), '[\p{L}\p{N}'']+'),
+                         t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) % 7) - 3), 'sum'), 0)
+                         + 2 AS BIGINT) AS score
+                FROM documents)
+         SELECT d.doc_id, d.source
+         FROM documents d
+         JOIN fr ON d.source = fr.source
+         JOIN keep USING (doc_id)
+         JOIN sc USING (doc_id)
+         WHERE sc.score >= 0
+           AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT <
+               CASE WHEN fr.f >= 1.0 THEN 9223372036854775807
+                    ELSE CAST(floor(fr.f * 1152921504606846976.0) AS BIGINT) END
+         ORDER BY d.doc_id""",
     "rel_quantile_sketch" ->
       """SELECT o_orderpriority,
                 quantile_disc(o_totalprice, 0.5) AS p50,

@@ -41,10 +41,12 @@ object Classifier {
     conv(substring(md5(token.cast("binary")), 1, 8), 16, 10).cast("long") % dims
 
   /** Σ weightOf(bucket(token)) + init over the document's tokens, as a
-    * single codegen'd fold — no explode, no shuffle, no UDF.
+    * single codegen'd fold — no explode, no shuffle, no UDF. NULL text
+    * scores the bare init, matching [[classifyJoin]] and the oracle
+    * (a NULL token array would otherwise propagate a NULL score).
     */
   def scoreCol(text: Column, dims: Int, weightOf: Column => Column, init: Column): Column =
-    aggregate(TextFunctions.tokens(text), init,
+    aggregate(coalesce(TextFunctions.tokens(text), array().cast("array<string>")), init,
       (acc, t) => acc + weightOf(featureBucket(t, dims)))
 
   /** Projection-path inference: (id, score, keep). `keep` is
@@ -70,6 +72,10 @@ object Classifier {
     * the explicit hint below covers it), LEFT join so out-of-table
     * buckets weigh 0 and tokenless documents keep `score = bias`,
     * exactly like the projection path.
+    *
+    * Requires `idCol` to be unique: the re-aggregate groups by it, so
+    * duplicate ids would merge into one summed row where [[classify]]
+    * (a per-row projection) scores each copy separately.
     */
   def classifyJoin(
       docs: DataFrame,

@@ -205,6 +205,9 @@ object Sampling {
     * within ~2^7 of the threshold — odds ~2^-53 per doc). Other α are
     * supported but use `pow`, whose libm rounding is not cross-engine
     * portable — don't oracle-gate those.
+    *
+    * `groupCol` must be a string column (like [[mixtureSample]]'s map
+    * keys); NULL-group rows are excluded from N and Σ and are dropped.
     */
   def temperatureMixture(
       df: DataFrame,

@@ -118,7 +118,7 @@ object EventStreams {
   }
 
   final case class Conversation(user_id: Long, conv_start: java.sql.Timestamp, conv_end: java.sql.Timestamp, n_turns: Int, transcript: String)
-  final case class ConvState(start: Long, end: Long, ts: Seq[Long], turns: Seq[String])
+  final case class ConvState(start: Long, end: Long, ts: Seq[Long], seq: Seq[Long], turns: Seq[String])
 
   /** Streaming conversation assembly — the streaming twin of
     * [[graft.operators.Conversations.assemble]]: each user's live event
@@ -128,8 +128,12 @@ object EventStreams {
     * watermark + gap), but state carries the conversation's turns —
     * O(conversation length) per key, bounded by the gap rule, NOT by
     * stream history (the output intrinsically carries the turns; no
-    * assembly operator can hold less). Turns sort by timestamp at emit,
-    * so late-but-within-watermark arrivals still serialize in order.
+    * assembly operator can hold less). Turns accumulate by O(1) prepend
+    * and sort by (timestamp, event_id) at emit — the batch operator's
+    * exact order — so late-but-within-watermark arrivals (which also
+    * LOWER conv_start when they precede it) and same-timestamp ties
+    * serialize identically to [[graft.operators.Conversations]],
+    * independent of arrival order.
     */
   def assembleConversations(
       spark: SparkSession,
@@ -153,7 +157,8 @@ object EventStreams {
         t
       }
       def close(s: ConvState): Conversation = {
-        val ordered = (s.ts zip s.turns).sortBy(_._1).map(_._2)
+        val ordered = s.ts.lazyZip(s.seq).lazyZip(s.turns).toSeq
+          .sortBy { case (t, q, _) => (t, q) }.map(_._3)
         Conversation(userId, microsTs(s.start), microsTs(s.end),
           s.ts.length, ordered.mkString(sep))
       }
@@ -163,19 +168,21 @@ object EventStreams {
         out += close(state.get)
         state.remove()
       } else {
-        val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
+        val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
         var cur = state.getOption
         sorted.foreach { e =>
           val t = tsMicros(e.ts)
           cur match {
             case Some(s) if t - s.end <= gapUs =>
-              cur = Some(ConvState(s.start, math.max(s.end, t),
-                s.ts :+ t, s.turns :+ e.event_type))
+              // a late-but-within-watermark turn can precede the current
+              // start — conv_start tracks the true minimum, like batch
+              cur = Some(ConvState(math.min(s.start, t), math.max(s.end, t),
+                t +: s.ts, e.event_id +: s.seq, e.event_type +: s.turns))
             case Some(s) =>
               out += close(s)
-              cur = Some(ConvState(t, t, Seq(t), Seq(e.event_type)))
+              cur = Some(ConvState(t, t, Seq(t), Seq(e.event_id), Seq(e.event_type)))
             case None =>
-              cur = Some(ConvState(t, t, Seq(t), Seq(e.event_type)))
+              cur = Some(ConvState(t, t, Seq(t), Seq(e.event_id), Seq(e.event_type)))
           }
         }
         cur.foreach { s =>

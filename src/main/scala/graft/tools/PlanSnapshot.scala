@@ -43,9 +43,11 @@ object PlanSnapshot {
     // RDD ids in ExistingRDD scans: MapPartitionsRDD[12282] — a session-
     // lifetime counter, different on every run with zero plan content
     ("""RDD\[\d+\]""".r, "RDD[N]"),
-    // lambda variable names: `lambda x_92`, `x_92#N` — NamedLambdaVariable's
-    // session-lifetime counter; diffs on every regeneration, zero content
-    ("""\bx_\d+""".r, "x_N")
+    // lambda variable names: `lambda x_92`, `y_4#N` — NamedLambdaVariable's
+    // session-lifetime counter (x/y/z by lambda arity); diffs on every
+    // regeneration, zero content. Single letter + underscore + digits
+    // only, so real column names never match
+    ("""\b([a-z])_\d+""".r, "$1_N")
   )
 
   def normalize(txt: String): String =

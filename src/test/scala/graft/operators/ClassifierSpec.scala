@@ -47,13 +47,14 @@ class ClassifierSpec extends AnyFunSuite {
   }
 
   test("tokenless documents score the bare bias on both paths") {
-    val empty = Seq((1L, ""), (2L, "!!! ???"), (3L, "ok")).toDF("doc_id", "text")
+    val empty = Seq((1L, ""), (2L, "!!! ???"), (3L, "ok"), (4L, null))
+      .toDF("doc_id", "text")
     val weights = spark.range(Dims).select($"id".as("bucket"), ($"id" % 7 - 3).as("w"))
     val a = Classifier.classify(empty, "doc_id", "text", Dims, weightOf, bias = 5L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Classifier.classifyJoin(empty, "doc_id", "text", Dims, weights, "bucket", "w", bias = 5L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(a(1L) == 5L && a(2L) == 5L)
+    assert(a(1L) == 5L && a(2L) == 5L && a(4L) == 5L)
     assert(b == a)
   }
 

@@ -136,6 +136,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(c.conv_start == ts("2024-01-01 10:00:00") && c.conv_end == ts("2024-01-01 10:20:00"))
   }
 
+  test("assembleConversations: pre-start late turns lower conv_start; ties break by event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .assembleConversations(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("convlate").outputMode("append").start()
+    // batch 1: two turns at the SAME timestamp, delivered in reverse
+    // event-id order (tie must break by event_id, not arrival)
+    in.addData(
+      Event(5, ts("2024-01-01 10:20:00"), 1, "tie-b", 1.0),
+      Event(4, ts("2024-01-01 10:20:00"), 1, "tie-a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a late turn EARLIER than the current conv start but at or
+    // past the watermark (10:10) — must join AND lower conv_start
+    in.addData(Event(6, ts("2024-01-01 10:12:00"), 1, "early-late", 1.0))
+    q.processAllAvailable()
+    // flush twice so the event-time timeout fires
+    in.addData(Event(7, ts("2024-01-01 13:00:00"), 2, "x", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(8, ts("2024-01-01 13:30:00"), 2, "x", 1.0))
+    q.processAllAvailable()
+    val convs = spark.table("convlate")
+      .as[graft.streaming.EventStreams.Conversation].collect().filter(_.user_id == 1)
+    q.stop()
+    assert(convs.length == 1)
+    val c = convs.head
+    assert(c.transcript == "early-late > tie-a > tie-b", c.transcript)
+    assert(c.conv_start == ts("2024-01-01 10:12:00"), s"conv_start ${c.conv_start}")
+    assert(c.conv_end == ts("2024-01-01 10:20:00"))
+  }
+
   test("assembleConversations matches the batch operator on a replayed log") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

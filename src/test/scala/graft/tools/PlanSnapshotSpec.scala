@@ -31,10 +31,13 @@ class PlanSnapshotSpec extends AnyFunSuite {
   }
 
   test("lambda variable counters mask; non-lambda underscores survive") {
-    val raw = "transform(a#12, lambdafunction(substr(t#3, lambda x_92#45, 5), lambda x_92#45, false)) AS __sig#7"
+    val raw = "aggregate(a#12, lambdafunction(concat(lambda x_92#45, lambda y_7#46), lambda x_92#45, lambda y_7#46, false)) AS __sig#7"
     val norm = PlanSnapshot.normalize(raw)
     assert(norm.contains("lambda x_N#N") && !norm.contains("x_92"), norm)
+    assert(norm.contains("lambda y_N#N") && !norm.contains("y_7#"), norm)
     assert(norm.contains("__sig#N"), norm) // double-underscore aliases untouched
+    // multi-letter underscore names (real columns) survive
+    assert(PlanSnapshot.normalize("conv_start_us#3, ts_us#4") == "conv_start_us#N, ts_us#N")
   }
 
   test("watermark-annotated exprIds mask; the watermark delay survives") {
