@@ -29,6 +29,22 @@ import org.apache.spark.sql.execution.FormattedMode
   * the reference, insert_rows.py) runs before timing starts.
   */
 object Bench {
+
+  /** Execute the gate's OWN plan, evaluating every output column.
+    * `df.count()` builds a separate count query in which Catalyst prunes
+    * the projection expressions and eliminates sorts — a projection-only
+    * gate (classifier scoring, quality stats) then times the parquet
+    * scan, not the operator (doc_classifier at sf10: 0.17s counted vs
+    * the actual model evaluation). `toRdd` runs the dataframe's own
+    * optimized physical plan, whose output carries all columns, so the
+    * timed work is what a consumer writing the result would pay (minus
+    * the write). BENCH_ATTRIBUTION.md carries the per-gate old/new
+    * bridge measured on one host and commit.
+    */
+  private[graft] def evaluateAll(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -88,7 +104,7 @@ object Bench {
         // the first timed execution.
         if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")) try {
           val df = fn(spark, sfDir)
-          df.count()
+          Bench.evaluateAll(df)
           try {
             // normalized (PlanSnapshot): snapshots are committed, so
             // regeneration must only diff on structural plan changes
@@ -110,7 +126,7 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
-            df.count()
+            Bench.evaluateAll(df)
             perRun += (System.nanoTime() - t0) / 1e9
             if (!planSaved) {
               // after the first execution so AQE's final plan is available

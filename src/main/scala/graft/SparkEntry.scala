@@ -2113,15 +2113,18 @@ object SparkEntry {
     //     md5-derived fingerprint + winnowing variants are replicated
     //     bit-for-bit by the DuckDB oracle (window minima over positional
     //     shingle hashes included). ---
+    // (presentation sort FIRST: a global orderBy's range-sampling pass
+    // executes its child twice, so sorting the cheap input and
+    // projecting after evaluates the expensive expressions exactly once)
     "doc_quality" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
           graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
           graft.functions.TextFunctions.fingerprint60Md5(col("text")).as("fingerprint"),
-          size(graft.functions.TextFunctions.winnowFingerprintsMd5(col("text"))).as("n_winnow_fp"))
-        .orderBy(col("doc_id"))),
+          size(graft.functions.TextFunctions.winnowFingerprintsMd5(col("text"))).as("n_winnow_fp"))),
 
     // --- partial-overlap (containment) via winnowing fingerprints; md5
     //     shingle hashes so the oracle rebuilds the fingerprint sets,
@@ -2232,13 +2235,16 @@ object SparkEntry {
     "doc_bpe_encode_expr" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val model = graft.operators.Bpe.learn(docs, "text", steps = 8)
-      docs.select(col("doc_id"),
+      // tokenless docs: the oracle's word unnest (and the join gates)
+      // yield no row — align on no-row via the CHEAP token-presence
+      // predicate (filtering on the computed bpe_tokens would inline the
+      // 8-fold merge chain into the Filter and evaluate it twice), and
+      // sort-then-project (see doc_quality) so the chain runs ONCE
+      docs.where(size(graft.functions.TextFunctions.tokens(col("text"))) > 0)
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
           size(graft.operators.Bpe.tokensCol(col("text"), model.merges))
             .cast("long").as("bpe_tokens"))
-        // tokenless docs: the projection yields 0 where the oracle's
-        // word unnest (and the join gates) yield no row — align on no-row
-        .where(col("bpe_tokens") > 0)
-        .orderBy(col("doc_id"))
     }),
 
     // --- the PERSISTED-model encode path: train, save (atomic-metadata
@@ -2322,6 +2328,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => {
       val tf = graft.functions.TextFunctions
       s.read.parquet(s"$dir/documents.parquet")
+        .orderBy(col("doc_id")) // sort-then-project: see doc_quality
         .select(col("doc_id"), tf.tokens(col("text")).as("__ts"))
         .select(col("doc_id"),
           tf.tokenNgrams(col("__ts"), 2).as("__bg"),
@@ -2329,7 +2336,6 @@ object SparkEntry {
         .select(col("doc_id"),
           tf.topGramFraction(col("__bg")).as("top2_frac"),
           tf.dupGramFraction(col("__tg")).as("dup3_frac"))
-        .orderBy(col("doc_id"))
     }),
 
     // --- heavy hitters: Misra-Gries mergeable sketch, k=64 over 20
@@ -2545,6 +2551,7 @@ object SparkEntry {
             lit(".example.org/p ip 192.168.1."),
             pmod(col("doc_id"), lit(200)).cast("string")).as("__t"))
       synth
+        .orderBy(col("doc_id")) // sort-then-project: see doc_quality
         .select(col("doc_id"), col("__t"), tf.piiCounts(col("__t")).as("__c"))
         .select(col("doc_id"),
           md5(tf.redactPii(col("__t"))).as("redacted_hash"),
@@ -2552,7 +2559,6 @@ object SparkEntry {
           col("__c").getField("n_url").as("n_url"),
           col("__c").getField("n_ip").as("n_ip"),
           col("__c").getField("n_phone").as("n_phone"))
-        .orderBy(col("doc_id"))
     }),
 
     // --- phrase mining: word2phrase bigram lift over adjacent token
@@ -2762,13 +2768,13 @@ object SparkEntry {
     "emb_quantize" -> ((s, dir) => {
       val (q, scale) = graft.operators.Similarity.quantizeInt8(col("embedding"))
       s.read.parquet(s"$dir/embeddings.parquet")
+        .orderBy(col("vec_id")) // sort-then-project: see doc_quality
         .select(
           col("vec_id"),
           aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
           array_min(q).as("q_min"),
           array_max(q).as("q_max"),
           round(scale, 6).as("scale_r"))
-        .orderBy(col("vec_id"))
     }),
 
     // --- KMV distinct sketch, gated in its exact-below-k regime: both
@@ -2824,11 +2830,11 @@ object SparkEntry {
     // --- text quality + language-ID, fully oracle-replicated in SQL ---
     "doc_quality_oracle" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
+        .orderBy(col("doc_id")) // sort-then-project: see doc_quality
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
-          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))),
 
     // --- frozen-classifier quality filtering (fastText-style hashing
     //     trick): linear model over md5-hashed bag-of-token features as
