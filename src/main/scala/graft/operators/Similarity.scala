@@ -140,10 +140,18 @@ object Similarity {
       k: Int,
       iterations: Int = 3
   ): Seq[Seq[Double]] = {
-    val c = corpus.select(
-      col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v")
-    )
+    // null/empty embeddings carry no geometry: they cannot seed a
+    // centroid (an empty centroid line would shift every index after it
+    // in the persisted _centroids.txt — wrong buckets, silently), they
+    // must not dilute a bucket mean (VecSumAggregator skips them, so
+    // counting them biased centroids toward zero), and a null would NPE
+    // the null-bucket group's getInt. Drop them up front; assignment
+    // paths drop the same rows via the bucket join.
+    val c = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(
+        col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
     var centroids: Seq[Seq[Double]] =
       c.orderBy(col("__id")).limit(k).collect().map(_.getSeq[Double](1)).toSeq
     var iter = 0
@@ -267,8 +275,8 @@ object Similarity {
         kmeansCentroids(corpus, idCol, vecCol, nCent, kmeansIterations)
       else // deterministic sample: lowest-id vectors
         c.orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
-    // a corpus smaller than nCentroids yields fewer centroids; clamp so
-    // bucket indexing never zips past the centroid array
+    // a corpus smaller than nCentroids yields fewer centroids — safe:
+    // NearestCentroids itself clamps its take to min(nProbe, k)
     val bc = broadcastCentroids(centroids)
     def nearestBuckets(vec: Column, n: Int): Column =
       nearestCentroidBuckets(vec, bc, n)
@@ -342,7 +350,13 @@ object Similarity {
       if (kmeansIterations > 0)
         kmeansCentroids(corpus, idCol, vecCol, nCent, kmeansIterations)
       else
-        c.orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
+        // geometry-free rows cannot seed centroids: an EMPTY vector would
+        // serialize as a blank _centroids.txt line that loadCentroids
+        // drops, shifting every later index against the __b=<c> files
+        c.where(col("cvec").isNotNull && size(col("cvec")) > 0)
+          .orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
+    require(centroids.nonEmpty,
+      s"buildIvfIndex: no usable vectors in the corpus (empty or all-null '$vecCol') — cannot build an index at $dir")
     // broadcast destroyed after the (eager) publish — the build is a
     // one-shot write, nothing lazy retains the centroid copy
     val bc = broadcastCentroids(centroids)
@@ -491,10 +505,13 @@ object Similarity {
     }
     val schema = graft.streaming.CommitLog.schemaOf(dir)
     if (files.isEmpty)
+      // qid types from the QUERIES frame (like the non-empty path's join
+      // output) — typing it from the corpus id made the schema flap
+      // between batches depending on whether probed buckets had files
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("qid", schema("nid").dataType),
+          org.apache.spark.sql.types.StructField("qid", probes.schema("qid").dataType),
           schema("nid"),
           org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType))))

@@ -19,6 +19,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *      so the accumulated result is identical to the batch operator run
   *      over the union (gated against the same exhaustive oracle, and
   *      asserted equal to the batch operator in StreamingDedupSpec).
+  *      One deliberate divergence: the batch operator's OVERSIZED-BUCKET
+  *      guard (maxBucket sub-splitting, which trades bounded recall loss
+  *      in degenerate buckets for a cost bound) has no streaming
+  *      counterpart — sub-bucket assignment depends on bucket size,
+  *      which changes as the index grows, so a consistent split across
+  *      batches is impossible without rewriting history. Streaming
+  *      therefore returns a SUPERSET of a guard-engaged batch run (equal
+  *      whenever no bucket exceeds maxBucket — every gated fixture), and
+  *      a degenerate bucket's cost grows with its index size: a corpus
+  *      where millions of documents share a band bucket is exactly what
+  *      [[compactIndex]] + the batch operator's periodic re-dedup are
+  *      for, not per-batch probing.
   *   2. Candidates = batch buckets ⋈ accumulated bucket index (new vs
   *      old) ∪ batch self-join (new vs new).
   *   3. Exact verification: true Jaccard on sorted shingle hashes
@@ -206,7 +218,11 @@ object StreamingDedup {
         Seq("pairs", "bands", "shingles").forall(d =>
           CommitLog.isCommitted(s"$workDir/$d", b)))) return
     // batch-mode callers may drive a legacy (pre-sigb) workDir without
-    // going through init — same metadata-only migration, idempotent
+    // going through init — same validation and metadata-only migration
+    // (a floor-divided rowsPerBand would silently band over a signature
+    // prefix, diverging from every Dedup.minhashCandidates run)
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes=$numHashes must divide into bands=$bands")
     CommitLog.evolveSchema(s"$workDir/bands", bandsSchema)
     val rowsPerBand = numHashes / bands
     val base = batch.select(

@@ -112,6 +112,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("geometry-free rows: empty vectors never seed or dilute centroids; empty corpus refuses") {
+    // one real cluster at [2,2] + an empty-array row and a null row:
+    // the centroid must stay [2,2] (empty rows previously seeded blank
+    // _centroids.txt lines — index shift — and diluted means toward 0)
+    val rows = Seq(
+      (1L, Seq(2.0f, 2.0f)), (2L, Seq(2.0f, 2.0f)), (3L, Seq.empty[Float]), (4L, null)
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(rows, "vec_id", "embedding", k = 1, iterations = 2)
+    assert(cents == Seq(Seq(2.0, 2.0)), cents.toString)
+    // a corpus with NO usable vectors must refuse with a clear message,
+    // not die in repartition(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    val err = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(rows.where($"vec_id" >= 3L), "vec_id", "embedding", dir)
+    }
+    assert(err.getMessage.contains("no usable vectors"), err.getMessage)
+  }
+
   test("ivfTopK achieves reasonable recall against brute force") {
     val queries = emb.where($"vec_id" < 5)
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, nCentroids = 16, nProbe = 6)
