@@ -43,6 +43,9 @@ object PlanSnapshot {
     // RDD ids in ExistingRDD scans: MapPartitionsRDD[12282] — a session-
     // lifetime counter, different on every run with zero plan content
     ("""RDD\[\d+\]""".r, "RDD[N]"),
+    // broadcast variable ids: Broadcast(4941) — a SparkContext-lifetime
+    // counter rendered by expressions holding a broadcast handle
+    ("""Broadcast\(\d+\)""".r, "Broadcast(N)"),
     // lambda variable names: `lambda x_92`, `y_4#N` — NamedLambdaVariable's
     // session-lifetime counter (x/y/z by lambda arity); diffs on every
     // regeneration, zero content. Single letter + underscore + digits

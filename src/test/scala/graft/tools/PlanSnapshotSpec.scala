@@ -38,6 +38,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(norm.contains("__sig#N"), norm) // double-underscore aliases untouched
     // multi-letter underscore names (real columns) survive
     assert(PlanSnapshot.normalize("conv_start_us#3, ts_us#4") == "conv_start_us#N, ts_us#N")
+    // broadcast variable ids (SparkContext-lifetime counter) mask
+    assert(PlanSnapshot.normalize("nearest_centroids(cvec#2, Broadcast(4941), 1)")
+      == "nearest_centroids(cvec#N, Broadcast(N), 1)")
   }
 
   test("watermark-annotated exprIds mask; the watermark delay survives") {
