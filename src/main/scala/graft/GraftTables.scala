@@ -79,9 +79,18 @@ object GraftTables {
 
       {
         var maxMicros = 0L
+        // (user, ts) is this store's primary key: a same-timestamp pair
+        // would overwrite a cell (one event silently lost) AND leave the
+        // streaming gates' (ts, event_id) ordering to arrival luck — fail
+        // loudly at seed time instead of hash-mismatching downstream
+        val seenUserTs = scala.collection.mutable.HashSet.empty[(Long, Long)]
         eventsWithMicros(spark, s"$sfDir/events.parquet").foreach { r =>
           val key = f"${r.getAs[Long]("user_id")}%06d"
           val micros = r.getAs[Long]("ts_us")
+          require(seenUserTs.add((r.getAs[Long]("user_id"), micros)),
+            s"events fixture has two events for user ${r.getAs[Long]("user_id")} " +
+              s"at ts_us=$micros — the cell store cannot represent both and the " +
+              s"streaming conversation/session gates would be order-dependent")
           maxMicros = math.max(maxMicros, micros)
           b.put("events", key, BtCell("f", "event_type", micros, CellCodec.encodeString(r.getAs[String]("event_type"))))
           b.put("events", key, BtCell("f", "value", micros, CellCodec.encodeString(r.getAs[Double]("value").toString)))

@@ -1406,7 +1406,11 @@ object SparkEntry {
         .option("streamStepMicros", GraftTables.FlushStepMicros.toString)
         .load()
       val evs = stream.select(
-        lit(0L).as("event_id"),
+        // a real deterministic per-row sequence (the cell timestamp) —
+        // (user, ts) is unique by the seeding assertion in GraftTables,
+        // so this tie-break is never exercised, but the streaming sort
+        // must not depend on arrival order even in principle
+        unix_micros(col("_timestamp")).as("event_id"),
         col("_timestamp").as("ts"),
         col("u_key").cast("long").as("user_id"),
         col("event_type"),

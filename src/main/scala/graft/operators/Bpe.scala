@@ -64,6 +64,16 @@ object Bpe {
     */
   val CutEverySteps = 16
 
+  /** Ceiling on [[tokensCol]]'s composed merge chain, measured by
+    * [[graft.tools.BpeDepthProbe]]: each nested lambda fold consumes ~1
+    * analyzer Resolution iteration, so the chain HARD-FAILS at ~97
+    * merges ("Max iterations (100) reached for batch Resolution" —
+    * Spark's `spark.sql.analyzer.maxIterations` default). 64 leaves
+    * budget for the caller's own surrounding lambdas, which draw from
+    * the same iteration pool.
+    */
+  val MaxExprMerges = 64
+
   /** Initial symbols of a word, one per CODE POINT (`.` in Java regex
     * matches a full code point; a word from [[TextFunctions.tokens]]
     * never contains line terminators). `split("")` would cut supplementary
@@ -110,15 +120,32 @@ object Bpe {
   /** BPE token sequence of `text` computed from the merge list ALONE —
     * the shipped-tokenizer behavior: words never seen in training still
     * segment correctly (greedy merges over their characters), which the
-    * [[tokenCounts]] vocabulary join cannot do. Pure projection: each of
-    * the `merges.size` folds composes as a codegen'd higher-order
-    * expression, so this is the right shape for the tens-of-merges
+    * [[tokenCounts]] vocabulary join cannot do. Pure projection (no
+    * shuffle), but the fold chain is interpreted, not codegen'd —
+    * higher-order array functions are `CodegenFallback` — and each
+    * nested fold costs one analyzer Resolution iteration, so the chain
+    * hard-fails around 97 merges (measured,
+    * [[graft.tools.BpeDepthProbe]]). Enforced ceiling
+    * [[MaxExprMerges]] = 64: the right shape for the tens-of-merges
     * regime (feature hashing, sub-token stats); a vocabulary-scale
-    * encoder (30k merges) wants [[tokenCounts]]' vocab-table probe —
-    * 30k nested folds would not compile, and real trainers ship the
-    * word→segment table for exactly this reason.
+    * encoder (30k merges) must use [[tokenCounts]]' word→segment-table
+    * probe, which is how real trainers ship a tokenizer.
     */
-  def tokensCol(text: Column, merges: Seq[BpeMerge]): Column =
+  def tokensCol(text: Column, merges: Seq[BpeMerge]): Column = {
+    require(merges.size <= MaxExprMerges,
+      s"tokensCol composes one fold per merge into a single expression chain — " +
+        s"viable for the tens-of-merges regime but not a vocabulary-scale " +
+        s"tokenizer (got ${merges.size} merges, ceiling $MaxExprMerges, measured " +
+        s"by graft.tools.BpeDepthProbe). Encode through the model's word→segment " +
+        s"table instead (Bpe.tokenCounts / BpeModel.wordTokens) — that is how " +
+        s"production tokenizers ship a 30k-merge vocabulary.")
+    tokensColUnchecked(text, merges)
+  }
+
+  /** [[tokensCol]] without the merge-count ceiling — for the depth probe
+    * that MEASURES the ceiling. Not a public API.
+    */
+  private[graft] def tokensColUnchecked(text: Column, merges: Seq[BpeMerge]): Column =
     flatten(transform(TextFunctions.tokens(text), w =>
       merges.foldLeft(charsCol(w))((syms, m) => applyMergeCol(syms, m.lft, m.rgt))))
 

@@ -273,8 +273,12 @@ object Similarity {
     val centroids =
       if (kmeansIterations > 0)
         kmeansCentroids(corpus, idCol, vecCol, nCent, kmeansIterations)
-      else // deterministic sample: lowest-id vectors
-        c.orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
+      else // deterministic sample: lowest-id vectors with real geometry —
+        // a null vector would NPE in broadcastCentroids, an empty one
+        // would seed a degenerate centroid (NaN cosine, silently wrong
+        // bucket assignment); same guard as buildIvfIndex's seed path
+        c.where(col("cvec").isNotNull && size(col("cvec")) > 0)
+          .orderBy(col("nid")).limit(nCent).collect().map(_.getSeq[Double](1)).toSeq
     // a corpus smaller than nCentroids yields fewer centroids — safe:
     // NearestCentroids itself clamps its take to min(nProbe, k)
     val bc = broadcastCentroids(centroids)

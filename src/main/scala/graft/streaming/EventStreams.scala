@@ -131,9 +131,15 @@ object EventStreams {
     * assembly operator can hold less). Turns accumulate by O(1) prepend
     * and sort by (timestamp, event_id) at emit — the batch operator's
     * exact order — so late-but-within-watermark arrivals (which also
-    * LOWER conv_start when they precede it) and same-timestamp ties
-    * serialize identically to [[graft.operators.Conversations]],
-    * independent of arrival order.
+    * LOWER conv_start when they precede it by at most the gap) and
+    * same-timestamp ties serialize identically to
+    * [[graft.operators.Conversations]], independent of arrival order.
+    * A late turn MORE than a gap before the open conversation's start
+    * emits as its own closed conversation (batch parity for a lone
+    * turn; several such turns clustered within a gap of each other but
+    * arriving after the conversation opened each emit singly where
+    * batch would merge them — the one documented divergence, bounded
+    * by the watermark and absent when `watermarkDelay <= gap`).
     */
   def assembleConversations(
       spark: SparkSession,
@@ -173,9 +179,18 @@ object EventStreams {
         sorted.foreach { e =>
           val t = tsMicros(e.ts)
           cur match {
+            case Some(s) if t < s.start - gapUs =>
+              // a late turn more than a gap BEFORE the open conversation's
+              // start: batch, seeing full time order, would have closed it
+              // as its own conversation before this one began — emit it
+              // closed now (it cannot merge with anything later: every
+              // in-order successor is past s.start, and anything still
+              // later-arriving near t is itself bounded by the watermark)
+              out += close(ConvState(t, t, Seq(t), Seq(e.event_id), Seq(e.event_type)))
             case Some(s) if t - s.end <= gapUs =>
               // a late-but-within-watermark turn can precede the current
-              // start — conv_start tracks the true minimum, like batch
+              // start (by at most the gap, per the case above) —
+              // conv_start tracks the true minimum, like batch
               cur = Some(ConvState(math.min(s.start, t), math.max(s.end, t),
                 t +: s.ts, e.event_id +: s.seq, e.event_type +: s.turns))
             case Some(s) =>

@@ -121,6 +121,21 @@ class BpeSpec extends AnyFunSuite {
     assert(viaExpr.count() == 0)
   }
 
+  test("tokensCol enforces the measured merge-count ceiling") {
+    // BpeDepthProbe measured the analyzer hard-failing at ~97 nested
+    // folds (Resolution maxIterations=100); the enforced ceiling is 64.
+    val mk = (n: Int) => (1 to n).map(i => BpeMerge(i, s"x$i", s"y$i", s"x${i}y$i", 1L))
+    val df = Seq((1L, "bestest lowest")).toDF("doc_id", "text")
+    // at the ceiling: builds, analyzes, and evaluates
+    val atCeiling = df.select(Bpe.tokensCol($"text", mk(Bpe.MaxExprMerges)).as("t"))
+    assert(atCeiling.selectExpr("size(t)").as[Int].head() > 0)
+    // one past the ceiling: refused at composition time with the reroute hint
+    val e = intercept[IllegalArgumentException] {
+      Bpe.tokensCol($"text", mk(Bpe.MaxExprMerges + 1))
+    }
+    assert(e.getMessage.contains("tokenCounts"))
+  }
+
   test("save/load round-trips the model; load refuses an uncommitted dir") {
     val model = Bpe.learn(corpus, "text", steps = 3)
     val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString

@@ -128,6 +128,20 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.buildIvfIndex(rows.where($"vec_id" >= 3L), "vec_id", "embedding", dir)
     }
     assert(err.getMessage.contains("no usable vectors"), err.getMessage)
+    // ivfTopK's DEFAULT seed path (kmeansIterations=0, lowest-id sample)
+    // must also skip geometry-free rows: with vec_id 3 (empty) and 4
+    // (null) sorting below the real vectors, a 1-centroid seed would
+    // otherwise collect the null row (driver NPE) or the empty one
+    // (degenerate centroid, NaN cosine)
+    val lowNull = Seq(
+      (1L, null.asInstanceOf[Seq[Float]]), (2L, Seq.empty[Float]),
+      (3L, Seq(2.0f, 2.0f)), (4L, Seq(2.1f, 2.0f)), (5L, Seq(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(
+      lowNull, lowNull.where($"vec_id" === 3L),
+      "vec_id", "embedding", k = 1, nCentroids = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 4L)), got.mkString(","))
   }
 
   test("ivfTopK achieves reasonable recall against brute force") {

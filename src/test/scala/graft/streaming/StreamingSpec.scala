@@ -13,6 +13,8 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def unixMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   test("windowedCounts aggregates per tumbling window with watermark") {
     import spark.implicits._
@@ -166,6 +168,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(c.transcript == "early-late > tie-a > tie-b", c.transcript)
     assert(c.conv_start == ts("2024-01-01 10:12:00"), s"conv_start ${c.conv_start}")
     assert(c.conv_end == ts("2024-01-01 10:20:00"))
+  }
+
+  test("assembleConversations: a late turn more than a gap before conv_start splits, like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // watermarkDelay (2h) > gap (30min) is the regime where the split
+    // matters: a late arrival can precede the open conversation's start
+    // by more than the gap and still be within the watermark
+    val q = EventStreams
+      .assembleConversations(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("convsplit").outputMode("append").start()
+    in.addData(Event(1, ts("2024-01-01 12:00:00"), 1, "opener", 1.0))
+    q.processAllAvailable()
+    // 11:00 is 60 min before the open conversation's start (> 30-min gap)
+    // and within the watermark (12:00 - 2h = 10:00): batch, seeing full
+    // time order, puts it in its OWN conversation — streaming must too,
+    // not silently merge it because 11:00 - conv_end is negative
+    in.addData(Event(2, ts("2024-01-01 11:00:00"), 1, "late-solo", 1.0))
+    q.processAllAvailable()
+    // flush twice so the open conversation's event-time timeout fires
+    in.addData(Event(8, ts("2024-01-01 16:00:00"), 2, "x", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(9, ts("2024-01-01 16:30:00"), 2, "x", 1.0))
+    q.processAllAvailable()
+    val convs = spark.table("convsplit")
+      .as[graft.streaming.EventStreams.Conversation].collect().filter(_.user_id == 1)
+      .sortBy(_.conv_start.getTime)
+    q.stop()
+    assert(convs.length == 2, s"expected a split, got ${convs.toSeq}")
+    assert(convs(0).transcript == "late-solo" && convs(0).n_turns == 1)
+    assert(convs(0).conv_start == ts("2024-01-01 11:00:00") &&
+      convs(0).conv_end == ts("2024-01-01 11:00:00"))
+    assert(convs(1).transcript == "opener" &&
+      convs(1).conv_start == ts("2024-01-01 12:00:00"))
+    // and it matches batch exactly on the same two-event log
+    val batch = graft.operators.Conversations.assemble(
+      Seq(Event(1, ts("2024-01-01 12:00:00"), 1, "opener", 1.0),
+        Event(2, ts("2024-01-01 11:00:00"), 1, "late-solo", 1.0))
+        .toDF().select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type"),
+      "user_id", "ts_us", "event_id", "event_type", gapMicros = 30L * 60 * 1000000)
+      .select($"conv_start_us", $"conv_end_us", $"n_turns", $"transcript")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = convs.map(c =>
+      (unixMicros(c.conv_start), unixMicros(c.conv_end), c.n_turns.toLong, c.transcript)).toSet
+    assert(streamed == batch)
   }
 
   test("assembleConversations matches the batch operator on a replayed log") {
