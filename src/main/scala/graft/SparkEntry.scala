@@ -2269,6 +2269,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- PRODUCTION-SCALE BPE training: run the driver-path merge loop
+    //     to FULL VOCABULARY COLLAPSE (minCount=1 merges until every
+    //     training word is a single token — thousands of steps at sf0.01,
+    //     vs the 8-step gates above). The endpoint is exactly SQL-
+    //     derivable without replaying a single merge: the final
+    //     word-tokens table must be word → [word], so the oracle is a
+    //     plain word-count aggregate — the equality that replaces the
+    //     per-step unrolled-CTE oracle, which cannot scale past ~10
+    //     steps. Every merge application and O(delta) pair-count /
+    //     TreeSet-argmax update must be right for every word to land at
+    //     exactly one symbol with its exact corpus count. ---
+    "doc_bpe_collapse" -> ((s, dir) => {
+      // the documents fixture has a 31-word vocabulary at every scale —
+      // too small to exercise a long merge schedule. Widening the corpus
+      // with customer names ("Customer#000000001") makes every numeric
+      // id its own word TYPE (vocab 1.5k at sf0.01, 15k at sf0.1), so
+      // collapse needs thousands of steps (each distinct word's final
+      // token is a merge nothing else shares) — the id-and-number-heavy
+      // tail a real web corpus' tokenizer training actually has
+      val corpus = s.read.parquet(s"$dir/documents.parquet").select(col("text"))
+        .unionAll(s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_name").as("text")))
+      val model = graft.operators.Bpe.learn(corpus, "text", steps = 1000000)
+      model.wordTokens
+        .select(col("word"), col("cnt"),
+          size(col("syms")).as("n_syms"),
+          element_at(col("syms"), 1).as("sym"))
+        .orderBy(col("word"))
+    }),
+
     // --- ANALYZE: one-pass per-column table statistics; NDV via the KMV
     //     sketch (exact below k=4096 — this table's regime), partials
     //     carry counts + extrema + <=k hashes per column, never values ---
@@ -2860,6 +2890,37 @@ object SparkEntry {
       graft.operators.Classifier
         .classifyJoin(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           dims = 256, weights, "bucket", "w", bias = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- FLOAT-weight classifier (projection path): per-token weights
+    //     built from exactly-rounded IEEE ops (sqrt of an exact int,
+    //     division by a power of two, subtraction of exact values) and a
+    //     fold that is strictly sequential in token order — so the score
+    //     is bit-reproducible in any engine replicating the association:
+    //     ((bias + w1) + w2) + ... The oracle prepends the bias to the
+    //     weight list and left-folds, DuckDB's list sum order. ---
+    "doc_classifier_float" -> ((s, dir) =>
+      graft.operators.Classifier
+        .classify(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          dims = 256,
+          weightOf = b => sqrt((b + lit(1)).cast("double")) / lit(8.0) - lit(1.0),
+          bias = lit(0.5), threshold = lit(40.0))
+        .orderBy(col("doc_id"))),
+
+    // --- FLOAT-weight classifier (weight-TABLE path): the join
+    //     re-aggregate's addition order is partition-nondeterministic,
+    //     so its float weights live on a DYADIC grid (k/32, |k| <= 16):
+    //     every partial sum is exactly representable, so order provably
+    //     cannot change the result — the regime where a learned float
+    //     model can ride the broadcast-join plan and stay engine-exact. ---
+    "doc_classifier_float_join" -> ((s, dir) => {
+      val weights = s.range(256).select(
+        col("id").as("bucket"),
+        ((col("id") % 33 - 16).cast("double") / lit(32.0)).as("w"))
+      graft.operators.Classifier
+        .classifyJoin(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          dims = 256, weights, "bucket", "w", bias = lit(0.25), threshold = lit(0.0))
         .orderBy(col("doc_id"))
     }),
 
@@ -4070,6 +4131,30 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "doc_classifier" -> classifierOracle,
     "doc_classifier_join" -> classifierOracle,
+    // float weights, bit-exact: per-token weight from exactly-rounded
+    // ops; list_prepend(bias, ws) then DuckDB's left-to-right list sum
+    // replicates scoreCol's ((bias + w1) + w2) + ... association exactly
+    "doc_classifier_float" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  list_aggregate(list_prepend(0.5, coalesce(list_transform(
+                    regexp_extract_all(lower(text), '[\p{L}\p{N}'']+'),
+                    t -> sqrt(CAST((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) + 1 AS DOUBLE)) / 8.0 - 1.0),
+                    CAST([] AS DOUBLE[]))), 'sum') AS score
+           FROM documents)
+         SELECT doc_id, score, score >= 40.0 AS keep FROM s ORDER BY doc_id""",
+    // dyadic-grid float weights (k/32): every partial sum exact, so the
+    // join path's nondeterministic addition order cannot matter — any
+    // summation order is hash-identical
+    "doc_classifier_float_join" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  coalesce(list_aggregate(list_transform(
+                    regexp_extract_all(lower(text), '[\p{L}\p{N}'']+'),
+                    t -> CAST(((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) % 33) - 16 AS DOUBLE) / 32.0), 'sum'), 0)
+                    + 0.25 AS score
+           FROM documents)
+         SELECT doc_id, score, score >= 0.0 AS keep FROM s ORDER BY doc_id""",
     "doc_curate_scored" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents
                       WHERE source IS NOT NULL GROUP BY source),
@@ -4154,6 +4239,14 @@ object SparkEntry {
     "doc_vocab_encode_join" -> vocabEncodeOracle,
     "doc_bpe_merges" -> bpeMergesOracle(8),
     "doc_bpe_merges_dist" -> bpeMergesOracle(8),
+    // training-to-collapse endpoint: every vocab word is one token with
+    // its exact corpus count — a word-count aggregate, no merge replay
+    "doc_bpe_collapse" ->
+      s"""SELECT w AS word, count(*) AS cnt, CAST(1 AS INT) AS n_syms, w AS sym
+         FROM (SELECT unnest($bpeTokSql) AS w FROM (
+           SELECT text FROM documents
+           UNION ALL SELECT c_name AS text FROM customer))
+         GROUP BY w ORDER BY w""",
     "doc_bpe_encode" -> bpeEncodeOracle(8),
     "doc_bpe_encode_loaded" -> bpeEncodeOracle(8),
     "doc_bpe_encode_expr" -> bpeEncodeOracle(8),

@@ -247,9 +247,26 @@ object Bpe {
     * distributed-path and oracle tie-breaks even beyond ASCII (the same
     * definition of "Spark binary order" BigtableAgg's MIN/MAX uses).
     */
-  private def utf8Lt(a: String, b: String): Boolean =
+  private def utf8Lt(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
+
+  private def utf8Cmp(a: String, b: String): Int =
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
-      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Merge-selection total order: count DESC, then (l, r) ascending in
+    * UTF-8 byte order — the same order the per-step scan used, held in a
+    * TreeSet so argmax is O(log n) instead of a full pair-table scan.
+    */
+  private val pairOrd: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+        else {
+          val c = utf8Cmp(x._2, y._2)
+          if (c != 0) c else utf8Cmp(x._3, y._3)
+        }
+      }
+    }
 
   /** One symbol per code point (see [[charsCol]] — `split("")` cuts
     * supplementary characters into lone surrogates).
@@ -276,15 +293,24 @@ object Bpe {
       .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
     // pair counts build ONCE; every merge step updates them through the
     // inverted pair→word index, touching only affected words — O(delta)
-    // per step, which is what makes 30k-step training runs viable
+    // per step. The selection order rides a TreeSet mirror of the count
+    // table (count desc, pair asc in UTF-8), so argmax is O(log n) too:
+    // with a full per-step pair scan, a vocabulary-scale run pays
+    // O(steps x live-pairs) just choosing merges — the term that made
+    // "30k steps viable" an unproven claim (doc_bpe_collapse is the gate
+    // that now proves it, training to full vocabulary collapse).
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val sortedPairs = mutable.TreeSet.empty[(Long, String, String)](pairOrd)
     val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
     def indexWord(idx: Int, syms: mutable.ArrayBuffer[String], cnt: Long, sign: Long): Unit = {
       var i = 0
       while (i < syms.length - 1) {
         val p = (syms(i), syms(i + 1))
-        val c = pairCounts.getOrElse(p, 0L) + sign * cnt
-        if (c == 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        val before = pairCounts.getOrElse(p, 0L)
+        val c = before + sign * cnt
+        if (before != 0L) sortedPairs.remove((before, p._1, p._2))
+        if (c == 0L) pairCounts.remove(p)
+        else { pairCounts.update(p, c); sortedPairs.add((c, p._1, p._2)): Unit }
         if (sign > 0) occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
         else occ.get(p).foreach { s => s -= idx; if (s.isEmpty) occ.remove(p) }
         i += 1
@@ -300,13 +326,9 @@ object Bpe {
     while (step <= steps && !done) {
       if (pairCounts.isEmpty) done = true
       else {
-        // argmax: count desc, then (l, r) ascending in UTF-8 byte order
-        var l: String = null; var r: String = null; var c = -1L
-        for (((pl, pr), pc) <- pairCounts) {
-          val better = pc > c ||
-            (pc == c && (utf8Lt(pl, l) || (pl == l && utf8Lt(pr, r))))
-          if (better) { l = pl; r = pr; c = pc }
-        }
+        // argmax: count desc, then (l, r) ascending in UTF-8 byte order —
+        // the TreeSet head, maintained incrementally by indexWord
+        val (c, l, r) = sortedPairs.head
         if (c < minCount) done = true
         else {
           val m = l + r

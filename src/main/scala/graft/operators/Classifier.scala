@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *    Tokens explode, broadcast-join the weight table, re-aggregate per
   *    document: ONE shuffle, map-side combined, corpus never broadcast.
   *
-  * Integer weights keep scores exact (sum order never matters), which is
-  * what makes the gate oracle-exact; the API is `Column`-typed so real
-  * float weights drop in unchanged.
+  * Integer weights keep scores exact (sum order never matters). Float
+  * weights are first-class on the PROJECTION path: the fold is strictly
+  * sequential in token order, so scores are bit-reproducible across
+  * engines that replicate the association (see the Column-typed
+  * [[classify]] overload; gate `doc_classifier_float`). On the JOIN
+  * path float sums are only exact when the weights live on a dyadic
+  * grid (k/2^m): the re-aggregate's addition order is
+  * partition-nondeterministic, and dyadic terms are the regime where
+  * every partial sum is exact so order cannot matter.
   */
 object Classifier {
 
@@ -62,9 +68,30 @@ object Classifier {
       bias: Long = 0L,
       threshold: Long = 0L
   ): DataFrame =
+    classify(docs, idCol, textCol, dims, weightOf, lit(bias), lit(threshold))
+
+  /** Column-typed bias/threshold overload — the FLOAT-weight path. Exact
+    * cross-engine reproducibility holds when each per-token weight is
+    * built from exactly-rounded IEEE ops (sqrt/mul/div/add of exact
+    * inputs) and the consumer replicates the fold's association order:
+    * [[scoreCol]] folds `((bias + w1) + w2) + ...` strictly left-to-right
+    * in token order — per-row sequential, never shuffled — so an engine
+    * summing the same weights in the same order reproduces every bit
+    * (the `doc_classifier_float` gate hash-matches DuckDB this way,
+    * `list_prepend(bias, weights)` then a left-to-right list sum).
+    */
+  def classify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      weightOf: Column => Column,
+      bias: Column,
+      threshold: Column
+  ): DataFrame =
     docs
-      .select(col(idCol), scoreCol(col(textCol), dims, weightOf, lit(bias)).as("score"))
-      .withColumn("keep", col("score") >= lit(threshold))
+      .select(col(idCol), scoreCol(col(textCol), dims, weightOf, bias).as("score"))
+      .withColumn("keep", col("score") >= threshold)
 
   /** Weight-table inference: same contract as [[classify]], weights read
     * from `weights(bucketCol, weightCol)` — broadcast when it fits (a
@@ -88,6 +115,27 @@ object Classifier {
       bias: Long = 0L,
       threshold: Long = 0L
   ): DataFrame =
+    classifyJoin(docs, idCol, textCol, dims, weights, bucketCol, weightCol,
+      lit(bias), lit(threshold))
+
+  /** Column-typed bias/threshold overload of [[classifyJoin]]. With
+    * FLOAT weights, keep them on a dyadic grid (k/2^m with bounded k):
+    * the aggregate's addition order is partition-nondeterministic, and
+    * dyadic terms whose partial sums stay exact are the regime where
+    * order provably cannot change the result (gate
+    * `doc_classifier_float_join`).
+    */
+  def classifyJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      weights: DataFrame,
+      bucketCol: String,
+      weightCol: String,
+      bias: Column,
+      threshold: Column
+  ): DataFrame =
     docs
       .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
       .withColumn("__b", featureBucket(col("__t"), dims))
@@ -95,6 +143,8 @@ object Classifier {
         broadcast(weights.select(col(bucketCol).as("__b"), col(weightCol).as("__w"))),
         Seq("__b"), "left_outer")
       .groupBy(col(idCol))
-      .agg((coalesce(sum(col("__w")), lit(0L)) + lit(bias)).as("score"))
-      .withColumn("keep", col("score") >= lit(threshold))
+      // type-generic zero: a tokenless/out-of-table document's NULL sum
+      // falls back to the bare bias, in the weight column's own type
+      .agg(coalesce(sum(col("__w")) + bias, bias).as("score"))
+      .withColumn("keep", col("score") >= threshold)
 }

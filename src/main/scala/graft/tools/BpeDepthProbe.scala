@@ -13,6 +13,42 @@ import org.apache.spark.sql.functions._
   * plan itself becomes pathological; the ceiling has to catch BOTH).
   * Usage: runMain graft.tools.BpeDepthProbe [depths...]
   */
+/** Dev probe: time the doc_bpe_collapse training run (driver path, full
+  * vocabulary collapse) at a scale dir and report steps executed —
+  * the SCALING.md evidence behind "vocabulary-scale step counts viable".
+  * Usage: runMain graft.tools.BpeCollapseProbe [sfDir]
+  */
+object BpeCollapseProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // "synthetic:N" = N distinct 32-hex-char word types (md5 of the row
+    // id) — the vocabulary-scale stressor: collapse needs > N steps
+    val corpus =
+      if (dir.startsWith("synthetic:"))
+        spark.range(dir.stripPrefix("synthetic:").toLong)
+          .select(md5(col("id").cast("string")).as("text"))
+      else
+        spark.read.parquet(s"$dir/documents.parquet").select(col("text"))
+          .unionAll(spark.read.parquet(s"$dir/customer.parquet").select(col("c_name").as("text")))
+    corpus.count() // warm the read path so the timing is the merge loop + one count shuffle
+    val t0 = System.nanoTime()
+    val model = Bpe.learn(corpus, "text", steps = 10000000)
+    val steps = model.merges.size
+    val t1 = System.nanoTime()
+    val vocab = model.wordTokens.count()
+    val maxSyms = model.wordTokens
+      .selectExpr("max(size(syms))").collect()(0).getInt(0)
+    println(f"[collapse] dir=$dir steps=$steps vocab=$vocab maxSyms=$maxSyms trainSec=${(t1 - t0) / 1e9}%.2f")
+    spark.stop()
+  }
+}
+
 object BpeDepthProbe {
   def main(args: Array[String]): Unit = {
     val depths =

@@ -58,6 +58,65 @@ class ClassifierSpec extends AnyFunSuite {
     assert(b == a)
   }
 
+  test("float scores fold strictly left-to-right in token order") {
+    // order-discriminating weights: one token's weight is 2^53 (the
+    // absorption threshold for +1.0), the rest weigh 1.0. Left-to-right
+    // from a big first token, every later +1.0 is absorbed; any other
+    // association (right fold, pairwise tree) would keep some of them.
+    val big = math.pow(2, 53)
+    val doc = Seq((1L, "big one one one")).toDF("doc_id", "text")
+    val bigBucket = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex("big").take(8)
+      java.lang.Long.parseLong(hex, 16) % Dims
+    }
+    val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      b => when(b === lit(bigBucket), lit(big)).otherwise(lit(1.0))
+    val got = Classifier.classify(doc, "doc_id", "text", Dims, w,
+      bias = lit(0.0), threshold = lit(0.0)).collect()(0).getDouble(1)
+    val leftFold = Seq(big, 1.0, 1.0, 1.0).foldLeft(0.0)(_ + _) // absorbed: == 2^53
+    val rightFold = Seq(big, 1.0, 1.0, 1.0).foldRight(0.0)(_ + _) // 2^53 + 4 survives rounding
+    assert(leftFold != rightFold, "fixture must discriminate fold order")
+    assert(got == leftFold, s"got $got, expected the sequential left fold $leftFold")
+  }
+
+  test("float weights: projection path matches a driver replica bit-for-bit") {
+    // the doc_classifier_float model: w(b) = sqrt(b+1)/8 - 1, bias 0.5 —
+    // every op exactly rounded, association fixed, so Spark, DuckDB, and
+    // this JVM replica agree on every bit
+    val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      b => sqrt((b + lit(1)).cast("double")) / lit(8.0) - lit(1.0)
+    val got = Classifier.classify(docs, "doc_id", "text", Dims, w,
+      bias = lit(0.5), threshold = lit(40.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = docs.select($"doc_id", $"text").collect().map { r =>
+      val toks = "[\\p{L}\\p{N}']+".r.findAllIn(Option(r.getString(1)).getOrElse("").toLowerCase).toSeq
+      r.getLong(0) -> toks.foldLeft(0.5) { (acc, t) =>
+        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(t).take(8)
+        val b = java.lang.Long.parseLong(hex, 16) % Dims
+        acc + (math.sqrt((b + 1).toDouble) / 8.0 - 1.0)
+      }
+    }.toMap
+    assert(got.size == want.size)
+    val diffs = want.collect { case (id, s) if got(id) != s => id }
+    assert(diffs.isEmpty, s"bitwise diffs at ids ${diffs.take(5)}")
+  }
+
+  test("dyadic-grid float weights make the join path order-independent and equal to projection") {
+    // k/32 grid: partial sums stay exactly representable, so the join
+    // aggregate's nondeterministic addition order cannot change the sum
+    val wCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      b => ((b % 33) - 16).cast("double") / lit(32.0)
+    val weights = spark.range(Dims).select(
+      $"id".as("bucket"), (($"id" % 33 - 16).cast("double") / lit(32.0)).as("w"))
+    val proj = Classifier.classify(docs, "doc_id", "text", Dims, wCol,
+      bias = lit(0.25), threshold = lit(0.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val joined = Classifier.classifyJoin(docs, "doc_id", "text", Dims,
+      weights, "bucket", "w", bias = lit(0.25), threshold = lit(0.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(proj == joined)
+  }
+
   test("projection path plans with zero exchanges; join path exactly one") {
     def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
