@@ -1506,6 +1506,36 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- the STEADY-STATE ingest regime (VERDICT r15 #1): the whole
+    //     corpus is already ingested AND compacted into the partitioned
+    //     layouts (`__p64=` bands by bucket-hash, shingles by id-hash),
+    //     then ONE small trailing batch (50 duplicated docs — 1% of the
+    //     corpus at sf0.1) probes it. This is the regime a real nightly
+    //     ingest runs: the batch's index probe prunes bands partitions,
+    //     its verify prunes shingle partitions to candidate ids, and the
+    //     accumulated pair set must STILL equal the exhaustive oracle
+    //     over corpus ∪ trailing — the prune loses nothing. The timing
+    //     curve (per-batch cost flat as the index grows) is pinned by
+    //     tools/SteadyStateProbe + SCALING.md; this gate pins
+    //     correctness and keeps the path in the per-round bench. ---
+    "stream_doc_near_dup_steady" -> ((s, dir) => withFastStreams(s) {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val work = java.nio.file.Files.createTempDirectory("graft-sdedups").toString
+      graft.streaming.StreamingDedup.incrementalNearDuplicatesInit(s, work)
+      graft.streaming.StreamingDedup.processBatch(
+        docs, work, 0.9, 5, 120, 20, batchId = Some(0L))
+      // 400 < sf0.01's 500 shingle rows: both logs cross the
+      // partitioned-layout threshold at every gated sf
+      graft.streaming.StreamingDedup.compactIndex(s, work, targetRecordsPerFile = 400L)
+      graft.streaming.StreamingDedup.processBatch(
+        docs.where(col("id") < 50).select((col("id") + lit(500000L)).as("id"), col("text")),
+        work, 0.9, 5, 120, 20, batchId = Some(1L))
+      graft.streaming.StreamingDedup.pairs(s, work)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // --- incremental SPAN dedup over the documents change stream:
     //     spans claimed by earlier arrival batches drop, keep-first
     //     within each batch, result + span index exactly-once in a
@@ -3170,6 +3200,108 @@ object SparkEntry {
               md5(string_agg(tok, ' ' ORDER BY i)) AS fused_hash
        FROM out WHERE tok IS NOT NULL GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Exact-but-blocked near-duplicate pair CTEs for the DuckDB oracles
+    * (VERDICT r15 #5): the naive all-pairs join is O(N^2) and times out
+    * at sf1 (50k docs = 1.25B candidate pairs). This preamble applies
+    * the public exact-similarity-join toolkit the operator side already
+    * uses (operators/Dedup.ppJoin):
+    *   - PREFIX filter (Bayardo/Ma/Srikant, WWW'07): order every doc's
+    *     shingles by one global total order (corpus frequency asc,
+    *     shingle asc), keep a prefix of L - ceil(t*L) + 1 shingles; any
+    *     pair with Jaccard >= t MUST collide within both prefixes (a
+    *     pair that doesn't would need its whole intersection inside a
+    *     suffix of size ceil(t*L) - 1 < t*L <= |intersection|).
+    *   - LENGTH filter: t*La <= Lb <= La/t (symmetric, one side kept).
+    *   - POSITION filter (Xiao et al. PPJoin, WWW'08): at the pair's
+    *     first common prefix token (positions i, j in the global
+    *     order), overlap <= 1 + min(La-i, Lb-j) — the first PREFIX
+    *     match is the pair's first common token outright (an earlier
+    *     common token inside a's prefix but past b's would have to sit
+    *     both before j and after b's prefix end >= j), so pairs whose
+    *     bound undercuts the required overlap ceil(t*(La+Lb)/(1+t))
+    *     drop before verification. This matters here because the
+    *     synthetic corpus has a tiny shingle universe (~2k distinct at
+    *     sf0.1) — prefix collisions alone leave ~1.1M candidates;
+    *     position filtering cuts them ~3x.
+    *   - COUNT-JOIN verify: exact |a∩b| via the exploded token table
+    *     (candidates x shared tokens, grouped) instead of per-pair
+    *     list_intersect — same numbers (sets are distinct, so
+    *     J = i/(La+Lb-i)), ~14x faster at sf0.1.
+    * Multiply-referenced CTEs are AS MATERIALIZED: DuckDB otherwise
+    * inlines (re-evaluates) them per reference — measured 105s -> ~5s
+    * at sf0.1 for the identical result. The result set is byte-
+    * identical to the all-pairs join — re-proven equal row-for-row at
+    * sf0.01 and sf0.1 when introduced.
+    */
+  private def shinglePrefixPairCtes(thr: String, src: String = "documents"): String =
+    s"""s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
+                                i -> text[i:i+4])) AS sh
+           FROM $src),
+         tok AS MATERIALIZED (SELECT doc_id, len(sh) AS L, unnest(sh) AS t FROM s),
+         freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         pref AS MATERIALIZED (
+           SELECT doc_id, L, t, r FROM (
+             SELECT tok.doc_id, tok.L, tok.t,
+                    row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.n, tok.t) AS r
+             FROM tok JOIN freq f USING (t))
+           WHERE r <= L - CAST(ceil($thr*L) AS BIGINT) + 1),
+         cand AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.L AS l1, b.L AS l2
+           FROM pref a JOIN pref b
+             ON a.t = b.t AND a.doc_id < b.doc_id
+            AND b.L BETWEEN CAST(ceil($thr*a.L) AS BIGINT) AND CAST(floor(a.L/$thr) AS BIGINT)
+           GROUP BY a.doc_id, b.doc_id, a.L, b.L
+           HAVING 1 + least(a.L - min(a.r), b.L - min(b.r))
+                  >= CAST(ceil($thr*(a.L + b.L)/(1+$thr)) AS BIGINT)),
+         prs AS MATERIALIZED (
+           SELECT id1, id2, round(CAST(i AS DOUBLE) / (l1 + l2 - i), 6) AS jaccard
+           FROM (SELECT c.id1, c.id2, c.l1, c.l2, count(*) AS i
+                 FROM cand c
+                 JOIN tok ta ON ta.doc_id = c.id1
+                 JOIN tok tb ON tb.doc_id = c.id2 AND tb.t = ta.t
+                 GROUP BY c.id1, c.id2, c.l1, c.l2)
+           WHERE CAST(i AS DOUBLE) / (l1 + l2 - i) >= $thr)"""
+
+  private val nearDupPairSelect =
+    "SELECT id1, id2, jaccard FROM prs ORDER BY id1, id2"
+
+  /** Connected components over the `prs` pair CTE without WITH
+    * RECURSIVE: DuckDB 1.0 re-evaluates every non-recursive CTE a
+    * recursive term references on EACH iteration (AS MATERIALIZED is
+    * not honored from inside the recursion), so the old transitive
+    * closure re-ran the whole blocking pipeline per hop — 300s+ at
+    * sf0.1 while the closure itself costs 0.5s over a materialized
+    * pair table. Unrolled min-label propagation with pointer jumping
+    * instead: each level takes the min of (own label, label-of-label,
+    * neighbors' labels), materialized once. K levels converge for any
+    * component whose radius from its min-id node is <= K outright, and
+    * far beyond via the label-of-label jump. The gate fixtures'
+    * clusters are groups of near-identical documents (radius <= ~2 at
+    * every sf); a hypothetical deeper chain would surface as a VISIBLE
+    * gate mismatch (stale component ids), never a silent pass.
+    */
+  private val ccLevels = 8
+  private def connectedComponentCtes: String = {
+    val levels = (0 until ccLevels).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+           SELECT x.doc_id, least(x.lbl, y.lbl, coalesce(nb.m, x.lbl)) AS lbl
+           FROM l$k x
+           JOIN l$k y ON y.doc_id = x.lbl
+           LEFT JOIN (SELECT u.a AS doc_id, min(l.lbl) AS m
+                      FROM und u JOIN l$k l ON l.doc_id = u.b GROUP BY u.a) nb
+             ON nb.doc_id = x.doc_id)"""
+    }.mkString(",\n         ")
+    s"""und AS MATERIALIZED (
+           SELECT id1 AS a, id2 AS b FROM prs UNION ALL SELECT id2, id1 FROM prs),
+         l0 AS MATERIALIZED (
+           SELECT a AS doc_id, least(a, min(b)) AS lbl FROM und GROUP BY a),
+         $levels,
+         comp AS (
+           SELECT doc_id, lbl AS component FROM l$ccLevels)"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -3366,46 +3498,12 @@ object SparkEntry {
          FROM nation GROUP BY CUBE(n_regionkey, substr(n_name, 1, 1))
          ORDER BY n_regionkey NULLS FIRST, initial NULLS FIRST""",
     "doc_near_dup_clusters" ->
-      """WITH RECURSIVE s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents),
-         prs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM s a JOIN s b ON a.doc_id < b.doc_id
-           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
-         und AS (
-           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
-         reach AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         comp AS (
-           SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a)
+      raw"""WITH ${shinglePrefixPairCtes("0.9")},
+         $connectedComponentCtes
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
     "doc_near_dup_best" ->
-      """WITH RECURSIVE s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents),
-         prs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM s a JOIN s b ON a.doc_id < b.doc_id
-           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
-         und AS (
-           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
-         reach AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         comp AS (
-           SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a),
+      raw"""WITH ${shinglePrefixPairCtes("0.9")},
+         $connectedComponentCtes,
          base AS (
            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, text,
              CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
@@ -3422,46 +3520,12 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1
          ORDER BY doc_id""",
     "doc_near_dup_clusters_ckpt" ->
-      """WITH RECURSIVE s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents),
-         prs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM s a JOIN s b ON a.doc_id < b.doc_id
-           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
-         und AS (
-           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
-         reach AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         comp AS (
-           SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a)
+      raw"""WITH ${shinglePrefixPairCtes("0.9")},
+         $connectedComponentCtes
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
     "doc_dedup_pipeline" ->
-      """WITH RECURSIVE s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents),
-         prs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM s a JOIN s b ON a.doc_id < b.doc_id
-           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
-         und AS (
-           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
-         reach AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         comp AS (
-           SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a),
+      raw"""WITH ${shinglePrefixPairCtes("0.9")},
+         $connectedComponentCtes,
          base AS (
            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, text,
              CAST(greatest(length(text), 1) AS DOUBLE) AS nchars,
@@ -3484,6 +3548,8 @@ object SparkEntry {
                      WHEN md5(CAST(component AS VARCHAR)) < '50' THEN 'test'
                      ELSE 'train' END AS split
          FROM ranked ORDER BY doc_id""",
+    // same prefix-filter blocking as shinglePrefixPairCtes, over word
+    // bigrams at t=0.7 (prefix = 30% of each gram set + 1)
     "doc_ngram_near_dup" ->
       """WITH toks AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}'']+') AS t FROM documents),
@@ -3492,13 +3558,30 @@ object SparkEntry {
                   list_distinct(CASE WHEN len(t) >= 3
                     THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
                     ELSE [array_to_string(t, ' ')] END) AS g
-           FROM toks)
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
-                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-                      greatest(len(list_distinct(a.g || b.g)), 1), 6) AS jaccard
-         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-               greatest(len(list_distinct(a.g || b.g)), 1) >= 0.7
+           FROM toks),
+         tok AS MATERIALIZED (SELECT doc_id, len(g) AS L, unnest(g) AS t FROM grams),
+         freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         pref AS MATERIALIZED (
+           SELECT doc_id, L, t, r FROM (
+             SELECT tok.doc_id, tok.L, tok.t,
+                    row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.n, tok.t) AS r
+             FROM tok JOIN freq f USING (t))
+           WHERE r <= L - CAST(ceil(0.7*L) AS BIGINT) + 1),
+         cand AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.L AS l1, b.L AS l2
+           FROM pref a JOIN pref b
+             ON a.t = b.t AND a.doc_id < b.doc_id
+            AND b.L BETWEEN CAST(ceil(0.7*a.L) AS BIGINT) AND CAST(floor(a.L/0.7) AS BIGINT)
+           GROUP BY a.doc_id, b.doc_id, a.L, b.L
+           HAVING 1 + least(a.L - min(a.r), b.L - min(b.r))
+                  >= CAST(ceil(0.7*(a.L + b.L)/1.7) AS BIGINT))
+         SELECT id1, id2, round(CAST(i AS DOUBLE) / (l1 + l2 - i), 6) AS jaccard
+         FROM (SELECT c.id1, c.id2, c.l1, c.l2, count(*) AS i
+               FROM cand c
+               JOIN tok ta ON ta.doc_id = c.id1
+               JOIN tok tb ON tb.doc_id = c.id2 AND tb.t = ta.t
+               GROUP BY c.id1, c.id2, c.l1, c.l2)
+         WHERE CAST(i AS DOUBLE) / (l1 + l2 - i) >= 0.7
          ORDER BY id1, id2""",
     "bt_semi_join" ->
       """SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS n_key, n_name
@@ -3645,33 +3728,23 @@ object SparkEntry {
          SELECT 'orders' AS src, o_orderstatus AS k, count(*) AS n FROM orders GROUP BY 2
          ORDER BY src, k""",
     "stream_doc_near_dup" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents)
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
-                round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      greatest(length(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
-         ORDER BY id1, id2""",
+      s"""WITH ${shinglePrefixPairCtes("0.9")}
+         $nearDupPairSelect""",
     // layout-invariant: the compacted/partition-pruned index must yield
     // exactly the exhaustive pair set the streaming gate is held to
     "stream_doc_near_dup_compact" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents)
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
-                round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      greatest(length(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
-         ORDER BY id1, id2""",
+      s"""WITH ${shinglePrefixPairCtes("0.9")}
+         $nearDupPairSelect""",
+    // steady-state regime: exhaustive pairs over corpus ∪ the 50-doc
+    // trailing batch (ids shifted +500000) — partition-pruned probe and
+    // verify reads must lose nothing
+    "stream_doc_near_dup_steady" ->
+      s"""WITH ${shinglePrefixPairCtes("0.9",
+             src = """(SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 500000 AS doc_id, text FROM documents
+                       WHERE doc_id < 50)""")}
+         $nearDupPairSelect""",
     "stream_sessionize" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
@@ -3795,25 +3868,8 @@ object SparkEntry {
            FROM documents) t
          GROUP BY split ORDER BY split""",
     "doc_leakage_split" ->
-      """WITH RECURSIVE s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents),
-         prs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM s a JOIN s b ON a.doc_id < b.doc_id
-           WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9),
-         und AS (
-           SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
-         reach AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         comp AS (
-           SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a),
+      raw"""WITH ${shinglePrefixPairCtes("0.9")},
+         $connectedComponentCtes,
          rep AS (
            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
@@ -3954,18 +4010,12 @@ object SparkEntry {
          FROM spans s JOIN freq f ON s.span = f.span
          WHERE f.n <= 2 GROUP BY s.doc_id ORDER BY doc_id""",
     "doc_near_dup" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
-                                i -> text[i:i+4])) AS sh
-           FROM documents)
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
-                round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      greatest(length(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               greatest(length(list_distinct(a.sh || b.sh)), 1) >= 0.9
-         ORDER BY id1, id2""",
+      s"""WITH ${shinglePrefixPairCtes("0.9")}
+         $nearDupPairSelect""",
+    // cross-only (old corpus x new batch) prefix-filter blocking: the
+    // prefix lemma applies per pair regardless of which side each doc
+    // is on; cand keeps only side 0 x side 1 pairs (the operator never
+    // reports old-old or new-new here)
     "doc_near_dup_incr" ->
       """WITH sb AS (
            SELECT doc_id,
@@ -3976,13 +4026,32 @@ object SparkEntry {
            SELECT doc_id + 100000 AS doc_id,
                   list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
                                 i -> text[i:i+4])) AS sh
-           FROM documents WHERE doc_id < 250)
-         SELECT b.doc_id AS id1, n.doc_id AS id2,
-                round(CAST(length(list_intersect(b.sh, n.sh)) AS DOUBLE) /
-                      greatest(length(list_distinct(b.sh || n.sh)), 1), 6) AS jaccard
-         FROM sb b JOIN sn n
-           ON CAST(length(list_intersect(b.sh, n.sh)) AS DOUBLE) /
-              greatest(length(list_distinct(b.sh || n.sh)), 1) >= 0.9
+           FROM documents WHERE doc_id < 250),
+         u AS (SELECT doc_id, 0 AS side, sh FROM sb
+               UNION ALL SELECT doc_id, 1 AS side, sh FROM sn),
+         tok AS MATERIALIZED (SELECT doc_id, side, len(sh) AS L, unnest(sh) AS t FROM u),
+         freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         pref AS MATERIALIZED (
+           SELECT doc_id, side, L, t, r FROM (
+             SELECT tok.doc_id, tok.side, tok.L, tok.t,
+                    row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.n, tok.t) AS r
+             FROM tok JOIN freq f USING (t))
+           WHERE r <= L - CAST(ceil(0.9*L) AS BIGINT) + 1),
+         cand AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.L AS l1, b.L AS l2
+           FROM pref a JOIN pref b
+             ON a.t = b.t AND a.side = 0 AND b.side = 1
+            AND b.L BETWEEN CAST(ceil(0.9*a.L) AS BIGINT) AND CAST(floor(a.L/0.9) AS BIGINT)
+           GROUP BY a.doc_id, b.doc_id, a.L, b.L
+           HAVING 1 + least(a.L - min(a.r), b.L - min(b.r))
+                  >= CAST(ceil(0.9*(a.L + b.L)/1.9) AS BIGINT))
+         SELECT id1, id2, round(CAST(i AS DOUBLE) / (l1 + l2 - i), 6) AS jaccard
+         FROM (SELECT c.id1, c.id2, c.l1, c.l2, count(*) AS i
+               FROM cand c
+               JOIN tok ta ON ta.doc_id = c.id1 AND ta.side = 0
+               JOIN tok tb ON tb.doc_id = c.id2 AND tb.side = 1 AND tb.t = ta.t
+               GROUP BY c.id1, c.id2, c.l1, c.l2)
+         WHERE CAST(i AS DOUBLE) / (l1 + l2 - i) >= 0.9
          ORDER BY id1, id2""",
     "doc_quality_oracle" ->
       """WITH base AS (

@@ -126,12 +126,16 @@ object StreamingDedup {
   private val PartDirRe = "/__p(\\d+)=(\\d+)/".r
 
   /** The files a batch with `touchedByModulus` (modulus → partition ids
-    * its (band, bucket) pairs hash into) must read: partitioned files
-    * whose (modulus, value) is touched, plus every un-partitioned file
+    * its probe keys hash into) must read: partitioned files whose
+    * (modulus, value) is touched, plus every un-partitioned file
     * (pre-compaction appends), plus files with a modulus we did not
-    * compute (never prune on incomplete information).
+    * compute (never prune on incomplete information). Layout-generic:
+    * the bands index prunes on xxhash64(band, bucket) and the shingles
+    * log on xxhash64(id) — both ride the same `__p<modulus>=<value>/`
+    * path convention, so the writer's hash modulus is always exactly
+    * the reader's.
     */
-  private[streaming] def pruneBandFiles(
+  private[graft] def pruneBandFiles(
       files: Seq[String], touchedByModulus: Map[Int, Set[Int]]): Seq[String] =
     files.filter { f =>
       PartDirRe.findFirstMatchIn(f) match {
@@ -269,8 +273,6 @@ object StreamingDedup {
         else
           spark.read.schema(CommitLog.schemaOf(bandsDir)).parquet(files.map(f => s"$bandsDir/$f"): _*)
       }
-      val oldSh = CommitLog.read(spark, s"$workDir/shingles")
-
       // estimated-Jaccard prefilter inline in both bucket joins (batch
       // operator's exact machinery — see Dedup.estimateCut): the low-j
       // candidate mass dies in codegen before distinct/verify.
@@ -329,11 +331,14 @@ object StreamingDedup {
       // footer row counts of already-committed data) — no job runs to
       // decide; the third reuses the persist the filter needs anyway.
       val shinglesDir = s"$workDir/shingles"
+      val shFilesAll = CommitLog.currentFiles(shinglesDir)
+      val shModuli = shFilesAll
+        .flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
       val semiFloor = verifySemiFilterMinBytes(spark)
       val wantSemi =
         if (semiFloor < 0L) true
         else {
-          val logBytes = CommitLog.currentFiles(shinglesDir)
+          val logBytes = shFilesAll
             .map(f => new java.io.File(s"$shinglesDir/$f").length).sum
           logBytes >= semiFloor && {
             val corpusRows = footerRows(spark, shinglesDir)
@@ -342,15 +347,44 @@ object StreamingDedup {
               dupTouched.toDouble / corpusRows.toDouble <= VerifySemiFilterMaxCoverage
           }
         }
-      // persisted only when the semi filter engages: the filter
-      // references the candidate frame from three branches, and without
-      // a cache each would re-run the bucket joins — tripling the
-      // per-batch index scan. Unfiltered, candidates feed ONE plan.
+      // persisted when either consumer below references the candidate
+      // frame more than once — the verify semi filter (three branches)
+      // or the shingle-partition prune (a driver-side collect of the
+      // candidate ids' partitions, then the two pair joins). Without a
+      // cache each reference would re-run the bucket joins — tripling
+      // the per-batch index scan. Unfiltered, candidates feed ONE plan.
       val candsRaw = cross.union(within).distinct()
+      val persistCands = wantSemi || shModuli.nonEmpty
       val cands =
-        if (wantSemi) candsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (persistCands) candsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else candsRaw
       try {
+        // Verify-side SCAN prune over a compacted ([[compactIndex]])
+        // id-hash-partitioned shingles log: the verify joins only ever
+        // match shingle rows whose id appears in a candidate pair, so a
+        // partition no candidate id hashes into cannot contribute —
+        // per-batch verify INPUT I/O is bounded by the batch's
+        // candidates (touched partitions), not the accumulated corpus.
+        // The semi filter below bounds what the verify SHUFFLES; this
+        // bounds what it READS. Pre-compaction (no `__p<m>=` files) the
+        // whole log is read, exactly as before.
+        val oldSh =
+          if (shModuli.isEmpty) CommitLog.read(spark, shinglesDir)
+          else {
+            val touched = shModuli.map { m =>
+              m -> cands.select(pmod(xxhash64(col("id1")), lit(m.toLong)).cast("int").as("p"))
+                .union(cands.select(pmod(xxhash64(col("id2")), lit(m.toLong)).cast("int").as("p")))
+                .distinct().collect().map(_.getInt(0)).toSet
+            }.toMap
+            val files = pruneBandFiles(shFilesAll, touched)
+            if (files.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                CommitLog.schemaOf(shinglesDir))
+            else
+              spark.read.schema(CommitLog.schemaOf(shinglesDir))
+                .parquet(files.map(f => s"$shinglesDir/$f"): _*)
+          }
         // the coverage gate above inspects only COMMITTED data, so a
         // duplicate-heavy catch-up batch could still make the candidate
         // id set broadcast-fatal (the adjacent index join guards its
@@ -394,7 +428,7 @@ object StreamingDedup {
         commit(pairs, "pairs")
         commit(newBands, "bands")
         commit(newSh, "shingles")
-      } finally { if (wantSemi) cands.unpersist(): Unit }
+      } finally { if (persistCands) cands.unpersist(): Unit }
     } finally base.unpersist()
   }
 
@@ -420,38 +454,50 @@ object StreamingDedup {
   def compactIndex(
       spark: SparkSession,
       workDir: String,
-      targetRecordsPerFile: Long = 5000000L
+      targetRecordsPerFile: Long = 5000000L,
+      indexPartitions: Int = IndexPartitions
   ): Map[String, (Long, Long)] = Map(
-    "bands" -> compactBands(spark, s"$workDir/bands", targetRecordsPerFile),
-    "shingles" -> CommitLog.compact(spark, s"$workDir/shingles", targetRecordsPerFile),
+    "bands" -> compactHashPartitioned(spark, s"$workDir/bands", targetRecordsPerFile,
+      indexPartitions, keyCols = Seq("band", "bucket")),
+    // the shingles log partitions on the id the verify joins probe by,
+    // so per-batch verify reads prune to the partitions candidate ids
+    // hash into (see the oldSh prune in [[processBatch]])
+    "shingles" -> compactHashPartitioned(spark, s"$workDir/shingles", targetRecordsPerFile,
+      indexPartitions, keyCols = Seq("id")),
     "pairs" -> CommitLog.compact(spark, s"$workDir/pairs", targetRecordsPerFile))
 
-  /** Bands-index compaction: an index small enough for one target file
-    * stays a plain sorted rewrite; past that it rewrites into the
-    * bucket-hash PARTITIONED layout (`__p64=<k>/`, see
-    * [[IndexPartitions]]) so subsequent batches' probes prune by
-    * partition instead of scanning the whole index. Published as one
-    * `replace` commit + checkpoint, superseded data dirs vacuumed after
-    * — the same transactional contract as [[CommitLog.compact]].
+  /** Probe-keyed compaction shared by the bands index (keyed on
+    * (band, bucket)) and the shingles log (keyed on id): a dataset small
+    * enough for one target file stays a plain sorted rewrite; past that
+    * it rewrites into the key-hash PARTITIONED layout
+    * (`__p<indexPartitions>=<k>/`) so subsequent batches' probes prune
+    * by partition instead of scanning the whole dataset. The modulus
+    * rides in the partition-column NAME (self-describing, atomic with
+    * the fileset), so a workDir compacted at different partition counts
+    * over its lifetime still prunes each file with exactly its writer's
+    * hash. Published as one `replace` commit + checkpoint, superseded
+    * data dirs vacuumed after — the same transactional contract as
+    * [[CommitLog.compact]].
     */
-  private def compactBands(
-      spark: SparkSession, dir: String, targetRecordsPerFile: Long): (Long, Long) = {
+  private def compactHashPartitioned(
+      spark: SparkSession, dir: String, targetRecordsPerFile: Long,
+      indexPartitions: Int, keyCols: Seq[String]): (Long, Long) = {
     val before = CommitLog.currentFiles(dir).size.toLong
     // layout decision from parquet footers (driver-side, no job) — a
     // full count() over the index would scan the largest dataset in the
     // workDir just to pick a code path
     if (footerRows(spark, dir) <= targetRecordsPerFile)
-      return CommitLog.compact(spark, dir, targetRecordsPerFile, sortBy = Seq("band", "bucket"))
+      return CommitLog.compact(spark, dir, targetRecordsPerFile, sortBy = keyCols)
     val df = CommitLog.read(spark, dir)
-    val pcol = s"__p$IndexPartitions"
+    val pcol = s"__p$indexPartitions"
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"
     df.withColumn(pcol,
-        pmod(xxhash64(col("band"), col("bucket")), lit(IndexPartitions.toLong)).cast("int"))
-      .repartition(IndexPartitions, col(pcol))
-      // sorted on (band, bucket) within each partition file: probe joins
+        pmod(xxhash64(keyCols.map(col): _*), lit(indexPartitions.toLong)).cast("int"))
+      .repartition(indexPartitions, col(pcol))
+      // sorted on the probe key within each partition file: probe joins
       // benefit from row-group min/max skipping after the rewrite
-      .sortWithinPartitions(col(pcol), col("band"), col("bucket"))
+      .sortWithinPartitions((pcol +: keyCols).map(col): _*)
       .write.partitionBy(pcol).parquet(dataDir)
     val prefix = java.nio.file.Paths.get(dir).toAbsolutePath
     val files = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)

@@ -207,6 +207,47 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 != 1L && p._2 != 10L), s"false positives: $pairs")
   }
 
+  test("partitioned shingles compaction: verify reads prune to candidate partitions, pairs unchanged") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-shprune").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = (1L to 16L).map(i =>
+      (i, if (i == 1L) base else s"unique document number $i with its own content " * 6))
+      .toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L, indexPartitions = 32)
+    val shFiles = CommitLog.currentFiles(s"$work/shingles")
+    assert(shFiles.forall(_.contains("/__p32=")),
+      s"shingles not id-partitioned after compaction: ${shFiles.take(3)}")
+    // a 1-duplicate batch's candidates touch ≤ a few of the 32 id
+    // partitions → the verify scan must keep a strict subset of files
+    // (candidate ids here: 1 (old) and 10 (new); old id 1's partition
+    // is the only one the accumulated log can contribute)
+    val touched = Set(
+      spark.range(1).select(pmod(xxhash64(lit(1L)), lit(32L)).cast("int"))
+        .collect()(0).getInt(0),
+      spark.range(1).select(pmod(xxhash64(lit(10L)), lit(32L)).cast("int"))
+        .collect()(0).getInt(0))
+    val pruned = StreamingDedup.pruneBandFiles(shFiles, Map(32 -> touched))
+    assert(pruned.size < shFiles.size,
+      s"shingle pruning kept everything: ${pruned.size} of ${shFiles.size}")
+    // the pruned verify still confirms the cross-batch duplicate with
+    // the exact jaccard, and nothing else
+    val oneDoc = Seq((10L, base + "tail.")).toDF("id", "text")
+    StreamingDedup.processBatch(oneDoc, work, 0.9, 5, 120, 20, batchId = Some(1L))
+    val pairs = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L)), s"expected exactly the cross pair: $pairs")
+    // and a batch ingested AGAINST the partitioned layout appends
+    // unpartitioned files that later batches must still read whole
+    // (pruneBandFiles keeps path-unpartitioned files unconditionally)
+    val shAfter = CommitLog.currentFiles(s"$work/shingles")
+    val plain = shAfter.filterNot(_.contains("/__p32="))
+    assert(plain.nonEmpty, "batch append lost its unpartitioned shingle file")
+    assert(StreamingDedup.pruneBandFiles(shAfter, Map(32 -> Set.empty[Int]))
+      .toSet == plain.toSet, "prune must never drop unpartitioned appends")
+  }
+
   test("forced verify semi filter yields exactly the direct plan's pairs") {
     import spark.implicits._
     val b1 = Seq((1L, base), (2L, base),
