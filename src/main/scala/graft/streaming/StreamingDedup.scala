@@ -177,7 +177,7 @@ object StreamingDedup {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        processBatch(batch, workDir, threshold, shingleK, numHashes, bands, Some(bid))
+        processBatch(batch, workDir, threshold, shingleK, numHashes, bands, Some(bid)): Unit
       }
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -202,9 +202,24 @@ object StreamingDedup {
         StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Per-batch I/O telemetry returned by [[processBatch]]: how far the
+    * partition prunes narrowed the accumulated-index reads (file counts
+    * and on-disk bytes, exact — the prune is a driver-side file-list
+    * decision). `selected == total` until the first partitioned
+    * compaction, or when a batch genuinely touches everything.
+    */
+  final case class BatchStats(
+      replayed: Boolean,
+      bandFilesSelected: Int, bandFilesTotal: Int,
+      bandBytesSelected: Long, bandBytesTotal: Long,
+      shFilesSelected: Int, shFilesTotal: Int,
+      shBytesSelected: Long, shBytesTotal: Long)
+
   /** One ingest batch: detect new-vs-index and new-vs-new duplicates,
     * then fold the batch into the index. Public so a non-streaming
     * caller (periodic ingest job) can drive the same incremental logic.
+    * Returns the batch's prune telemetry ([[BatchStats]]) — streaming
+    * callers discard it.
     */
   def processBatch(
       batch: DataFrame,
@@ -214,13 +229,14 @@ object StreamingDedup {
       numHashes: Int,
       bands: Int,
       batchId: Option[Long] = None
-  ): Unit = {
+  ): BatchStats = {
     val spark = batch.sparkSession
     // fast path: every dataset already holds this batch's commit — the
     // stream replayed a fully-processed batch, nothing to recompute
     if (batchId.exists(b =>
         Seq("pairs", "bands", "shingles").forall(d =>
-          CommitLog.isCommitted(s"$workDir/$d", b)))) return
+          CommitLog.isCommitted(s"$workDir/$d", b))))
+      return BatchStats(replayed = true, 0, 0, 0L, 0L, 0, 0, 0L, 0L)
     // batch-mode callers may drive a legacy (pre-sigb) workDir without
     // going through init — same validation and metadata-only migration
     // (a floor-divided rowsPerBand would silently band over a signature
@@ -252,27 +268,29 @@ object StreamingDedup {
       // touch are read — identical join result (a matching index row
       // shares the batch row's (band, bucket), hence its partition)
       val bandsDir = s"$workDir/bands"
-      val oldBands = {
-        val all = CommitLog.currentFiles(bandsDir)
-        val moduli = all.flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
-        val files =
-          if (moduli.isEmpty) all
-          else {
-            // one tiny distinct job per modulus over the (persisted)
-            // batch bands — realistically exactly one modulus
-            val touched = moduli.map { m =>
-              m -> newBands
-                .select(pmod(xxhash64(col("band"), col("bucket")), lit(m.toLong)).cast("int").as("p"))
-                .distinct().collect().map(_.getInt(0)).toSet
-            }.toMap
-            pruneBandFiles(all, touched)
-          }
-        if (files.isEmpty)
+      val allBandFiles = CommitLog.currentFiles(bandsDir)
+      val bandFiles = {
+        val moduli =
+          allBandFiles.flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
+        if (moduli.isEmpty) allBandFiles
+        else {
+          // one tiny distinct job per modulus over the (persisted)
+          // batch bands — realistically exactly one modulus
+          val touched = moduli.map { m =>
+            m -> newBands
+              .select(pmod(xxhash64(col("band"), col("bucket")), lit(m.toLong)).cast("int").as("p"))
+              .distinct().collect().map(_.getInt(0)).toSet
+          }.toMap
+          pruneBandFiles(allBandFiles, touched)
+        }
+      }
+      val oldBands =
+        if (bandFiles.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CommitLog.schemaOf(bandsDir))
         else
-          spark.read.schema(CommitLog.schemaOf(bandsDir)).parquet(files.map(f => s"$bandsDir/$f"): _*)
-      }
+          spark.read.schema(CommitLog.schemaOf(bandsDir))
+            .parquet(bandFiles.map(f => s"$bandsDir/$f"): _*)
       // estimated-Jaccard prefilter inline in both bucket joins (batch
       // operator's exact machinery — see Dedup.estimateCut): the low-j
       // candidate mass dies in codegen before distinct/verify.
@@ -368,23 +386,24 @@ object StreamingDedup {
         // The semi filter below bounds what the verify SHUFFLES; this
         // bounds what it READS. Pre-compaction (no `__p<m>=` files) the
         // whole log is read, exactly as before.
-        val oldSh =
-          if (shModuli.isEmpty) CommitLog.read(spark, shinglesDir)
+        val shFilesSel =
+          if (shModuli.isEmpty) shFilesAll
           else {
             val touched = shModuli.map { m =>
               m -> cands.select(pmod(xxhash64(col("id1")), lit(m.toLong)).cast("int").as("p"))
                 .union(cands.select(pmod(xxhash64(col("id2")), lit(m.toLong)).cast("int").as("p")))
                 .distinct().collect().map(_.getInt(0)).toSet
             }.toMap
-            val files = pruneBandFiles(shFilesAll, touched)
-            if (files.isEmpty)
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                CommitLog.schemaOf(shinglesDir))
-            else
-              spark.read.schema(CommitLog.schemaOf(shinglesDir))
-                .parquet(files.map(f => s"$shinglesDir/$f"): _*)
+            pruneBandFiles(shFilesAll, touched)
           }
+        val oldSh =
+          if (shFilesSel.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              CommitLog.schemaOf(shinglesDir))
+          else
+            spark.read.schema(CommitLog.schemaOf(shinglesDir))
+              .parquet(shFilesSel.map(f => s"$shinglesDir/$f"): _*)
         // the coverage gate above inspects only COMMITTED data, so a
         // duplicate-heavy catch-up batch could still make the candidate
         // id set broadcast-fatal (the adjacent index join guards its
@@ -428,6 +447,13 @@ object StreamingDedup {
         commit(pairs, "pairs")
         commit(newBands, "bands")
         commit(newSh, "shingles")
+        def bytesOf(dir: String, fs: Seq[String]): Long =
+          fs.map(f => new java.io.File(s"$dir/$f").length).sum
+        BatchStats(replayed = false,
+          bandFiles.size, allBandFiles.size,
+          bytesOf(bandsDir, bandFiles), bytesOf(bandsDir, allBandFiles),
+          shFilesSel.size, shFilesAll.size,
+          bytesOf(shinglesDir, shFilesSel), bytesOf(shinglesDir, shFilesAll))
       } finally { if (persistCands) cands.unpersist(): Unit }
     } finally base.unpersist()
   }
@@ -451,14 +477,40 @@ object StreamingDedup {
     * Single-writer: run with the stream quiesced. Returns
     * dataset -> (filesBefore, filesAfter).
     */
+  /** `bandsPartitions` controls the bands-index layout independently
+    * (default: follow `indexPartitions`). MEASURED TRADE (SCALING.md
+    * r16): bucket-hash partitioning scatters a document's `bands` rows
+    * across partitions, so the per-doc `sigb` sketch — stored once per
+    * band row but dictionary-encoded to ~1 copy per doc when rows are
+    * adjacent — stops compressing: ~9x on-disk inflation (236 MB ->
+    * 2.2 GB at 800k docs). The probe prune reads touchedPartitions/P of
+    * that inflated size, so it only nets out for TRICKLE batches
+    * (docs x bands well under P); a nightly 1%-of-corpus batch touches
+    * every partition and reads 9x the bytes an unpartitioned layout
+    * would. Pass `bandsPartitions = 1` for the nightly regime: bands
+    * compact into plain files SORTED BY id (keeping each doc's rows
+    * adjacent, preserving the dictionary locality), while the shingles
+    * log — 10x the bands bytes, no inflation under id-hash partitioning
+    * (one row per doc, nothing to scatter) — keeps the candidate-id
+    * partition prune that bounds verify reads in every regime.
+    */
   def compactIndex(
       spark: SparkSession,
       workDir: String,
       targetRecordsPerFile: Long = 5000000L,
-      indexPartitions: Int = IndexPartitions
+      indexPartitions: Int = IndexPartitions,
+      bandsPartitions: Int = -1
   ): Map[String, (Long, Long)] = Map(
-    "bands" -> compactHashPartitioned(spark, s"$workDir/bands", targetRecordsPerFile,
-      indexPartitions, keyCols = Seq("band", "bucket")),
+    "bands" -> {
+      val bp = if (bandsPartitions < 0) indexPartitions else bandsPartitions
+      if (bp <= 1)
+        // unpartitioned nightly layout: sort by id so each doc's 20
+        // band rows stay adjacent and sigb dictionary-encodes
+        CommitLog.compact(spark, s"$workDir/bands", targetRecordsPerFile, sortBy = Seq("id"))
+      else
+        compactHashPartitioned(spark, s"$workDir/bands", targetRecordsPerFile,
+          bp, keyCols = Seq("band", "bucket"))
+    },
     // the shingles log partitions on the id the verify joins probe by,
     // so per-batch verify reads prune to the partitions candidate ids
     // hash into (see the oldSh prune in [[processBatch]])

@@ -76,22 +76,6 @@ object SteadyStateProbe {
       (sec, bytesRead.get())
     }
 
-    val PartDirRe = "/__p(\\d+)=(\\d+)/".r
-    def bandPrune(work: String, batch: DataFrame): (Int, Int) = {
-      val dir = s"$work/bands"
-      val all = CommitLog.currentFiles(dir)
-      val moduli = all.flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
-      if (moduli.isEmpty) return (all.size, all.size)
-      val sig = batch.select(graft.operators.Dedup.minhashSignature(col("text"), 5, 120).as("sig"))
-        .select(posexplode(transform(sequence(lit(0), lit(19)),
-          b => xxhash64(slice(col("sig"), b * 6 + 1, lit(6))))).as(Seq("band", "bucket")))
-      val touched = moduli.map { m =>
-        m -> sig.select(pmod(xxhash64(col("band"), col("bucket")), lit(m.toLong)).cast("int"))
-          .distinct().collect().map(_.getInt(0)).toSet
-      }.toMap
-      (StreamingDedup.pruneBandFiles(all, touched).size, all.size)
-    }
-
     for (n <- indexSizes) {
       val work = s"$workRoot/idx${n}_p$partitions"
       StreamingDedup.incrementalNearDuplicatesInit(spark, work)
@@ -109,9 +93,10 @@ object SteadyStateProbe {
             .otherwise(col("id")).cast("string").as("tid"))
         docs(ids).repartition(spark.sparkContext.defaultParallelism, col("id"))
       }
-      def run(batch: DataFrame): Unit = {
-        StreamingDedup.processBatch(batch, work, 0.9, 5, 120, 20, batchId = Some(batchId))
+      def run(batch: DataFrame): StreamingDedup.BatchStats = {
+        val st = StreamingDedup.processBatch(batch, work, 0.9, 5, 120, 20, batchId = Some(batchId))
         batchId += 1
+        st
       }
       // 1. build the corpus (unique docs, catch-up chunks)
       val chunk = 100000L
@@ -122,13 +107,15 @@ object SteadyStateProbe {
         for (bs <- batchSizes; r <- 1 to reps) {
           val b = ingest(bs.toLong, 0.1).persist()
           b.count(): Unit // materialize outside the timed window
-          val (selected, total) = bandPrune(work, b)
-          val (sec, bytes) = measure { run(b) }
+          var st: StreamingDedup.BatchStats = null
+          val (sec, bytes) = measure { st = run(b) }
           b.unpersist(): Unit
-          val shTotal = CommitLog.currentFiles(s"$work/shingles").size
           println(s"""{"probe":"steady","phase":"$name","indexDocs":$n,"partitions":$partitions,""" +
-            s""""batch":$bs,"rep":$r,"sec":${f"$sec%.3f"},"bytesRead":$bytes,""" +
-            s""""bandFilesSelected":$selected,"bandFilesTotal":$total,"shFilesTotal":$shTotal}""")
+            s""""batch":$bs,"rep":$r,"sec":${f"$sec%.3f"},"taskBytesRead":$bytes,""" +
+            s""""bandFilesSelected":${st.bandFilesSelected},"bandFilesTotal":${st.bandFilesTotal},""" +
+            s""""bandMBSelected":${st.bandBytesSelected / 1000000},"bandMBTotal":${st.bandBytesTotal / 1000000},""" +
+            s""""shFilesSelected":${st.shFilesSelected},"shFilesTotal":${st.shFilesTotal},""" +
+            s""""shMBSelected":${st.shBytesSelected / 1000000},"shMBTotal":${st.shBytesTotal / 1000000}}""")
         }
       phase("plain")
       val t0 = System.nanoTime()

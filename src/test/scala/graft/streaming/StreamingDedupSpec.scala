@@ -248,6 +248,29 @@ class StreamingDedupSpec extends AnyFunSuite {
       .toSet == plain.toSet, "prune must never drop unpartitioned appends")
   }
 
+  test("bandsPartitions=1 keeps bands unpartitioned (id-sorted) while shingles still partition") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-nightly").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = (1L to 16L).map(i =>
+      (i, if (i == 1L) base else s"unique document number $i with its own content " * 6))
+      .toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L,
+      indexPartitions = 32, bandsPartitions = 1)
+    val bandFiles = CommitLog.currentFiles(s"$work/bands")
+    assert(bandFiles.nonEmpty && !bandFiles.exists(_.contains("/__p")),
+      s"bands should stay unpartitioned in the nightly layout: ${bandFiles.take(3)}")
+    assert(CommitLog.currentFiles(s"$work/shingles").forall(_.contains("/__p32=")),
+      "shingles must still partition")
+    // and the mixed layout still finds the cross-batch duplicate exactly
+    val oneDoc = Seq((10L, base + "tail.")).toDF("id", "text")
+    StreamingDedup.processBatch(oneDoc, work, 0.9, 5, 120, 20, batchId = Some(1L))
+    val pairs = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L)), s"expected exactly the cross pair: $pairs")
+  }
+
   test("forced verify semi filter yields exactly the direct plan's pairs") {
     import spark.implicits._
     val b1 = Seq((1L, base), (2L, base),
