@@ -313,11 +313,16 @@ object StreamingDedup {
       // shuffle_hash plan (shuffles both sides, sorts neither) returns.
       val batchBandRows = base.count() * bands
       val broadcastBatch = batchBandRows <= MaxBroadcastBandRows
+      // fallback build side = the BATCH, never the index: a shuffled hash
+      // join cannot spill its build side, and the index is the one frame
+      // that grows without bound — building it OOM'd outright at the 3.2M
+      // doc steady-state probe ("not enough memory to build hash map")
+      // while the batch side is backlog-bounded
       val crossJoined =
         if (broadcastBatch)
           oldBands.alias("o").join(broadcast(newBands.alias("n")), Seq("band", "bucket"))
         else
-          newBands.alias("n").join(oldBands.alias("o").hint("shuffle_hash"), Seq("band", "bucket"))
+          newBands.alias("n").hint("shuffle_hash").join(oldBands.alias("o"), Seq("band", "bucket"))
       val cross = crossJoined
         // a crash between the index append and the checkpoint commit makes
         // the restarted batch meet ITSELF in the index — the id guard keeps
@@ -425,13 +430,19 @@ object StreamingDedup {
               .union(cands.select(col("id2").as("id"))).distinct()
             allShBase.join(broadcast(candIds), Seq("id"), "left_semi")
           } else allShBase
-        // the pair joins keep their explicit shuffle_hash hints: left to
-        // AQE they plan sort-merge and SORT the shingle arrays per batch
+        // the pair joins keep explicit shuffle_hash hints: left to AQE
+        // they plan sort-merge and SORT the shingle arrays per batch
         // (measured +2.6 s on the sf0.1 gate when tried); AQE still
-        // upgrades tiny sides to broadcast under the hint
-        val pairs = cands
-          .join(allSh.select(col("id").as("id1"), col("sh").as("sh1")).hint("shuffle_hash"), "id1")
-          .join(allSh.select(col("id").as("id2"), col("sh").as("sh2")).hint("shuffle_hash"), "id2")
+        // upgrades tiny sides to broadcast under the hint. The hints sit
+        // on the CANDIDATE side (and the candidates+sh1 intermediate),
+        // never on allSh: a shuffled hash join cannot spill its build
+        // side, and allSh is corpus-sized exactly when the semi filter
+        // declines — building it OOM'd the 3.2M-doc steady-state probe.
+        // The candidate side is pair-bounded in every regime.
+        val pairs = cands.hint("shuffle_hash")
+          .join(allSh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+          .hint("shuffle_hash")
+          .join(allSh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
           .withColumn("j", Dedup.jaccardSortedCol(col("sh1"), col("sh2")))
           .where(col("j") >= threshold)
           .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
