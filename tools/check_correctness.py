@@ -46,6 +46,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Scale-proof runs (sf1+) can pass session knobs, e.g.
+    #   CHECK_DUCKDB_SETUP="SET memory_limit='28GB'; SET threads=24;
+    #                       SET disabled_optimizers='join_order'"
+    # The near-dup oracles hide cardinalities behind AS MATERIALIZED
+    # fences (deliberate — DuckDB 1.0 re-evaluates inlined CTEs per
+    # reference), and with estimates blocked the optimizer may pick a
+    # token-only tok-x-tok join order (~42B rows at sf1, OOM); the
+    # syntactic order (candidates first) is the correct one there.
+    # Unset (the driver's sf0.01 regime) nothing changes.
+    for stmt in os.environ.get("CHECK_DUCKDB_SETUP", "").split(";"):
+        if stmt.strip():
+            con.execute(stmt)
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         # ScaleFixture writes <table>.parquet as a DIRECTORY of part files
