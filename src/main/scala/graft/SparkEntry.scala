@@ -3212,6 +3212,17 @@ object SparkEntry {
     *     pair that doesn't would need its whole intersection inside a
     *     suffix of size ceil(t*L) - 1 < t*L <= |intersection|).
     *   - LENGTH filter: t*La <= Lb <= La/t (symmetric, one side kept).
+    *   - EXTENDED prefix with a match-count floor (AdaptJoin — Wang/
+    *     Li/Feng, "Can we beat the prefix filtering?", SIGMOD'12):
+    *     extend each prefix by ell-1 = 2 extra tokens and require >= 3
+    *     shared extended-prefix tokens. Exact: the pair's common tokens
+    *     in global order c_1..c_m have pos(c_i) <= L - m + i <=
+    *     L - ceil(t*L) + i in each doc, so its first min(ell, m) common
+    *     tokens sit inside BOTH extended prefixes (m >= ceil(t*L) from
+    *     J >= t; the floor relaxes to ceil(t*min(La,Lb)) for tiny
+    *     docs). This matters because the synthetic corpus has a tiny
+    *     shingle universe (~2k distinct at sf0.1), so single-token
+    *     collisions alone leave millions of candidates.
     *   - POSITION filter (Xiao et al. PPJoin, WWW'08): at the pair's
     *     first common prefix token (positions i, j in the global
     *     order), overlap <= 1 + min(La-i, Lb-j) — the first PREFIX
@@ -3219,10 +3230,7 @@ object SparkEntry {
     *     common token inside a's prefix but past b's would have to sit
     *     both before j and after b's prefix end >= j), so pairs whose
     *     bound undercuts the required overlap ceil(t*(La+Lb)/(1+t))
-    *     drop before verification. This matters here because the
-    *     synthetic corpus has a tiny shingle universe (~2k distinct at
-    *     sf0.1) — prefix collisions alone leave ~1.1M candidates;
-    *     position filtering cuts them ~3x.
+    *     drop before verification.
     *   - COUNT-JOIN verify: exact |a∩b| via the exploded token table
     *     (candidates x shared tokens, grouped) instead of per-pair
     *     list_intersect — same numbers (sets are distinct, so
@@ -3246,14 +3254,15 @@ object SparkEntry {
              SELECT tok.doc_id, tok.L, tok.t,
                     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.n, tok.t) AS r
              FROM tok JOIN freq f USING (t))
-           WHERE r <= L - CAST(ceil($thr*L) AS BIGINT) + 1),
+           WHERE r <= L - CAST(ceil($thr*L) AS BIGINT) + 3),
          cand AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, a.L AS l1, b.L AS l2
            FROM pref a JOIN pref b
              ON a.t = b.t AND a.doc_id < b.doc_id
             AND b.L BETWEEN CAST(ceil($thr*a.L) AS BIGINT) AND CAST(floor(a.L/$thr) AS BIGINT)
            GROUP BY a.doc_id, b.doc_id, a.L, b.L
-           HAVING 1 + least(a.L - min(a.r), b.L - min(b.r))
+           HAVING count(*) >= least(3, CAST(ceil($thr*least(a.L, b.L)) AS BIGINT))
+              AND 1 + least(a.L - min(a.r), b.L - min(b.r))
                   >= CAST(ceil($thr*(a.L + b.L)/(1+$thr)) AS BIGINT)),
          prs AS MATERIALIZED (
            SELECT id1, id2, round(CAST(i AS DOUBLE) / (l1 + l2 - i), 6) AS jaccard
@@ -3566,14 +3575,15 @@ object SparkEntry {
              SELECT tok.doc_id, tok.L, tok.t,
                     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.n, tok.t) AS r
              FROM tok JOIN freq f USING (t))
-           WHERE r <= L - CAST(ceil(0.7*L) AS BIGINT) + 1),
+           WHERE r <= L - CAST(ceil(0.7*L) AS BIGINT) + 3),
          cand AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, a.L AS l1, b.L AS l2
            FROM pref a JOIN pref b
              ON a.t = b.t AND a.doc_id < b.doc_id
             AND b.L BETWEEN CAST(ceil(0.7*a.L) AS BIGINT) AND CAST(floor(a.L/0.7) AS BIGINT)
            GROUP BY a.doc_id, b.doc_id, a.L, b.L
-           HAVING 1 + least(a.L - min(a.r), b.L - min(b.r))
+           HAVING count(*) >= least(3, CAST(ceil(0.7*least(a.L, b.L)) AS BIGINT))
+              AND 1 + least(a.L - min(a.r), b.L - min(b.r))
                   >= CAST(ceil(0.7*(a.L + b.L)/1.7) AS BIGINT))
          SELECT id1, id2, round(CAST(i AS DOUBLE) / (l1 + l2 - i), 6) AS jaccard
          FROM (SELECT c.id1, c.id2, c.l1, c.l2, count(*) AS i
@@ -4036,14 +4046,15 @@ object SparkEntry {
              SELECT tok.doc_id, tok.side, tok.L, tok.t,
                     row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.n, tok.t) AS r
              FROM tok JOIN freq f USING (t))
-           WHERE r <= L - CAST(ceil(0.9*L) AS BIGINT) + 1),
+           WHERE r <= L - CAST(ceil(0.9*L) AS BIGINT) + 3),
          cand AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, a.L AS l1, b.L AS l2
            FROM pref a JOIN pref b
              ON a.t = b.t AND a.side = 0 AND b.side = 1
             AND b.L BETWEEN CAST(ceil(0.9*a.L) AS BIGINT) AND CAST(floor(a.L/0.9) AS BIGINT)
            GROUP BY a.doc_id, b.doc_id, a.L, b.L
-           HAVING 1 + least(a.L - min(a.r), b.L - min(b.r))
+           HAVING count(*) >= least(3, CAST(ceil(0.9*least(a.L, b.L)) AS BIGINT))
+              AND 1 + least(a.L - min(a.r), b.L - min(b.r))
                   >= CAST(ceil(0.9*(a.L + b.L)/1.9) AS BIGINT))
          SELECT id1, id2, round(CAST(i AS DOUBLE) / (l1 + l2 - i), 6) AS jaccard
          FROM (SELECT c.id1, c.id2, c.l1, c.l2, count(*) AS i

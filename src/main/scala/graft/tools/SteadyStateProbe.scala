@@ -118,15 +118,24 @@ object SteadyStateProbe {
             s""""shMBSelected":${st.shBytesSelected / 1000000},"shMBTotal":${st.shBytesTotal / 1000000}}""")
         }
       phase("plain")
-      val t0 = System.nanoTime()
       // shingle-log rows = docs (one per id) while bands rows = 20x docs
       // — size the target so BOTH logs cross the partitioned-layout
       // threshold at every tested index size
-      StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = math.max(1000L, n / 10),
+      val target = math.max(1000L, n / 10)
+      var t0 = System.nanoTime()
+      StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = target,
         indexPartitions = partitions)
       println(s"""{"probe":"steady","phase":"compact","indexDocs":$n,"partitions":$partitions,""" +
         s""""sec":${f"${(System.nanoTime() - t0) / 1e9}%.3f"}}""")
       phase("compacted")
+      // hybrid nightly layout: bands unpartitioned (sorted by id, sigb
+      // dictionary locality kept), shingles still id-hash partitioned
+      t0 = System.nanoTime()
+      StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = target,
+        indexPartitions = partitions, bandsPartitions = 1)
+      println(s"""{"probe":"steady","phase":"compact_hybrid","indexDocs":$n,"partitions":$partitions,""" +
+        s""""sec":${f"${(System.nanoTime() - t0) / 1e9}%.3f"}}""")
+      phase("hybrid")
     }
     spark.stop()
   }
