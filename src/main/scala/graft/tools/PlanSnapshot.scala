@@ -46,6 +46,15 @@ object PlanSnapshot {
     // broadcast variable ids: Broadcast(4941) — a SparkContext-lifetime
     // counter rendered by expressions holding a broadcast handle
     ("""Broadcast\(\d+\)""".r, "Broadcast(N)"),
+    // AQE runtime statistics: sizeInBytes flaps with heap layout and
+    // broadcast relation packing between identical runs (observed 68 MiB
+    // vs 28 MiB for the same 1.00E+5-row broadcast); rowCount is the
+    // stable, meaningful part and survives
+    ("""sizeInBytes=[0-9.]+ (B|KiB|MiB|GiB|TiB)""".r, "sizeInBytes=SZ"),
+    // source line numbers in RDD callsites (`localCheckpoint at
+    // Similarity.scala:498`): every unrelated edit above the call shifts
+    // them — file name is the content, the line is churn
+    ("""\.scala:\d+""".r, ".scala:N"),
     // lambda variable names: `lambda x_92`, `y_4#N` — NamedLambdaVariable's
     // session-lifetime counter (x/y/z by lambda arity); diffs on every
     // regeneration, zero content. Single letter + underscore + digits
