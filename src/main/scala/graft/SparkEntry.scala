@@ -1499,7 +1499,10 @@ object SparkEntry {
       graft.streaming.StreamingDedup.incrementalNearDuplicatesInit(s, work)
       graft.streaming.StreamingDedup.processBatch(
         docs.where(pmod(col("id"), lit(2)) === 0), work, 0.9, 5, 120, 20, batchId = Some(0L))
-      graft.streaming.StreamingDedup.compactIndex(s, work, targetRecordsPerFile = 1000L)
+      // layout pinned (not AUTO) so the gate times the same partitioned
+      // probe path every round — AUTO is gated by _tiered below
+      graft.streaming.StreamingDedup.compactIndex(s, work, targetRecordsPerFile = 1000L,
+        bandsPartitions = graft.streaming.StreamingDedup.FollowIndexPartitions)
       graft.streaming.StreamingDedup.processBatch(
         docs.where(pmod(col("id"), lit(2)) === 1), work, 0.9, 5, 120, 20, batchId = Some(1L))
       graft.streaming.StreamingDedup.pairs(s, work)
@@ -1527,13 +1530,52 @@ object SparkEntry {
       graft.streaming.StreamingDedup.processBatch(
         docs, work, 0.9, 5, 120, 20, batchId = Some(0L))
       // 400 < sf0.01's 500 shingle rows: both logs cross the
-      // partitioned-layout threshold at every gated sf
-      graft.streaming.StreamingDedup.compactIndex(s, work, targetRecordsPerFile = 400L)
+      // partitioned-layout threshold at every gated sf. Layout pinned
+      // (not AUTO) for round-over-round bench comparability.
+      graft.streaming.StreamingDedup.compactIndex(s, work, targetRecordsPerFile = 400L,
+        bandsPartitions = graft.streaming.StreamingDedup.FollowIndexPartitions)
+      // trailing ids shift by max(doc_id)+1 — derived from the corpus on
+      // BOTH sides (ADVICE r16: a fixed +500000 collides with corpus ids
+      // once a scale factor reaches 500k docs, silently corrupting the
+      // index identity and the oracle union in agreement)
+      val shift = docs.agg(max(col("id"))).head.getLong(0) + 1L
       graft.streaming.StreamingDedup.processBatch(
-        docs.where(col("id") < 50).select((col("id") + lit(500000L)).as("id"), col("text")),
+        docs.where(col("id") < 50).select((col("id") + lit(shift)).as("id"), col("text")),
         work, 0.9, 5, 120, 20, batchId = Some(1L))
       graft.streaming.StreamingDedup.pairs(s, work)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // --- TIERED index maintenance (VERDICT r16 #1): the nightly
+    //     schedule a long-running ingest actually runs — ONE major
+    //     compaction ever, then each maintenance pass folds ONLY the
+    //     files appended since the last one into a new tier of the same
+    //     layout, carrying the compacted base BY REFERENCE (O(delta),
+    //     not O(index)). The gate self-checks the schedule (requires
+    //     major then minor on the index logs — a regression to full
+    //     rewrites fails loudly) and holds the final pair set to the
+    //     same exhaustive oracle: tiering loses nothing. Bands layout is
+    //     AUTO — chosen from measured on-disk inflation (VERDICT r16 #6).
+    "stream_doc_near_dup_tiered" -> ((s, dir) => withFastStreams(s) {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val work = java.nio.file.Files.createTempDirectory("graft-sdedupt").toString
+      val SD = graft.streaming.StreamingDedup
+      SD.incrementalNearDuplicatesInit(s, work)
+      SD.processBatch(docs.where(pmod(col("id"), lit(3)) === 0),
+        work, 0.9, 5, 120, 20, batchId = Some(0L))
+      val major = SD.compactIndexDetailed(s, work, targetRecordsPerFile = 100L)
+      require(Seq("bands", "shingles").forall(d => major(d).mode == "major"),
+        s"first compaction must be major: $major")
+      SD.processBatch(docs.where(pmod(col("id"), lit(3)) === 1),
+        work, 0.9, 5, 120, 20, batchId = Some(1L))
+      val minor = SD.compactIndexDetailed(s, work, targetRecordsPerFile = 100L)
+      require(Seq("bands", "shingles").forall(d => minor(d).mode == "minor"),
+        s"re-compaction must fold only the delta (minor): $minor")
+      SD.processBatch(docs.where(pmod(col("id"), lit(3)) === 2),
+        work, 0.9, 5, 120, 20, batchId = Some(2L))
+      SD.pairs(s, work).orderBy(col("id1"), col("id2"))
     }),
 
     // --- incremental SPAN dedup over the documents change stream:
@@ -2954,6 +2996,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- ARBITRARY-float classifier on the join plan (VERDICT r16 #5):
+    //     weights off any dyadic grid ((b % 97)/97 − 1/2) quantized to
+    //     fixed point on the weight table — LONG sums are associative,
+    //     so the broadcast-join plan's nondeterministic addition order
+    //     yields bit-identical scores; the descale (exact long→double +
+    //     division by 2^30) reproduces in any IEEE engine ---
+    "doc_classifier_fixed_join" -> ((s, dir) => {
+      val weights = s.range(256).select(
+        col("id").as("bucket"),
+        ((col("id") % 97).cast("double") / lit(97.0) - lit(0.5)).as("w"))
+      graft.operators.Classifier
+        .classifyJoinQuantized(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          dims = 256, weights, "bucket", "w", bias = 0.25, threshold = 0.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- multimodal frame-sampling arithmetic (oracle-checkable) ---
     "mm_frames" -> ((s, dir) => {
       val media = graft.operators.Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -3288,8 +3346,13 @@ object SparkEntry {
     * component whose radius from its min-id node is <= K outright, and
     * far beyond via the label-of-label jump. The gate fixtures'
     * clusters are groups of near-identical documents (radius <= ~2 at
-    * every sf); a hypothetical deeper chain would surface as a VISIBLE
-    * gate mismatch (stale component ids), never a silent pass.
+    * every sf); a hypothetical deeper chain is SELF-IDENTIFYING
+    * (ADVICE r16): the final projection compares the last two levels
+    * and raises error(...) when any label still changed — a fixed
+    * point of one full iteration IS global convergence for min-label
+    * propagation, so a non-converged oracle fails loudly as an ORACLE
+    * error instead of surfacing as a gate mismatch indistinguishable
+    * from a product bug.
     */
   private val ccLevels = 8
   private def connectedComponentCtes: String = {
@@ -3307,8 +3370,18 @@ object SparkEntry {
          l0 AS MATERIALIZED (
            SELECT a AS doc_id, least(a, min(b)) AS lbl FROM und GROUP BY a),
          $levels,
+         conv AS (
+           SELECT count(*) AS changed
+           FROM l${ccLevels - 1} a JOIN l$ccLevels b
+             ON a.doc_id = b.doc_id AND a.lbl <> b.lbl),
          comp AS (
-           SELECT doc_id, lbl AS component FROM l$ccLevels)"""
+           SELECT doc_id,
+                  CASE WHEN (SELECT changed FROM conv) > 0
+                       THEN CAST(error('connectedComponentCtes: ' ||
+                                       '$ccLevels unrolled levels did not converge — ' ||
+                                       'an ORACLE error, not a product mismatch') AS BIGINT)
+                       ELSE lbl END AS component
+           FROM l$ccLevels)"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3745,15 +3818,21 @@ object SparkEntry {
     "stream_doc_near_dup_compact" ->
       s"""WITH ${shinglePrefixPairCtes("0.9")}
          $nearDupPairSelect""",
+    // tiering-invariant: major-then-minor maintenance must yield exactly
+    // the exhaustive pair set too
+    "stream_doc_near_dup_tiered" ->
+      s"""WITH ${shinglePrefixPairCtes("0.9")}
+         $nearDupPairSelect""",
     // steady-state regime: exhaustive pairs over corpus ∪ the 50-doc
-    // trailing batch (ids shifted +500000) — partition-pruned probe and
-    // verify reads must lose nothing
+    // trailing batch (ids shifted past the corpus max, same derivation
+    // as the gate) — partition-pruned probe and verify reads must lose
+    // nothing
     "stream_doc_near_dup_steady" ->
       s"""WITH ${shinglePrefixPairCtes("0.9",
              src = """(SELECT doc_id, text FROM documents
                        UNION ALL
-                       SELECT doc_id + 500000 AS doc_id, text FROM documents
-                       WHERE doc_id < 50)""")}
+                       SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+                       FROM documents WHERE doc_id < 50)""")}
          $nearDupPairSelect""",
     "stream_sessionize" ->
       """WITH e AS (
@@ -4233,6 +4312,20 @@ object SparkEntry {
                     regexp_extract_all(lower(text), '[\p{L}\p{N}'']+'),
                     t -> CAST(((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) % 33) - 16 AS DOUBLE) / 32.0), 'sum'), 0)
                     + 0.25 AS score
+           FROM documents)
+         SELECT doc_id, score, score >= 0.0 AS keep FROM s ORDER BY doc_id""",
+    // fixed-point join path: quantize each NON-dyadic weight exactly as
+    // the operator does — floor(w*2^30 + 0.5) on the identical IEEE
+    // double — sum the integers (order-free), descale once. qbias =
+    // floor(0.25*2^30 + 0.5) = 268435456.
+    "doc_classifier_fixed_join" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  (coalesce(list_aggregate(list_transform(
+                     regexp_extract_all(lower(text), '[\p{L}\p{N}'']+'),
+                     t -> CAST(floor((CAST((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) % 97 AS DOUBLE) / 97.0 - 0.5)
+                                     * 1073741824.0 + 0.5) AS BIGINT)), 'sum'), 0)
+                   + 268435456) / 1073741824.0 AS score
            FROM documents)
          SELECT doc_id, score, score >= 0.0 AS keep FROM s ORDER BY doc_id""",
     "doc_curate_scored" ->

@@ -123,7 +123,8 @@ object Classifier {
     * the aggregate's addition order is partition-nondeterministic, and
     * dyadic terms whose partial sums stay exact are the regime where
     * order provably cannot change the result (gate
-    * `doc_classifier_float_join`).
+    * `doc_classifier_float_join`). For ARBITRARY learned floats on the
+    * join plan, use [[classifyJoinQuantized]].
     */
   def classifyJoin(
       docs: DataFrame,
@@ -147,4 +148,54 @@ object Classifier {
       // falls back to the bare bias, in the weight column's own type
       .agg(coalesce(sum(col("__w")) + bias, bias).as("score"))
       .withColumn("keep", col("score") >= threshold)
+
+  /** FIXED-POINT weight-table inference — the broadcast-join plan for
+    * ARBITRARY learned float weights (VERDICT r16 #5). [[classifyJoin]]
+    * with floats is only order-independent on a dyadic grid because the
+    * re-aggregate's addition order is partition-nondeterministic; this
+    * variant quantizes each weight ONCE on the (small) weight table —
+    * `q(w) = floor(w·2^scaleBits + 0.5)` — sums the quantized LONGS
+    * (integer addition is associative: any partition order yields the
+    * same sum, bit for bit), and descales the total:
+    * `score = (Σq + q(bias)) / 2^scaleBits`.
+    *
+    * Exactness contract: the descale is exact IEEE division by a power
+    * of two, and the long→double conversion is exact while
+    * `|Σq| < 2^53` — with `|w| ≤ W` that is ~2^(53-scaleBits)/W tokens
+    * per document (≈8M at the default 30 bits, W=1), far past any real
+    * document. The quantization step (2^-scaleBits ≈ 1e-9 at the
+    * default) is the defined model semantic, not an error term: an
+    * engine replicating `floor(w·2^b + 0.5)` on the same IEEE doubles
+    * reproduces every score bit (gate `doc_classifier_fixed_join`
+    * hash-matches DuckDB with non-dyadic weights). Same output contract
+    * as [[classify]]: (id, score, keep), tokenless/out-of-table
+    * documents score the bare bias.
+    */
+  def classifyJoinQuantized(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int,
+      weights: DataFrame,
+      bucketCol: String,
+      weightCol: String,
+      bias: Double = 0.0,
+      threshold: Double = 0.0,
+      scaleBits: Int = 30
+  ): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 52, s"scaleBits must be in [1, 52], got $scaleBits")
+    val scale = math.pow(2.0, scaleBits) // exact: a power of two
+    val qBias = math.floor(bias * scale + 0.5).toLong
+    val qWeights = weights.select(
+      col(bucketCol).as("__b"),
+      floor(col(weightCol).cast("double") * lit(scale) + lit(0.5)).as("__wq"))
+    docs
+      .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", featureBucket(col("__t"), dims))
+      .join(broadcast(qWeights), Seq("__b"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(((coalesce(sum(col("__wq")), lit(0L)) + lit(qBias)).cast("double") / lit(scale))
+        .as("score"))
+      .withColumn("keep", col("score") >= lit(threshold))
+  }
 }

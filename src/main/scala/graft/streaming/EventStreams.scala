@@ -56,7 +56,15 @@ object EventStreams {
     * `flatMapGroupsWithState` keyed by user, event-time timeout at
     * watermark + gap. Emits a session row when the gap elapses.
     * State per key is O(1) (running aggregates only). Session bounds
-    * keep full microsecond precision.
+    * keep full microsecond precision. Late-but-within-watermark
+    * arrivals follow the batch semantics exactly as
+    * [[assembleConversations]]: a pre-start event within the gap
+    * merges and LOWERS session_start; one more than a gap before the
+    * open session's start closes as its own session (batch parity for
+    * a lone event; several such events clustered within a gap of each
+    * other but arriving after the session opened each emit singly
+    * where batch would merge them — the same documented divergence,
+    * absent when `watermarkDelay <= gap`).
     */
   def sessionize(
       spark: SparkSession,
@@ -92,8 +100,21 @@ object EventStreams {
         sorted.foreach { e =>
           val t = tsMicros(e.ts)
           cur match {
+            case Some(s) if t < s.start - gapUs =>
+              // a late event more than a gap BEFORE the open session's
+              // start: batch, seeing full time order, closes it as its
+              // own session before this one began — emit it closed now
+              // (same arm as assembleConversations; without it the
+              // within-gap merge below is trivially true for ANY
+              // out-of-order t < s.end and the event is silently counted
+              // into a session that started after it)
+              out += Session(userId, microsTs(t), microsTs(t), 1, e.value)
             case Some(s) if t - s.end <= gapUs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+              // a late-but-within-watermark event can precede the current
+              // start (by at most the gap, per the case above) —
+              // session_start tracks the true minimum, like batch
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                s.n + 1, s.total + e.value))
             case Some(s) =>
               out += Session(userId, microsTs(s.start), microsTs(s.end), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))

@@ -245,8 +245,13 @@ object StreamingDedup {
       s"numHashes=$numHashes must divide into bands=$bands")
     CommitLog.evolveSchema(s"$workDir/bands", bandsSchema)
     val rowsPerBand = numHashes / bands
+    // the id is hashed (xxhash64) by both partition prunes against logs
+    // whose compaction writer hashed LONGS — an IntegerType id from a
+    // batch-mode caller would hash differently, prune away the true
+    // partitions, and silently miss duplicate pairs (ADVICE r16): pin
+    // the type at entry, exactly like incrementalNearDuplicates does
     val base = batch.select(
-      col("id"),
+      col("id").cast("long").as("id"),
       Dedup.minhashSignature(col("text"), shingleK, numHashes).as("sig"),
       Dedup.sortedShingleHashes(col("text"), shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -275,9 +280,11 @@ object StreamingDedup {
         if (moduli.isEmpty) allBandFiles
         else {
           // one tiny distinct job per modulus over the (persisted)
-          // batch bands — realistically exactly one modulus
+          // batch bands — realistically exactly one modulus. Modulus 1
+          // (the sorted-hybrid marker) always hashes to 0: no job.
           val touched = moduli.map { m =>
-            m -> newBands
+            if (m == 1) m -> Set(0)
+            else m -> newBands
               .select(pmod(xxhash64(col("band"), col("bucket")), lit(m.toLong)).cast("int").as("p"))
               .distinct().collect().map(_.getInt(0)).toSet
           }.toMap
@@ -377,7 +384,9 @@ object StreamingDedup {
       // cache each reference would re-run the bucket joins — tripling
       // the per-batch index scan. Unfiltered, candidates feed ONE plan.
       val candsRaw = cross.union(within).distinct()
-      val persistCands = wantSemi || shModuli.nonEmpty
+      // modulus-1 marker files never need the candidate ids to prune —
+      // don't pay the persist just for them
+      val persistCands = wantSemi || shModuli.exists(_ != 1)
       val cands =
         if (persistCands) candsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else candsRaw
@@ -395,7 +404,8 @@ object StreamingDedup {
           if (shModuli.isEmpty) shFilesAll
           else {
             val touched = shModuli.map { m =>
-              m -> cands.select(pmod(xxhash64(col("id1")), lit(m.toLong)).cast("int").as("p"))
+              if (m == 1) m -> Set(0)
+              else m -> cands.select(pmod(xxhash64(col("id1")), lit(m.toLong)).cast("int").as("p"))
                 .union(cands.select(pmod(xxhash64(col("id2")), lit(m.toLong)).cast("int").as("p")))
                 .distinct().collect().map(_.getInt(0)).toSet
             }.toMap
@@ -476,109 +486,300 @@ object StreamingDedup {
   def pairs(spark: SparkSession, workDir: String): DataFrame =
     CommitLog.read(spark, s"$workDir/pairs").distinct()
 
-  /** Maintenance: compact the three commit-logged datasets (bands index,
-    * shingles, pairs) into right-sized files — a stream appending a few
-    * files per micro-batch reads progressively slower (listing +
-    * open-file overhead scales with FILE COUNT) until compacted. Each
-    * compaction publishes as a transactional `replace` commit
-    * ([[CommitLog.compact]]), so readers see the old fileset or the new
-    * one, never a mix, and superseded files vacuum only after the
-    * publish. The bands index is re-sorted on (band, bucket) so probe
-    * joins benefit from row-group min/max skipping after the rewrite.
-    * Single-writer: run with the stream quiesced. Returns
-    * dataset -> (filesBefore, filesAfter).
+  /** `bandsPartitions` sentinel: follow `indexPartitions` (the pre-r17
+    * default behavior).
     */
-  /** `bandsPartitions` controls the bands-index layout independently
-    * (default: follow `indexPartitions`). MEASURED TRADE (SCALING.md
-    * r16): bucket-hash partitioning scatters a document's `bands` rows
-    * across partitions, so the per-doc `sigb` sketch — stored once per
-    * band row but dictionary-encoded to ~1 copy per doc when rows are
-    * adjacent — stops compressing: ~9x on-disk inflation (236 MB ->
-    * 2.2 GB at 800k docs). The probe prune reads touchedPartitions/P of
-    * that inflated size, so it only nets out for TRICKLE batches
-    * (docs x bands well under P); a nightly 1%-of-corpus batch touches
-    * every partition and reads 9x the bytes an unpartitioned layout
-    * would. Pass `bandsPartitions = 1` for the nightly regime: bands
-    * compact into plain files SORTED BY id (keeping each doc's rows
-    * adjacent, preserving the dictionary locality), while the shingles
-    * log — 10x the bands bytes, no inflation under id-hash partitioning
-    * (one row per doc, nothing to scatter) — keeps the candidate-id
-    * partition prune that bounds verify reads in every regime.
+  val FollowIndexPartitions = -1
+
+  /** `bandsPartitions` sentinel: pick the bands layout from MEASURED
+    * on-disk sizes — see [[compactIndex]].
+    */
+  val AutoLayout = -2
+
+  /** AUTO layout trips to the hybrid (id-sorted) bands layout when the
+    * bucket-hash partitioned rewrite inflates the input bytes past this
+    * ratio. Measured regime (SCALING.md r16): the synthetic corpus
+    * inflates ~9x (sigb dictionary locality lost); a corpus whose band
+    * rows don't carry a compressible per-doc payload stays near 1x.
+    * At 3x the partition prune needs to win back >2/3 of its reads to
+    * break even — a trickle batch does, a nightly batch doesn't.
+    */
+  private[streaming] val AutoInflationRatio = 3.0
+
+  /** Ceiling on minor-compaction tiers per dataset before [[compactIndex]]
+    * forces a MAJOR (full) rewrite: each minor compaction adds one
+    * fileset "tier" to the layout (readers union the tiers; the
+    * partition prune is per-file, so correctness never depends on tier
+    * count), and per-partition file opens grow with it.
+    */
+  val DefaultMaxTiers = 8
+
+  /** Per-dataset compaction telemetry returned by [[compactIndexDetailed]]:
+    * what ran (`mode`: "noop" | "minor" | "major"), the layout it
+    * produced (`layout`: "p<modulus>" partitioned or "sorted" for the
+    * marker-carrying single-partition hybrid), the tier count after,
+    * and the byte sizes the decision saw (delta = appended since the
+    * last compaction; base = carried tiers). A MINOR compaction's cost
+    * is O(deltaBytes); a MAJOR's is O(baseBytes + deltaBytes).
+    */
+  final case class DatasetCompaction(
+      filesBefore: Long,
+      filesAfter: Long,
+      mode: String,
+      layout: String,
+      tiers: Int,
+      deltaBytes: Long,
+      baseBytes: Long)
+
+  /** Maintenance: compact the three commit-logged datasets (bands index,
+    * shingles, pairs) into right-sized layouts — a stream appending a
+    * few files per micro-batch reads progressively slower (listing +
+    * open-file overhead scales with FILE COUNT) until compacted.
+    *
+    * INCREMENTAL BY DEFAULT (VERDICT r16 #1): once a dataset carries a
+    * compacted base layout (its files ride `__p<modulus>=<k>/` partition
+    * dirs), re-compaction folds ONLY the files appended since the last
+    * compaction into a new TIER of the same layout and carries every
+    * base file forward BY REFERENCE in the replace commit (the
+    * [[SnapshotUpsert]] bucket-carry pattern) — nightly maintenance
+    * cost is O(delta), not O(index). Readers union the tiers; the
+    * per-file partition prune in [[processBatch]] is layout-generic, so
+    * a probe reads `touched-partitions × tiers` files instead of the
+    * whole index either way. Past `maxTiers` tiers (or when tiers mix
+    * moduli after a partition-count change) the dataset takes one MAJOR
+    * full rewrite back to a single tier — the classic L0→L1 schedule:
+    * O(delta) minors amortize the rare O(index) major.
+    *
+    * `bandsPartitions` controls the bands-index layout:
+    *   - `AutoLayout` (default): follow the existing base layout if one
+    *     exists; otherwise write the bucket-hash partitioned layout,
+    *     MEASURE its on-disk size against the input, and fall back to
+    *     the hybrid id-sorted layout when it inflates past
+    *     [[AutoInflationRatio]] (bucket-hash scatters each doc's band
+    *     rows, so the per-doc sigb sketch stops dictionary-encoding —
+    *     measured ~9x on the synthetic corpus, SCALING.md r16).
+    *   - `FollowIndexPartitions`: bucket-hash at `indexPartitions`.
+    *   - `1`: the hybrid nightly layout — band rows sorted by id
+    *     (dictionary locality kept) under a `__p1=0/` marker dir, so
+    *     later compactions still recognize the base and stay minor.
+    *   - any other positive value: bucket-hash at that modulus.
+    *
+    * The shingles log always partitions on the id the verify joins
+    * probe by (no inflation: one row per doc, nothing to scatter); the
+    * pairs log compacts as id-sorted tiers. Each compaction publishes
+    * as ONE transactional `replace` commit per dataset, so readers see
+    * the old fileset or the new one, never a mix; superseded data dirs
+    * vacuum only after the publish. Single-writer: run with the stream
+    * quiesced. Returns dataset -> (filesBefore, filesAfter);
+    * [[compactIndexDetailed]] exposes the full decision telemetry.
     */
   def compactIndex(
       spark: SparkSession,
       workDir: String,
       targetRecordsPerFile: Long = 5000000L,
       indexPartitions: Int = IndexPartitions,
-      bandsPartitions: Int = -1
-  ): Map[String, (Long, Long)] = Map(
-    "bands" -> {
-      val bp = if (bandsPartitions < 0) indexPartitions else bandsPartitions
-      if (bp <= 1)
-        // unpartitioned nightly layout: sort by id so each doc's 20
-        // band rows stay adjacent and sigb dictionary-encodes
-        CommitLog.compact(spark, s"$workDir/bands", targetRecordsPerFile, sortBy = Seq("id"))
-      else
-        compactHashPartitioned(spark, s"$workDir/bands", targetRecordsPerFile,
-          bp, keyCols = Seq("band", "bucket"))
-    },
-    // the shingles log partitions on the id the verify joins probe by,
-    // so per-batch verify reads prune to the partitions candidate ids
-    // hash into (see the oldSh prune in [[processBatch]])
-    "shingles" -> compactHashPartitioned(spark, s"$workDir/shingles", targetRecordsPerFile,
-      indexPartitions, keyCols = Seq("id")),
-    "pairs" -> CommitLog.compact(spark, s"$workDir/pairs", targetRecordsPerFile))
+      bandsPartitions: Int = AutoLayout,
+      incremental: Boolean = true,
+      maxTiers: Int = DefaultMaxTiers
+  ): Map[String, (Long, Long)] =
+    compactIndexDetailed(spark, workDir, targetRecordsPerFile, indexPartitions,
+      bandsPartitions, incremental, maxTiers)
+      .map { case (k, v) => k -> (v.filesBefore, v.filesAfter) }
 
-  /** Probe-keyed compaction shared by the bands index (keyed on
-    * (band, bucket)) and the shingles log (keyed on id): a dataset small
-    * enough for one target file stays a plain sorted rewrite; past that
-    * it rewrites into the key-hash PARTITIONED layout
-    * (`__p<indexPartitions>=<k>/`) so subsequent batches' probes prune
-    * by partition instead of scanning the whole dataset. The modulus
-    * rides in the partition-column NAME (self-describing, atomic with
-    * the fileset), so a workDir compacted at different partition counts
-    * over its lifetime still prunes each file with exactly its writer's
-    * hash. Published as one `replace` commit + checkpoint, superseded
-    * data dirs vacuumed after — the same transactional contract as
-    * [[CommitLog.compact]].
+  /** [[compactIndex]] with the full per-dataset decision telemetry. */
+  def compactIndexDetailed(
+      spark: SparkSession,
+      workDir: String,
+      targetRecordsPerFile: Long = 5000000L,
+      indexPartitions: Int = IndexPartitions,
+      bandsPartitions: Int = AutoLayout,
+      incremental: Boolean = true,
+      maxTiers: Int = DefaultMaxTiers
+  ): Map[String, DatasetCompaction] = {
+    require(maxTiers >= 1, s"maxTiers must be >= 1, got $maxTiers")
+    Map(
+      "bands" -> compactKeyed(spark, s"$workDir/bands", targetRecordsPerFile,
+        bandsPartitions match {
+          case AutoLayout => AutoLayout
+          case FollowIndexPartitions => indexPartitions
+          case bp =>
+            require(bp >= 1, s"bandsPartitions must be >= 1 or a sentinel, got $bp"); bp
+        },
+        keyCols = Seq("band", "bucket"), hybridSort = Seq("id"),
+        incremental, maxTiers),
+      // the shingles log partitions on the id the verify joins probe by,
+      // so per-batch verify reads prune to the partitions candidate ids
+      // hash into (see the oldSh prune in [[processBatch]]); one row per
+      // doc, so there is no locality to lose and no AUTO decision needed
+      "shingles" -> compactKeyed(spark, s"$workDir/shingles", targetRecordsPerFile,
+        indexPartitions, keyCols = Seq("id"), hybridSort = Seq("id"),
+        incremental, maxTiers),
+      // confirmed pairs: no probe joins read this by key, so it stays
+      // the single-partition sorted layout — but tiered, so a nightly
+      // re-compaction folds only the pairs appended since the last one
+      "pairs" -> compactKeyed(spark, s"$workDir/pairs", targetRecordsPerFile,
+        1, keyCols = Seq("id1", "id2"), hybridSort = Seq("id1", "id2"),
+        incremental, maxTiers))
+  }
+
+  /** Tier id of a committed file: the data/<uuid> generation it was
+    * written under (each compaction writes exactly one).
     */
-  private def compactHashPartitioned(
-      spark: SparkSession, dir: String, targetRecordsPerFile: Long,
-      indexPartitions: Int, keyCols: Seq[String]): (Long, Long) = {
-    val before = CommitLog.currentFiles(dir).size.toLong
-    // layout decision from parquet footers (driver-side, no job) — a
-    // full count() over the index would scan the largest dataset in the
-    // workDir just to pick a code path
-    if (footerRows(spark, dir) <= targetRecordsPerFile)
-      return CommitLog.compact(spark, dir, targetRecordsPerFile, sortBy = keyCols)
+  private def tierOf(f: String): String = f.split("/").take(2).mkString("/")
+
+  /** Probe-keyed tiered compaction shared by all three datasets. Layout
+    * values: `partitions > 1` = key-hash partitioned (`__p<P>=<k>/`),
+    * `partitions == 1` = id/key-sorted single-partition hybrid (marker
+    * dir `__p1=0/`, so later runs recognize the base and stay minor),
+    * `AutoLayout` = follow the base; else measure (see [[compactIndex]]).
+    */
+  private def compactKeyed(
+      spark: SparkSession,
+      dir: String,
+      targetRecordsPerFile: Long,
+      partitions: Int,
+      keyCols: Seq[String],
+      hybridSort: Seq[String],
+      incremental: Boolean,
+      maxTiers: Int): DatasetCompaction = {
+    val all = CommitLog.currentFiles(dir)
+    val bytesOf = (fs: Seq[String]) => fs.map(f => new java.io.File(s"$dir/$f").length).sum
+    val (base, delta) = all.partition(f => PartDirRe.findFirstMatchIn(f).isDefined)
+    val baseModuli = base.flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
+    val tiers = base.map(tierOf).distinct.size
+    val deltaBytes = bytesOf(delta)
+    val baseBytes = bytesOf(base)
+
+    // layout resolution: AUTO follows an existing single-modulus base
+    // (minor compactions must extend the layout they found, or the
+    // choice would flap); with no base it defers to the measured
+    // decision inside the major rewrite below
+    val follow = if (baseModuli.size == 1) Some(baseModuli.head) else None
+    val wantP = partitions match {
+      case AutoLayout => follow.getOrElse(AutoLayout)
+      case p => p
+    }
+
+    val minorEligible = incremental && base.nonEmpty && baseModuli.size == 1 &&
+      (partitions == AutoLayout || wantP == baseModuli.head)
+
+    if (minorEligible && delta.isEmpty && tiers <= maxTiers)
+      return DatasetCompaction(all.size.toLong, all.size.toLong, "noop",
+        s"p${baseModuli.head}", tiers, 0L, baseBytes)
+
+    if (minorEligible && tiers + 1 <= maxTiers) {
+      // MINOR: fold only the appended delta into one new tier of the
+      // base layout; every base file rides the replace commit BY
+      // REFERENCE (never read, never rewritten) — O(delta) total work
+      val p = baseModuli.head
+      val deltaDf = spark.read.schema(CommitLog.schemaOf(dir))
+        .parquet(delta.map(f => s"$dir/$f"): _*)
+      val fresh = writeTier(spark, dir, deltaDf, p, keyCols, hybridSort,
+        targetRecordsPerFile, deltaRowsHint = Some(footerRowsOf(spark, dir, delta)))
+      publishReplace(dir, base ++ fresh)
+      return DatasetCompaction(all.size.toLong, (base.size + fresh.size).toLong,
+        "minor", s"p$p", tiers + 1, deltaBytes, baseBytes)
+    }
+
+    // MAJOR: full rewrite to a single tier. Layout: explicit partitions
+    // when given; AUTO measures — write partitioned, compare bytes, fall
+    // back to the hybrid when the rewrite inflates the input
     val df = CommitLog.read(spark, dir)
-    val pcol = s"__p$indexPartitions"
+    val rows = footerRows(spark, dir)
+    val inBytes = baseBytes + deltaBytes
+    // a dataset small enough for one target file keeps the sorted
+    // single-partition layout whatever was asked — partitioning it would
+    // fragment a file's worth of rows into P slivers for no prune win
+    val autoP =
+      if (rows <= targetRecordsPerFile) 1
+      else if (wantP != AutoLayout) wantP
+      else IndexPartitions
+    var p = autoP
+    var fresh = writeTier(spark, dir, df, p, keyCols, hybridSort,
+      targetRecordsPerFile, deltaRowsHint = Some(rows))
+    if (partitions == AutoLayout && p > 1 &&
+        bytesOf(fresh) > (AutoInflationRatio * inBytes).toLong) {
+      // measured inflation: discard the partitioned fileset (never
+      // committed — invisible to every reader) and write the hybrid
+      fresh.map(tierOf).distinct.foreach(t => deleteRecursively(new java.io.File(s"$dir/$t")))
+      p = 1
+      fresh = writeTier(spark, dir, df, p, keyCols, hybridSort,
+        targetRecordsPerFile, deltaRowsHint = Some(rows))
+    }
+    publishReplace(dir, fresh)
+    DatasetCompaction(all.size.toLong, fresh.size.toLong, "major", s"p$p", 1,
+      deltaBytes, baseBytes)
+  }
+
+  /** Exact row count of a file subset from parquet footers. */
+  private def footerRowsOf(spark: SparkSession, dir: String, files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }.sum
+  }
+
+  /** Write `df` as one tier of the `p`-modulus layout under a fresh
+    * data/<uuid>/ generation and return the written files (relative to
+    * `dir`), WITHOUT committing — the caller publishes. `p == 1` writes
+    * the sorted hybrid under the `__p1=0/` marker; `p > 1` writes the
+    * key-hash partition dirs, rows sorted on the probe key within each
+    * file so probe joins get row-group min/max skipping.
+    */
+  private def writeTier(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      p: Int,
+      keyCols: Seq[String],
+      hybridSort: Seq[String],
+      targetRecordsPerFile: Long,
+      deltaRowsHint: Option[Long]): Seq[String] = {
+    val pcol = s"__p$p"
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"
-    df.withColumn(pcol,
-        pmod(xxhash64(keyCols.map(col): _*), lit(indexPartitions.toLong)).cast("int"))
-      .repartition(indexPartitions, col(pcol))
-      // sorted on the probe key within each partition file: probe joins
-      // benefit from row-group min/max skipping after the rewrite
-      .sortWithinPartitions((pcol +: keyCols).map(col): _*)
-      .write.partitionBy(pcol).parquet(dataDir)
+    if (p <= 1) {
+      val rows = deltaRowsHint.getOrElse(0L)
+      val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      df.repartitionByRange(nFiles, hybridSort.map(col): _*)
+        .sortWithinPartitions(hybridSort.map(col): _*)
+        .withColumn(pcol, lit(0))
+        .write.partitionBy(pcol).parquet(dataDir)
+    } else {
+      df.withColumn(pcol, pmod(xxhash64(keyCols.map(col): _*), lit(p.toLong)).cast("int"))
+        .repartition(p, col(pcol))
+        .sortWithinPartitions((pcol +: keyCols).map(col): _*)
+        .write.partitionBy(pcol).parquet(dataDir)
+    }
     val prefix = java.nio.file.Paths.get(dir).toAbsolutePath
-    val files = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
+    Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(s"$pcol="))
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
       .sorted.toSeq
-    CommitLog.commitFiles(dir, files, replace = true): Unit
+  }
+
+  /** Publish `files` as the dataset's complete fileset (one replace
+    * commit), checkpoint the folded history away, and vacuum data
+    * generations no commit references anymore — carried tiers stay (the
+    * replace commit references them); superseded appends go.
+    */
+  private def publishReplace(dir: String, files: Seq[String]): Unit = {
+    CommitLog.commitFiles(dir, files.sorted, replace = true): Unit
     CommitLog.checkpoint(dir): Unit
     val live = CommitLog.referencedDataDirs(dir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
     Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && !live.contains(d.getName))
-      .foreach(rm)
-    (before, files.size.toLong)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

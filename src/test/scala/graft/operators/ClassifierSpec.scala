@@ -117,6 +117,35 @@ class ClassifierSpec extends AnyFunSuite {
     assert(proj == joined)
   }
 
+  test("quantized join: arbitrary non-dyadic floats, partition-order invariant, driver-exact") {
+    // weights OFF any dyadic grid: w(b) = (b % 97)/97 - 1/2
+    val weights = spark.range(Dims).select(
+      $"id".as("bucket"), (($"id" % 97).cast("double") / lit(97.0) - lit(0.5)).as("w"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classifier.classifyJoinQuantized(d, "doc_id", "text", Dims,
+        weights, "bucket", "w", bias = 0.25, threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val a = run(docs)
+    // different partitioning → different aggregation order → the LONG
+    // sums must still land bit-identically
+    val b = run(docs.repartition(7, $"text"))
+    assert(a == b, "quantized join scores depend on partition order")
+    // driver replica of the fixed-point semantic
+    val scale = math.pow(2.0, 30)
+    val qBias = math.floor(0.25 * scale + 0.5).toLong
+    val want = docs.select($"doc_id", $"text").collect().map { r =>
+      val toks = "[\\p{L}\\p{N}']+".r.findAllIn(Option(r.getString(1)).getOrElse("").toLowerCase).toSeq
+      val q = toks.foldLeft(0L) { (acc, t) =>
+        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(t).take(8)
+        val bk = java.lang.Long.parseLong(hex, 16) % Dims
+        acc + math.floor(((bk % 97).toDouble / 97.0 - 0.5) * scale + 0.5).toLong
+      }
+      val score = (q + qBias).toDouble / scale
+      (r.getLong(0), score, score >= 0.0)
+    }.toSet
+    assert(a == want, "quantized join diverged from the driver replica")
+  }
+
   test("projection path plans with zero exchanges; join path exactly one") {
     def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =

@@ -180,7 +180,10 @@ class StreamingDedupSpec extends AnyFunSuite {
       .toDF("id", "text")
     StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
     // force the partitioned layout: 16 docs × 20 bands = 320 rows > 10
-    val stats = StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L)
+    // (bands pinned to the bucket-hash layout — AUTO could measure its
+    // way to the hybrid at this fixture size, which is its own test)
+    val stats = StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L,
+      bandsPartitions = StreamingDedup.FollowIndexPartitions)
     val files = CommitLog.currentFiles(s"$work/bands")
     assert(files.forall(_.contains(s"/__p${StreamingDedup.IndexPartitions}=")),
       s"bands not bucket-partitioned after compaction: ${files.take(3)}")
@@ -248,7 +251,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       .toSet == plain.toSet, "prune must never drop unpartitioned appends")
   }
 
-  test("bandsPartitions=1 keeps bands unpartitioned (id-sorted) while shingles still partition") {
+  test("bandsPartitions=1 keeps bands id-sorted (hybrid marker) while shingles still partition") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("sdedup-nightly").toString
     StreamingDedup.incrementalNearDuplicatesInit(spark, work)
@@ -258,9 +261,11 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
     StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L,
       indexPartitions = 32, bandsPartitions = 1)
+    // the hybrid layout carries the __p1=0 marker (so re-compactions
+    // recognize the base and stay minor) but never bucket-partitions
     val bandFiles = CommitLog.currentFiles(s"$work/bands")
-    assert(bandFiles.nonEmpty && !bandFiles.exists(_.contains("/__p")),
-      s"bands should stay unpartitioned in the nightly layout: ${bandFiles.take(3)}")
+    assert(bandFiles.nonEmpty && bandFiles.forall(_.contains("/__p1=0/")),
+      s"bands should carry the sorted-hybrid marker: ${bandFiles.take(3)}")
     assert(CommitLog.currentFiles(s"$work/shingles").forall(_.contains("/__p32=")),
       "shingles must still partition")
     // and the mixed layout still finds the cross-batch duplicate exactly
@@ -269,6 +274,96 @@ class StreamingDedupSpec extends AnyFunSuite {
     val pairs = StreamingDedup.pairs(spark, work)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 10L)), s"expected exactly the cross pair: $pairs")
+  }
+
+  test("minor compaction folds only the delta: base tiers carried by reference, pairs unchanged") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-tiered").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = (1L to 16L).map(i =>
+      (i, if (i == 1L) base else s"unique document number $i with its own content " * 6))
+      .toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    val major = StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L)
+    assert(major("bands").mode == "major" && major("shingles").mode == "major", s"$major")
+    val baseBands = CommitLog.currentFiles(s"$work/bands").toSet
+    val baseSh = CommitLog.currentFiles(s"$work/shingles").toSet
+    // mtimes of the base files: a minor compaction must never rewrite them
+    def mtimes(d: String, fs: Set[String]) =
+      fs.map(f => f -> new java.io.File(s"$work/$d/$f").lastModified).toMap
+    val bandMt = mtimes("bands", baseBands)
+    val b2 = Seq((20L, base + "tail."), (21L, "more unrelated filler words here " * 6))
+      .toDF("id", "text")
+    StreamingDedup.processBatch(b2, work, 0.9, 5, 120, 20, batchId = Some(1L))
+    val minor = StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L)
+    assert(minor("bands").mode == "minor" && minor("shingles").mode == "minor", s"$minor")
+    val afterBands = CommitLog.currentFiles(s"$work/bands").toSet
+    val afterSh = CommitLog.currentFiles(s"$work/shingles").toSet
+    assert(baseBands.subsetOf(afterBands), "base bands tier not carried by reference")
+    assert(baseSh.subsetOf(afterSh), "base shingles tier not carried by reference")
+    assert(bandMt.forall { case (f, t) => new java.io.File(s"$work/bands/$f").lastModified == t },
+      "minor compaction rewrote a carried base file")
+    // every file is now in SOME tier of the layout (no loose appends left)
+    assert(afterBands.forall(_.contains("/__p")) && afterSh.forall(_.contains("/__p")))
+    assert(minor("bands").tiers == 2 && minor("shingles").tiers == 2, s"$minor")
+    // a re-run with nothing appended is a no-op
+    val noop = StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L)
+    assert(noop("bands").mode == "noop" && noop("shingles").mode == "noop", s"$noop")
+    // and the tiered layout still yields exactly the batch operator's pairs
+    val streamed = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup
+      .nearDuplicates(b1.union(b2).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9, numHashes = 120, bands = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // duplicates found AFTER the tiered compaction still land: the
+    // probe against BOTH tiers must equal the batch operator's pairs
+    val b3 = Seq((30L, base + " extra")).toDF("id", "text")
+    StreamingDedup.processBatch(b3, work, 0.9, 5, 120, 20, batchId = Some(2L))
+    val p3 = StreamingDedup.pairs(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch3 = graft.operators.Dedup
+      .nearDuplicates(b1.union(b2).union(b3).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9, numHashes = 120, bands = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p3 == batch3, s"cross-tier probe diverged: streamed=$p3 batch=$batch3")
+    assert(p3.exists(p => p._2 == 30L), s"no pair found for the post-compaction doc: $p3")
+  }
+
+  test("maxTiers forces a major rewrite that collapses the tiers back to one") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-maxtiers").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    def ingest(b: Long): Unit = StreamingDedup.processBatch(
+      (1L to 8L).map(i => (b * 100 + i, s"doc $b $i body " * 6)).toDF("id", "text"),
+      work, 0.9, 5, 120, 20, batchId = Some(b))
+    ingest(0L)
+    assert(StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L,
+      maxTiers = 2)("bands").mode == "major")
+    ingest(1L)
+    assert(StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L,
+      maxTiers = 2)("bands").mode == "minor")
+    ingest(2L)
+    // a second minor would make 3 tiers > maxTiers=2 → major, one tier
+    val forced = StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L,
+      maxTiers = 2)
+    assert(forced("bands").mode == "major" && forced("bands").tiers == 1, s"$forced")
+  }
+
+  test("AUTO bands layout follows an explicitly chosen base across minor compactions") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sdedup-auto").toString
+    StreamingDedup.incrementalNearDuplicatesInit(spark, work)
+    val b1 = (1L to 16L).map(i => (i, s"unique document number $i body " * 6)).toDF("id", "text")
+    StreamingDedup.processBatch(b1, work, 0.9, 5, 120, 20, batchId = Some(0L))
+    // owner pins the hybrid; later AUTO maintenance must extend it, not flap
+    StreamingDedup.compactIndex(spark, work, targetRecordsPerFile = 10L, bandsPartitions = 1)
+    StreamingDedup.processBatch(Seq((20L, "late arrival words " * 6)).toDF("id", "text"),
+      work, 0.9, 5, 120, 20, batchId = Some(1L))
+    val auto = StreamingDedup.compactIndexDetailed(spark, work, targetRecordsPerFile = 10L)
+    assert(auto("bands").mode == "minor" && auto("bands").layout == "p1", s"$auto")
+    assert(CommitLog.currentFiles(s"$work/bands").forall(_.contains("/__p1=0/")))
   }
 
   test("forced verify semi filter yields exactly the direct plan's pairs") {

@@ -105,6 +105,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.session_start == ts("2024-01-01 10:00:00") && s.session_end == ts("2024-01-01 10:10:00"))
   }
 
+  test("sessionize: cross-batch out-of-order events match batch (pre-start merge and split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // watermarkDelay (2h) > gap (30min) is the regime where pre-start
+    // late events exist: they can precede the open session's start —
+    // within the gap (must MERGE and lower session_start) or beyond it
+    // (must close as their OWN session, exactly like batch) — while
+    // still inside the watermark (VERDICT r16 #2)
+    val q = EventStreams
+      .sessionize(spark, in.toDS(), gapMinutes = 30, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sesslate").outputMode("append").start()
+    in.addData(Event(1, ts("2024-01-01 12:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // 11:45 is BEFORE the open session's start but within the gap:
+    // pre-fix, the merge arm kept s.start = 12:00 and the event's time
+    // vanished from the session bounds
+    in.addData(Event(2, ts("2024-01-01 11:45:00"), 1, "b", 2.0))
+    q.processAllAvailable()
+    // 10:30 is more than a gap before the (now 11:45) session start and
+    // within the watermark (12:00 - 2h = 10:00): batch closes it as its
+    // own session — pre-fix, `t - s.end <= gapUs` was trivially true
+    // and it silently merged
+    in.addData(Event(3, ts("2024-01-01 10:30:00"), 1, "c", 4.0))
+    q.processAllAvailable()
+    // flush twice so the open session's event-time timeout fires
+    in.addData(Event(8, ts("2024-01-01 16:00:00"), 2, "x", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(9, ts("2024-01-01 16:30:00"), 2, "x", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sesslate").as[Session].collect().filter(_.user_id == 1)
+      .sortBy(_.session_start.getTime)
+    q.stop()
+    // batch oracle over the same (time-ordered) log
+    val batch = graft.operators.Sessionize.assign(
+      Seq((1L, unixMicros(ts("2024-01-01 12:00:00")), 1.0),
+        (1L, unixMicros(ts("2024-01-01 11:45:00")), 2.0),
+        (1L, unixMicros(ts("2024-01-01 10:30:00")), 4.0)).toDF("user_id", "ts_us", "value"),
+      "user_id", "ts_us", "value", gapMicros = 30L * 60 * 1000000)
+      .select($"session_start_us", $"session_end_us", $"n_events", $"sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = sessions.map(s =>
+      (unixMicros(s.session_start), unixMicros(s.session_end), s.n_events.toLong, s.total_value)).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(sessions.length == 2, s"expected split + merged session: ${sessions.toSeq}")
+    assert(sessions(1).session_start == ts("2024-01-01 11:45:00"),
+      s"merge must lower session_start: ${sessions(1)}")
+  }
+
   test("assembleConversations emits ordered transcripts on conversation close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
