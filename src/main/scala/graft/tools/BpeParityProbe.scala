@@ -36,7 +36,12 @@ object BpeParityProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the documents fixture alone has a 31-word vocabulary at every sf
+    // (merge schedule collapses at ~89 steps); widen with customer names
+    // exactly like the doc_bpe_collapse gate so 1k+ steps exist (vocab
+    // 15k word types at sf0.1 — each numeric id is its own type)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("text"))
+      .unionAll(spark.read.parquet(s"$sfDir/customer.parquet").select(col("c_name").as("text")))
 
     def run(maxDriverWords: Long): (graft.operators.BpeModel, Double) = {
       val t0 = System.nanoTime()

@@ -136,6 +136,36 @@ object SteadyStateProbe {
       println(s"""{"probe":"steady","phase":"compact_hybrid","indexDocs":$n,"partitions":$partitions,""" +
         s""""sec":${f"${(System.nanoTime() - t0) / 1e9}%.3f"}}""")
       phase("hybrid")
+
+      // 5. TIERED maintenance (VERDICT r16 #1): the nightly schedule —
+      // ingest a 1%-of-corpus delta, re-compact. The re-compaction must
+      // fold ONLY the delta (mode "minor"), so its cost tracks deltaDocs
+      // while a forced full rewrite (mode "major") tracks indexDocs. Two
+      // minor rounds show the per-round cost is flat; the closing major
+      // is the O(index) reference point the minors are measured against.
+      val deltaDocs = math.max(1000L, n / 100)
+      for (round <- 1 to 2) {
+        run(ingest(deltaDocs, 0.1))
+        t0 = System.nanoTime()
+        val det = StreamingDedup.compactIndexDetailed(spark, work,
+          targetRecordsPerFile = target, indexPartitions = partitions)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val modes = det.map { case (k, v) => s""""$k":"${v.mode}/${v.layout}"""" }.mkString(",")
+        val deltaMB = det.values.map(_.deltaBytes).sum / 1000000
+        val baseMB = det.values.map(_.baseBytes).sum / 1000000
+        println(s"""{"probe":"steady","phase":"compact_minor","indexDocs":$n,""" +
+          s""""round":$round,"deltaDocs":$deltaDocs,"sec":${f"$sec%.3f"},""" +
+          s""""deltaMB":$deltaMB,"baseMB":$baseMB,"modes":{$modes}}""")
+      }
+      t0 = System.nanoTime()
+      val maj = StreamingDedup.compactIndexDetailed(spark, work,
+        targetRecordsPerFile = target, indexPartitions = partitions,
+        incremental = false)
+      val majSec = (System.nanoTime() - t0) / 1e9
+      val majModes = maj.map { case (k, v) => s""""$k":"${v.mode}/${v.layout}"""" }.mkString(",")
+      println(s"""{"probe":"steady","phase":"compact_major","indexDocs":$n,""" +
+        s""""sec":${f"$majSec%.3f"},"indexMB":${maj.values.map(v => v.baseBytes + v.deltaBytes).sum / 1000000},""" +
+        s""""modes":{$majModes}}""")
     }
     spark.stop()
   }
