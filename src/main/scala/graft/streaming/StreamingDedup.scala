@@ -123,7 +123,7 @@ object StreamingDedup {
     */
   private[streaming] val IndexPartitions = 64
 
-  private val PartDirRe = "/__p(\\d+)=(\\d+)/".r
+  private val PartDirRe = TieredCompaction.PartDirRe
 
   /** The files a batch with `touchedByModulus` (modulus → partition ids
     * its probe keys hash into) must read: partitioned files whose
@@ -137,13 +137,7 @@ object StreamingDedup {
     */
   private[graft] def pruneBandFiles(
       files: Seq[String], touchedByModulus: Map[Int, Set[Int]]): Seq[String] =
-    files.filter { f =>
-      PartDirRe.findFirstMatchIn(f) match {
-        case Some(m) =>
-          touchedByModulus.get(m.group(1).toInt).forall(_.contains(m.group(2).toInt))
-        case None => true
-      }
-    }
+    TieredCompaction.pruneFiles(files, touchedByModulus)
 
   /** Start the incremental dedup over a STREAMING (idCol, textCol) frame.
     * Confirmed pairs land under `workDir`/pairs as (id1, id2, jaccard),
@@ -489,12 +483,12 @@ object StreamingDedup {
   /** `bandsPartitions` sentinel: follow `indexPartitions` (the pre-r17
     * default behavior).
     */
-  val FollowIndexPartitions = -1
+  val FollowIndexPartitions: Int = TieredCompaction.FollowIndexPartitions
 
   /** `bandsPartitions` sentinel: pick the bands layout from MEASURED
     * on-disk sizes — see [[compactIndex]].
     */
-  val AutoLayout = -2
+  val AutoLayout: Int = TieredCompaction.AutoLayout
 
   /** AUTO layout trips to the hybrid (id-sorted) bands layout when the
     * bucket-hash partitioned rewrite inflates the input bytes past this
@@ -504,7 +498,7 @@ object StreamingDedup {
     * At 3x the partition prune needs to win back >2/3 of its reads to
     * break even — a trickle batch does, a nightly batch doesn't.
     */
-  private[streaming] val AutoInflationRatio = 3.0
+  private[streaming] def AutoInflationRatio: Double = TieredCompaction.AutoInflationRatio
 
   /** Ceiling on minor-compaction tiers per dataset before [[compactIndex]]
     * forces a MAJOR (full) rewrite: each minor compaction adds one
@@ -512,24 +506,12 @@ object StreamingDedup {
     * partition prune is per-file, so correctness never depends on tier
     * count), and per-partition file opens grow with it.
     */
-  val DefaultMaxTiers = 8
+  val DefaultMaxTiers: Int = TieredCompaction.DefaultMaxTiers
 
-  /** Per-dataset compaction telemetry returned by [[compactIndexDetailed]]:
-    * what ran (`mode`: "noop" | "minor" | "major"), the layout it
-    * produced (`layout`: "p<modulus>" partitioned or "sorted" for the
-    * marker-carrying single-partition hybrid), the tier count after,
-    * and the byte sizes the decision saw (delta = appended since the
-    * last compaction; base = carried tiers). A MINOR compaction's cost
-    * is O(deltaBytes); a MAJOR's is O(baseBytes + deltaBytes).
+  /** Per-dataset compaction telemetry returned by
+    * [[compactIndexDetailed]] — see [[TieredCompaction.DatasetCompaction]].
     */
-  final case class DatasetCompaction(
-      filesBefore: Long,
-      filesAfter: Long,
-      mode: String,
-      layout: String,
-      tiers: Int,
-      deltaBytes: Long,
-      baseBytes: Long)
+  type DatasetCompaction = TieredCompaction.DatasetCompaction
 
   /** Maintenance: compact the three commit-logged datasets (bands index,
     * shingles, pairs) into right-sized layouts — a stream appending a
@@ -598,7 +580,7 @@ object StreamingDedup {
   ): Map[String, DatasetCompaction] = {
     require(maxTiers >= 1, s"maxTiers must be >= 1, got $maxTiers")
     Map(
-      "bands" -> compactKeyed(spark, s"$workDir/bands", targetRecordsPerFile,
+      "bands" -> TieredCompaction.compactKeyed(spark, s"$workDir/bands", targetRecordsPerFile,
         bandsPartitions match {
           case AutoLayout => AutoLayout
           case FollowIndexPartitions => indexPartitions
@@ -611,175 +593,15 @@ object StreamingDedup {
       // so per-batch verify reads prune to the partitions candidate ids
       // hash into (see the oldSh prune in [[processBatch]]); one row per
       // doc, so there is no locality to lose and no AUTO decision needed
-      "shingles" -> compactKeyed(spark, s"$workDir/shingles", targetRecordsPerFile,
+      "shingles" -> TieredCompaction.compactKeyed(spark, s"$workDir/shingles", targetRecordsPerFile,
         indexPartitions, keyCols = Seq("id"), hybridSort = Seq("id"),
         incremental, maxTiers),
       // confirmed pairs: no probe joins read this by key, so it stays
       // the single-partition sorted layout — but tiered, so a nightly
       // re-compaction folds only the pairs appended since the last one
-      "pairs" -> compactKeyed(spark, s"$workDir/pairs", targetRecordsPerFile,
+      "pairs" -> TieredCompaction.compactKeyed(spark, s"$workDir/pairs", targetRecordsPerFile,
         1, keyCols = Seq("id1", "id2"), hybridSort = Seq("id1", "id2"),
         incremental, maxTiers))
   }
 
-  /** Tier id of a committed file: the data/<uuid> generation it was
-    * written under (each compaction writes exactly one).
-    */
-  private def tierOf(f: String): String = f.split("/").take(2).mkString("/")
-
-  /** Probe-keyed tiered compaction shared by all three datasets. Layout
-    * values: `partitions > 1` = key-hash partitioned (`__p<P>=<k>/`),
-    * `partitions == 1` = id/key-sorted single-partition hybrid (marker
-    * dir `__p1=0/`, so later runs recognize the base and stay minor),
-    * `AutoLayout` = follow the base; else measure (see [[compactIndex]]).
-    */
-  private def compactKeyed(
-      spark: SparkSession,
-      dir: String,
-      targetRecordsPerFile: Long,
-      partitions: Int,
-      keyCols: Seq[String],
-      hybridSort: Seq[String],
-      incremental: Boolean,
-      maxTiers: Int): DatasetCompaction = {
-    val all = CommitLog.currentFiles(dir)
-    val bytesOf = (fs: Seq[String]) => fs.map(f => new java.io.File(s"$dir/$f").length).sum
-    val (base, delta) = all.partition(f => PartDirRe.findFirstMatchIn(f).isDefined)
-    val baseModuli = base.flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
-    val tiers = base.map(tierOf).distinct.size
-    val deltaBytes = bytesOf(delta)
-    val baseBytes = bytesOf(base)
-
-    // layout resolution: AUTO follows an existing single-modulus base
-    // (minor compactions must extend the layout they found, or the
-    // choice would flap); with no base it defers to the measured
-    // decision inside the major rewrite below
-    val follow = if (baseModuli.size == 1) Some(baseModuli.head) else None
-    val wantP = partitions match {
-      case AutoLayout => follow.getOrElse(AutoLayout)
-      case p => p
-    }
-
-    val minorEligible = incremental && base.nonEmpty && baseModuli.size == 1 &&
-      (partitions == AutoLayout || wantP == baseModuli.head)
-
-    if (minorEligible && delta.isEmpty && tiers <= maxTiers)
-      return DatasetCompaction(all.size.toLong, all.size.toLong, "noop",
-        s"p${baseModuli.head}", tiers, 0L, baseBytes)
-
-    if (minorEligible && tiers + 1 <= maxTiers) {
-      // MINOR: fold only the appended delta into one new tier of the
-      // base layout; every base file rides the replace commit BY
-      // REFERENCE (never read, never rewritten) — O(delta) total work
-      val p = baseModuli.head
-      val deltaDf = spark.read.schema(CommitLog.schemaOf(dir))
-        .parquet(delta.map(f => s"$dir/$f"): _*)
-      val fresh = writeTier(spark, dir, deltaDf, p, keyCols, hybridSort,
-        targetRecordsPerFile, deltaRowsHint = Some(footerRowsOf(spark, dir, delta)))
-      publishReplace(dir, base ++ fresh)
-      return DatasetCompaction(all.size.toLong, (base.size + fresh.size).toLong,
-        "minor", s"p$p", tiers + 1, deltaBytes, baseBytes)
-    }
-
-    // MAJOR: full rewrite to a single tier. Layout: explicit partitions
-    // when given; AUTO measures — write partitioned, compare bytes, fall
-    // back to the hybrid when the rewrite inflates the input
-    val df = CommitLog.read(spark, dir)
-    val rows = footerRows(spark, dir)
-    val inBytes = baseBytes + deltaBytes
-    // a dataset small enough for one target file keeps the sorted
-    // single-partition layout whatever was asked — partitioning it would
-    // fragment a file's worth of rows into P slivers for no prune win
-    val autoP =
-      if (rows <= targetRecordsPerFile) 1
-      else if (wantP != AutoLayout) wantP
-      else IndexPartitions
-    var p = autoP
-    var fresh = writeTier(spark, dir, df, p, keyCols, hybridSort,
-      targetRecordsPerFile, deltaRowsHint = Some(rows))
-    if (partitions == AutoLayout && p > 1 &&
-        bytesOf(fresh) > (AutoInflationRatio * inBytes).toLong) {
-      // measured inflation: discard the partitioned fileset (never
-      // committed — invisible to every reader) and write the hybrid
-      fresh.map(tierOf).distinct.foreach(t => deleteRecursively(new java.io.File(s"$dir/$t")))
-      p = 1
-      fresh = writeTier(spark, dir, df, p, keyCols, hybridSort,
-        targetRecordsPerFile, deltaRowsHint = Some(rows))
-    }
-    publishReplace(dir, fresh)
-    DatasetCompaction(all.size.toLong, fresh.size.toLong, "major", s"p$p", 1,
-      deltaBytes, baseBytes)
-  }
-
-  /** Exact row count of a file subset from parquet footers. */
-  private def footerRowsOf(spark: SparkSession, dir: String, files: Seq[String]): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount
-      finally r.close()
-    }.sum
-  }
-
-  /** Write `df` as one tier of the `p`-modulus layout under a fresh
-    * data/<uuid>/ generation and return the written files (relative to
-    * `dir`), WITHOUT committing — the caller publishes. `p == 1` writes
-    * the sorted hybrid under the `__p1=0/` marker; `p > 1` writes the
-    * key-hash partition dirs, rows sorted on the probe key within each
-    * file so probe joins get row-group min/max skipping.
-    */
-  private def writeTier(
-      spark: SparkSession,
-      dir: String,
-      df: DataFrame,
-      p: Int,
-      keyCols: Seq[String],
-      hybridSort: Seq[String],
-      targetRecordsPerFile: Long,
-      deltaRowsHint: Option[Long]): Seq[String] = {
-    val pcol = s"__p$p"
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataDir = s"$dir/data/$uuid"
-    if (p <= 1) {
-      val rows = deltaRowsHint.getOrElse(0L)
-      val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-      df.repartitionByRange(nFiles, hybridSort.map(col): _*)
-        .sortWithinPartitions(hybridSort.map(col): _*)
-        .withColumn(pcol, lit(0))
-        .write.partitionBy(pcol).parquet(dataDir)
-    } else {
-      df.withColumn(pcol, pmod(xxhash64(keyCols.map(col): _*), lit(p.toLong)).cast("int"))
-        .repartition(p, col(pcol))
-        .sortWithinPartitions((pcol +: keyCols).map(col): _*)
-        .write.partitionBy(pcol).parquet(dataDir)
-    }
-    val prefix = java.nio.file.Paths.get(dir).toAbsolutePath
-    Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$pcol="))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
-      .sorted.toSeq
-  }
-
-  /** Publish `files` as the dataset's complete fileset (one replace
-    * commit), checkpoint the folded history away, and vacuum data
-    * generations no commit references anymore — carried tiers stay (the
-    * replace commit references them); superseded appends go.
-    */
-  private def publishReplace(dir: String, files: Seq[String]): Unit = {
-    CommitLog.commitFiles(dir, files.sorted, replace = true): Unit
-    CommitLog.checkpoint(dir): Unit
-    val live = CommitLog.referencedDataDirs(dir)
-    Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !live.contains(d.getName))
-      .foreach(deleteRecursively)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
 }

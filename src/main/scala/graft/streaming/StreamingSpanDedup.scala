@@ -82,13 +82,43 @@ object StreamingSpanDedup {
   ): Unit = {
     val spark = batch.sparkSession
     val exploded = SpanDedup.explodedSpans(batch, idCol, textCol, spanTokens)
-    val index = CommitLog.read(spark, s"$workDir/spans")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // index probe with PARTITION PRUNING over a compacted
+    // ([[compactIndex]]) span-hash-partitioned layout: the anti-join can
+    // only match index rows sharing a batch span's hash, so only the
+    // partitions this batch's hashes touch are read — per-batch probe
+    // I/O scales with the batch, not the accumulated index (the same
+    // prune discipline as [[StreamingDedup.processBatch]]); plain
+    // pre-compaction appends are always read
+    val spansDir = s"$workDir/spans"
+    val allFiles = CommitLog.currentFiles(spansDir)
+    val moduli = allFiles
+      .flatMap(f => TieredCompaction.PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
+    val spanFiles =
+      if (moduli.isEmpty) allFiles
+      else {
+        val touched = moduli.map { m =>
+          if (m == 1) m -> Set(0)
+          else m -> exploded
+            .select(pmod(xxhash64(col("__sh")), lit(m.toLong)).cast("int").as("p"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        }.toMap
+        TieredCompaction.pruneFiles(allFiles, touched)
+      }
+    val index =
+      if (spanFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CommitLog.schemaOf(spansDir))
+      else
+        spark.read.schema(CommitLog.schemaOf(spansDir))
+          .parquet(spanFiles.map(f => s"$spansDir/$f"): _*)
     // new = never seen by any earlier batch; localCheckpoint pins the
     // frame because THREE consumers read it (keepers, kept join, index
     // append) and the anti-join must not re-probe the index per consumer
     val fresh = exploded
       .join(index, exploded("__sh") === index("sh"), "left_anti")
       .localCheckpoint()
+    exploded.unpersist(): Unit // localCheckpoint is eager: exploded ran twice at most
     // keeper per span hash: min (doc, idx) — single occurrences are
     // their own keepers, so no count>1 filter here (unlike the batch
     // operator, every fresh span must consult the keeper map)
@@ -119,18 +149,46 @@ object StreamingSpanDedup {
   def docs(spark: SparkSession, workDir: String): DataFrame =
     CommitLog.read(spark, s"$workDir/docs")
 
-  /** Fold each log's one-file-per-batch accretion into
-    * `targetRecordsPerFile`-sized files behind an atomic replace commit
-    * ([[CommitLog.compact]]); the span index re-sorts on the hash so
-    * probe joins benefit from row-group min/max skipping. Single-writer:
-    * run with the stream quiesced. Returns dataset -> (before, after).
+  /** TIERED maintenance ([[TieredCompaction]], same schedule as
+    * [[StreamingDedup.compactIndex]]): the span index compacts into the
+    * `xxhash64(sh)`-partitioned layout (`__p<P>=<k>/`) so each batch's
+    * probe prunes to the partitions its own span hashes touch, and the
+    * docs table into id-sorted tiers; once a base layout exists,
+    * re-compaction folds ONLY the since-last-compaction appends into a
+    * new tier (mode "minor" — O(delta)) and carries the base by
+    * reference, with one major rewrite past `maxTiers` tiers.
+    * Single-writer: run with the stream quiesced. Returns
+    * dataset -> (before, after); [[compactIndexDetailed]] exposes the
+    * full decision telemetry.
     */
   def compactIndex(
       spark: SparkSession,
       workDir: String,
-      targetRecordsPerFile: Long = 5000000L
-  ): Map[String, (Long, Long)] = Map(
-    "spans" -> CommitLog.compact(
-      spark, s"$workDir/spans", targetRecordsPerFile, sortBy = Seq("sh")),
-    "docs" -> CommitLog.compact(spark, s"$workDir/docs", targetRecordsPerFile))
+      targetRecordsPerFile: Long = 5000000L,
+      indexPartitions: Int = 64,
+      incremental: Boolean = true,
+      maxTiers: Int = TieredCompaction.DefaultMaxTiers
+  ): Map[String, (Long, Long)] =
+    compactIndexDetailed(spark, workDir, targetRecordsPerFile, indexPartitions,
+      incremental, maxTiers)
+      .map { case (k, v) => k -> (v.filesBefore, v.filesAfter) }
+
+  /** [[compactIndex]] with the full per-dataset decision telemetry. */
+  def compactIndexDetailed(
+      spark: SparkSession,
+      workDir: String,
+      targetRecordsPerFile: Long = 5000000L,
+      indexPartitions: Int = 64,
+      incremental: Boolean = true,
+      maxTiers: Int = TieredCompaction.DefaultMaxTiers
+  ): Map[String, TieredCompaction.DatasetCompaction] = Map(
+    "spans" -> TieredCompaction.compactKeyed(spark, s"$workDir/spans", targetRecordsPerFile,
+      indexPartitions, keyCols = Seq("sh"), hybridSort = Seq("sh"), incremental, maxTiers),
+    "docs" -> {
+      // sorted single-partition tiers on the id column (recorded in the
+      // log's schema at init — first field by construction)
+      val idCol = CommitLog.schemaOf(s"$workDir/docs").fieldNames.head
+      TieredCompaction.compactKeyed(spark, s"$workDir/docs", targetRecordsPerFile,
+        1, keyCols = Seq(idCol), hybridSort = Seq(idCol), incremental, maxTiers)
+    })
 }

@@ -1,0 +1,242 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tiered (LSM-style) maintenance for [[CommitLog]] datasets, shared by
+  * every streaming index owner ([[StreamingDedup.compactIndex]],
+  * [[StreamingSpanDedup.compactIndex]]): a dataset's layout is a set of
+  * TIERS, each one `data/<uuid>/` generation of files under
+  * `__p<modulus>=<value>/` partition dirs (modulus 1 = the sorted
+  * single-partition hybrid — the marker makes the base self-describing).
+  *
+  *  - MINOR compaction folds ONLY the files appended since the last
+  *    compaction into one new tier of the base layout and carries every
+  *    base file forward BY REFERENCE in the replace commit (the
+  *    [[SnapshotUpsert]] bucket-carry pattern): maintenance cost is
+  *    O(delta), never O(index) — measured minor 3.3-3.8s on 25-100 MB
+  *    deltas vs major 27-56s on 2.5-10.4 GB indexes (SCALING.md r17).
+  *  - MAJOR compaction (no base, mixed moduli, tier count past
+  *    `maxTiers`, or `incremental = false`) rewrites everything into a
+  *    single tier — the rare O(index) pass that bounds per-partition
+  *    file counts, amortized across `maxTiers` minors.
+  *
+  * Readers union the tiers and prune per FILE by the path's
+  * `(modulus, value)` ([[pruneFiles]]), so correctness never depends on
+  * tier count and a workDir compacted at different partition counts
+  * over its lifetime still prunes each file with exactly its writer's
+  * hash. Each compaction publishes as ONE transactional replace commit;
+  * superseded data generations vacuum only after the publish.
+  */
+object TieredCompaction {
+
+  /** `partitions` sentinel: follow the caller's index partition count. */
+  val FollowIndexPartitions = -1
+
+  /** `partitions` sentinel: pick the layout from MEASURED on-disk sizes
+    * (see [[compactKeyed]]).
+    */
+  val AutoLayout = -2
+
+  /** AUTO trips to the sorted hybrid when the key-hash partitioned
+    * rewrite inflates the input bytes past this ratio (scattering rows
+    * can destroy dictionary locality of a fat carried column — measured
+    * ~9x on the streaming-dedup sigb sketch, SCALING.md r16). At 3x the
+    * partition prune must win back >2/3 of its reads to break even.
+    */
+  private[streaming] val AutoInflationRatio = 3.0
+
+  /** Minor-tier ceiling before a forced major: per-partition file opens
+    * grow with tier count; correctness never depends on it.
+    */
+  val DefaultMaxTiers = 8
+
+  private[graft] val PartDirRe = "/__p(\\d+)=(\\d+)/".r
+
+  /** The files a reader with `touchedByModulus` (modulus → partition
+    * values its probe keys hash into) must read: partitioned files whose
+    * (modulus, value) is touched, every un-partitioned file
+    * (pre-compaction appends), and files with a modulus the reader did
+    * not compute (never prune on incomplete information).
+    */
+  private[graft] def pruneFiles(
+      files: Seq[String], touchedByModulus: Map[Int, Set[Int]]): Seq[String] =
+    files.filter { f =>
+      PartDirRe.findFirstMatchIn(f) match {
+        case Some(m) =>
+          touchedByModulus.get(m.group(1).toInt).forall(_.contains(m.group(2).toInt))
+        case None => true
+      }
+    }
+
+  /** Per-dataset compaction telemetry: what ran (`mode`: "noop" |
+    * "minor" | "major"), the layout produced (`layout`: "p<modulus>"),
+    * the tier count after, and the byte sizes the decision saw.
+    */
+  final case class DatasetCompaction(
+      filesBefore: Long,
+      filesAfter: Long,
+      mode: String,
+      layout: String,
+      tiers: Int,
+      deltaBytes: Long,
+      baseBytes: Long)
+
+  /** Tier id of a committed file: its data/<uuid> generation. */
+  private def tierOf(f: String): String = f.split("/").take(2).mkString("/")
+
+  /** Compact one dataset keyed on `keyCols`. Layout values:
+    * `partitions > 1` = key-hash partitioned (`__p<P>=<k>/`, rows sorted
+    * on the probe key within each file for row-group min/max skipping),
+    * `1` = the `hybridSort`-sorted single-partition hybrid under the
+    * `__p1=0/` marker, [[AutoLayout]] = follow an existing base, else
+    * measure (write partitioned, compare bytes, fall back to the hybrid
+    * past [[AutoInflationRatio]]). A dataset at or under
+    * `targetRecordsPerFile` rows keeps the sorted single-file layout
+    * whatever was asked.
+    */
+  def compactKeyed(
+      spark: SparkSession,
+      dir: String,
+      targetRecordsPerFile: Long,
+      partitions: Int,
+      keyCols: Seq[String],
+      hybridSort: Seq[String],
+      incremental: Boolean = true,
+      maxTiers: Int = DefaultMaxTiers): DatasetCompaction = {
+    require(maxTiers >= 1, s"maxTiers must be >= 1, got $maxTiers")
+    val all = CommitLog.currentFiles(dir)
+    val bytesOf = (fs: Seq[String]) => fs.map(f => new java.io.File(s"$dir/$f").length).sum
+    val (base, delta) = all.partition(f => PartDirRe.findFirstMatchIn(f).isDefined)
+    val baseModuli = base.flatMap(f => PartDirRe.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
+    val tiers = base.map(tierOf).distinct.size
+    val deltaBytes = bytesOf(delta)
+    val baseBytes = bytesOf(base)
+
+    // layout resolution: AUTO follows an existing single-modulus base
+    // (minor compactions must extend the layout they found, or the
+    // choice would flap); with no base it defers to the measured
+    // decision inside the major rewrite below
+    val follow = if (baseModuli.size == 1) Some(baseModuli.head) else None
+    val wantP = partitions match {
+      case AutoLayout => follow.getOrElse(AutoLayout)
+      case p => p
+    }
+
+    val minorEligible = incremental && base.nonEmpty && baseModuli.size == 1 &&
+      (partitions == AutoLayout || wantP == baseModuli.head)
+
+    if (minorEligible && delta.isEmpty && tiers <= maxTiers)
+      return DatasetCompaction(all.size.toLong, all.size.toLong, "noop",
+        s"p${baseModuli.head}", tiers, 0L, baseBytes)
+
+    if (minorEligible && tiers + 1 <= maxTiers) {
+      // MINOR: fold only the appended delta into one new tier of the
+      // base layout; every base file rides the replace commit BY
+      // REFERENCE (never read, never rewritten) — O(delta) total work
+      val p = baseModuli.head
+      val deltaDf = spark.read.schema(CommitLog.schemaOf(dir))
+        .parquet(delta.map(f => s"$dir/$f"): _*)
+      val fresh = writeTier(spark, dir, deltaDf, p, keyCols, hybridSort,
+        targetRecordsPerFile, rows = footerRowsOf(spark, dir, delta))
+      publishReplace(dir, base ++ fresh)
+      return DatasetCompaction(all.size.toLong, (base.size + fresh.size).toLong,
+        "minor", s"p$p", tiers + 1, deltaBytes, baseBytes)
+    }
+
+    // MAJOR: full rewrite to a single tier. Layout: explicit partitions
+    // when given; AUTO measures — write partitioned, compare bytes, fall
+    // back to the hybrid when the rewrite inflates the input
+    val df = CommitLog.read(spark, dir)
+    val rows = CommitLog.rowCount(spark, dir)
+    val inBytes = baseBytes + deltaBytes
+    // a dataset small enough for one target file keeps the sorted
+    // single-partition layout whatever was asked — partitioning it would
+    // fragment a file's worth of rows into P slivers for no prune win
+    val autoP =
+      if (rows <= targetRecordsPerFile) 1
+      else if (wantP != AutoLayout) wantP
+      else StreamingDedup.IndexPartitions
+    var p = autoP
+    var fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows)
+    if (partitions == AutoLayout && p > 1 &&
+        bytesOf(fresh) > (AutoInflationRatio * inBytes).toLong) {
+      // measured inflation: discard the partitioned fileset (never
+      // committed — invisible to every reader) and write the hybrid
+      fresh.map(tierOf).distinct.foreach(t => deleteRecursively(new java.io.File(s"$dir/$t")))
+      p = 1
+      fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows)
+    }
+    publishReplace(dir, fresh)
+    DatasetCompaction(all.size.toLong, fresh.size.toLong, "major", s"p$p", 1,
+      deltaBytes, baseBytes)
+  }
+
+  /** Exact row count of a file subset from parquet footers. */
+  private def footerRowsOf(spark: SparkSession, dir: String, files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dir/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }.sum
+  }
+
+  /** Write `df` as one tier of the `p`-modulus layout under a fresh
+    * data/<uuid>/ generation and return the written files (relative to
+    * `dir`), WITHOUT committing — the caller publishes.
+    */
+  private def writeTier(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      p: Int,
+      keyCols: Seq[String],
+      hybridSort: Seq[String],
+      targetRecordsPerFile: Long,
+      rows: Long): Seq[String] = {
+    val pcol = s"__p$p"
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = s"$dir/data/$uuid"
+    if (p <= 1) {
+      val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      df.repartitionByRange(nFiles, hybridSort.map(col): _*)
+        .sortWithinPartitions(hybridSort.map(col): _*)
+        .withColumn(pcol, lit(0))
+        .write.partitionBy(pcol).parquet(dataDir)
+    } else {
+      df.withColumn(pcol, pmod(xxhash64(keyCols.map(col): _*), lit(p.toLong)).cast("int"))
+        .repartition(p, col(pcol))
+        .sortWithinPartitions((pcol +: keyCols).map(col): _*)
+        .write.partitionBy(pcol).parquet(dataDir)
+    }
+    val prefix = java.nio.file.Paths.get(dir).toAbsolutePath
+    Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$pcol="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => prefix.relativize(f.toPath.toAbsolutePath).toString)
+      .sorted.toSeq
+  }
+
+  /** Publish `files` as the dataset's complete fileset (one replace
+    * commit), checkpoint the folded history away, and vacuum data
+    * generations no commit references anymore — carried tiers stay (the
+    * replace commit references them); superseded appends go.
+    */
+  private def publishReplace(dir: String, files: Seq[String]): Unit = {
+    CommitLog.commitFiles(dir, files.sorted, replace = true): Unit
+    CommitLog.checkpoint(dir): Unit
+    val live = CommitLog.referencedDataDirs(dir)
+    Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !live.contains(d.getName))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

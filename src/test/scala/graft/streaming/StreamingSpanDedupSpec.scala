@@ -71,6 +71,38 @@ class StreamingSpanDedupSpec extends AnyFunSuite {
     assert(docsMap(work) == before)
   }
 
+  test("tiered compaction: spans hash-partition, minor folds only the delta, pruned probe still claims") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sspan-tiered").toString
+    StreamingSpanDedup.init(spark, work, "doc_id", "text")
+    (0 to 2).foreach { b =>
+      StreamingSpanDedup.processBatch(
+        Seq((b * 10L, s"w$b x$b y$b z$b")).toDF("doc_id", "text"),
+        "doc_id", "text", work, 2, Some(b.toLong))
+    }
+    val before = docsMap(work)
+    val major = StreamingSpanDedup.compactIndexDetailed(spark, work,
+      targetRecordsPerFile = 1L, indexPartitions = 8)
+    assert(major("spans").mode == "major" && major("spans").layout == "p8", s"$major")
+    assert(CommitLog.currentFiles(s"$work/spans").forall(_.contains("/__p8=")))
+    val baseSpans = CommitLog.currentFiles(s"$work/spans").toSet
+    // new batch appends, then a MINOR fold carries the base by reference
+    StreamingSpanDedup.processBatch(
+      Seq((50L, "a5 b5 c5 d5")).toDF("doc_id", "text"),
+      "doc_id", "text", work, 2, Some(3L))
+    val minor = StreamingSpanDedup.compactIndexDetailed(spark, work,
+      targetRecordsPerFile = 1L, indexPartitions = 8)
+    assert(minor("spans").mode == "minor" && minor("spans").tiers == 2, s"$minor")
+    assert(baseSpans.subsetOf(CommitLog.currentFiles(s"$work/spans").toSet),
+      "base spans tier not carried by reference")
+    // the PRUNED probe against the tiered layout still claims base-tier
+    // spans: replayed text from batch 0 must drop entirely
+    StreamingSpanDedup.processBatch(
+      Seq((99L, "w0 x0 y0 z0")).toDF("doc_id", "text"),
+      "doc_id", "text", work, 2, Some(4L))
+    assert(docsMap(work) == before + (50L -> "a5 b5 c5 d5"))
+  }
+
   test("replaying a committed batch changes nothing (exactly-once)") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("sspan-replay").toString
