@@ -168,5 +168,13 @@ class ClassifierSpec extends AnyFunSuite {
       s"weight-table inference must shuffle once (the per-doc aggregate):\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"the weight table must broadcast, never shuffle the corpus:\n$plan")
+    // the quantized path keeps the identical plan shape: quantization is
+    // a projection on the broadcast-sized weight table, never the corpus
+    val fw = spark.range(Dims).select(
+      $"id".as("bucket"), (($"id" % 97).cast("double") / lit(97.0) - lit(0.5)).as("w"))
+    val quant = Classifier.classifyJoinQuantized(docs, "doc_id", "text", Dims, fw, "bucket", "w")
+    val qplan = quant.queryExecution.executedPlan.toString
+    assert(shuffles(quant) == 1 && qplan.contains("BroadcastHashJoin"),
+      s"quantized join must keep the one-shuffle broadcast plan:\n$qplan")
   }
 }
