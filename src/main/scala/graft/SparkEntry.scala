@@ -63,10 +63,30 @@ object SparkEntry {
     * this helper only scopes the REPLAY-GATE setting; the conf is
     * captured by the query at `start()` and restored after the body.
     */
-  private def withFastStreams[T](s: SparkSession)(body: => T): T = {
+  /** Documents-table on-disk bytes under which the stream gates run at
+    * 4 shuffle partitions (micro-batch frames: task-scheduling overhead
+    * beats parallelism at fixture scale — measured on the readStream
+    * gates). PAST the floor the session default stands: at sf10 a
+    * catch-up batch is 10M band rows, and 4-partition shuffled-hash
+    * builds blow the per-task memory budget ("Can't acquire 8589934592
+    * bytes to build hash relation" — found by the r17 sf10 run).
+    * 64 MB ≈ sf1; the scale-proof runs (sf10+) keep their
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS sizing.
+    */
+  private val FastStreamMaxDocBytes = 64L * 1024 * 1024
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length
+    walk(new java.io.File(path))
+  }
+
+  private def withFastStreams[T](s: SparkSession, dir: String)(body: => T): T = {
     val conf = s.conf
     val prev = conf.getOption("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "4")
+    if (dirBytes(s"$dir/documents.parquet") <= FastStreamMaxDocBytes)
+      conf.set("spark.sql.shuffle.partitions", "4")
     try body
     finally prev match {
       case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
@@ -668,7 +688,7 @@ object SparkEntry {
     // --- STREAMING write: events replayed as a multi-epoch file stream
     //     through writeStream.format("bigtable") (effectively-once via
     //     pinned cell coordinates), then batch-read back ---
-    "stream_bt_write" -> ((s, dir) => withFastStreams(s) {
+    "stream_bt_write" -> ((s, dir) => withFastStreams(s, dir) {
       val store = btStreamWriteStore(s, dir)
       s.read.format("bigtable")
         .option("store", store).option("table", "events_w").option("columnFamily", "f")
@@ -1100,7 +1120,7 @@ object SparkEntry {
     // Runs the micro-batch stream to completion (AvailableNow, stepped
     // offsets) into a memory sink, then returns the final result — so
     // the streaming path sits inside the same oracle gate.
-    "stream_windowed_counts" -> ((s, dir) => withFastStreams(s) {
+    "stream_windowed_counts" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1133,7 +1153,7 @@ object SparkEntry {
     //     stream. Gated in the exact-below-k regime (<=1500 distinct
     //     users per type at every fixture SF), where the final sketch
     //     answer equals DuckDB's exact count(DISTINCT). ---
-    "stream_distinct_sketch" -> ((s, dir) => withFastStreams(s) {
+    "stream_distinct_sketch" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1162,7 +1182,7 @@ object SparkEntry {
     //     per event type, mergeable level buffers in the state store
     //     across micro-batches; k=4096 >= any group's count pins the
     //     EXACT nearest-rank regime, hash-matching DuckDB quantile_disc ---
-    "stream_quantiles" -> ((s, dir) => withFastStreams(s) {
+    "stream_quantiles" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1194,7 +1214,7 @@ object SparkEntry {
     //     store across micro-batches (same mergeable-summary property as
     //     the batch gate; k=4096 >= distinct users pins the EXACT
     //     regime, so the final counts hash-match the true GROUP BY) ---
-    "stream_heavy_hitters" -> ((s, dir) => withFastStreams(s) {
+    "stream_heavy_hitters" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1223,7 +1243,7 @@ object SparkEntry {
 
     // --- streaming exact dedup over the change stream: each distinct
     //     (user, event_type) emitted once at first sight (append mode) ---
-    "stream_dedup" -> ((s, dir) => withFastStreams(s) {
+    "stream_dedup" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1252,7 +1272,7 @@ object SparkEntry {
     //     its own committed offset — the union would under-deliver if the
     //     sources shared a watermark. Gated: counts match DuckDB over the
     //     same two parquet tables. ---
-    "stream_union_counts" -> ((s, dir) => withFastStreams(s) {
+    "stream_union_counts" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       def src(table: String, partitionCols: String, quals: String) =
         s.readStream.format("bigtable")
@@ -1289,7 +1309,7 @@ object SparkEntry {
     //     on an unbounded stream. The replay steps event time forward
     //     monotonically between batches, so no on-time row is dropped
     //     and results are identical to the unwatermarked join. ---
-    "stream_join" -> ((s, dir) => withFastStreams(s) {
+    "stream_join" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       def src() = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1349,7 +1369,7 @@ object SparkEntry {
     //     second forms one more batch so the timers fire — every real
     //     session is flushed, and the result matches the SAME
     //     gaps-and-islands oracle as the batch operator. ---
-    "stream_sessionize" -> ((s, dir) => withFastStreams(s) {
+    "stream_sessionize" -> ((s, dir) => withFastStreams(s, dir) {
       import s.implicits._
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
@@ -1392,7 +1412,7 @@ object SparkEntry {
     //     the streaming twin of rel_conversations (flush sentinels push
     //     the watermark past every real event so all conversations
     //     close; per-key state is bounded by conversation length) ---
-    "stream_conversations" -> ((s, dir) => withFastStreams(s) {
+    "stream_conversations" -> ((s, dir) => withFastStreams(s, dir) {
       import s.implicits._
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
@@ -1441,7 +1461,7 @@ object SparkEntry {
     //     true Jaccard. Same banding as the batch operator, so the
     //     accumulated pairs match the SAME exhaustive oracle as
     //     doc_near_dup — incremental result == batch result. ---
-    "stream_doc_near_dup" -> ((s, dir) => withFastStreams(s) {
+    "stream_doc_near_dup" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1483,7 +1503,7 @@ object SparkEntry {
     // every frame here is micro-batch-sized, so 4 shuffle partitions
     // beat 32 tasks of scheduling overhead; compactIndex's partitioned
     // layout is pinned by its own explicit repartition(IndexPartitions).
-    "stream_doc_near_dup_compact" -> ((s, dir) => withFastStreams(s) {
+    "stream_doc_near_dup_compact" -> ((s, dir) => withFastStreams(s, dir) {
       // repartition(defaultParallelism): the sf0.1 parquet is one input
       // split, which would compute every minhash signature on one thread
       // (~2s/batch measured); a real periodic-ingest batch arrives
@@ -1521,7 +1541,7 @@ object SparkEntry {
     //     curve (per-batch cost flat as the index grows) is pinned by
     //     tools/SteadyStateProbe + SCALING.md; this gate pins
     //     correctness and keeps the path in the per-round bench. ---
-    "stream_doc_near_dup_steady" -> ((s, dir) => withFastStreams(s) {
+    "stream_doc_near_dup_steady" -> ((s, dir) => withFastStreams(s, dir) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("id"))
@@ -1556,7 +1576,7 @@ object SparkEntry {
     //     rewrites fails loudly) and holds the final pair set to the
     //     same exhaustive oracle: tiering loses nothing. Bands layout is
     //     AUTO — chosen from measured on-disk inflation (VERDICT r16 #6).
-    "stream_doc_near_dup_tiered" -> ((s, dir) => withFastStreams(s) {
+    "stream_doc_near_dup_tiered" -> ((s, dir) => withFastStreams(s, dir) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long").as("id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("id"))
@@ -1586,7 +1606,7 @@ object SparkEntry {
     //     fixed cost; 2 batches still exercise probe/append/replay-skip
     //     exactly like 8 did), so the oracle is keep-first under
     //     (slot-quad, doc_id, idx) ---
-    "stream_span_dedup" -> ((s, dir) => withFastStreams(s) {
+    "stream_span_dedup" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1614,7 +1634,7 @@ object SparkEntry {
     //     search at the end probes the streamed index and must match the
     //     WHOLE-corpus oracle — incremental result == batch result, the
     //     stream_doc_near_dup contract applied to retrieval ---
-    "stream_term_index" -> ((s, dir) => withFastStreams(s) {
+    "stream_term_index" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
@@ -1647,7 +1667,7 @@ object SparkEntry {
     //     loaded artifact — batch-local encode per arrival, exactly-once
     //     CommitLog appends; the final table equals the batch encode
     //     (same oracle). The nightly-ingest serving shape ---
-    "stream_bpe_encode" -> ((s, dir) => withFastStreams(s) {
+    "stream_bpe_encode" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val model = graft.operators.Bpe.learn(
         s.read.parquet(s"$dir/documents.parquet"), "text", steps = 8)
@@ -1678,7 +1698,7 @@ object SparkEntry {
     //     keep-latest snapshot through versioned parquet commits (one
     //     Upsert.mergeLatest per micro-batch); final snapshot == the
     //     batch latest-per-user, which the oracle pins ---
-    "stream_upsert" -> ((s, dir) => withFastStreams(s) {
+    "stream_upsert" -> ((s, dir) => withFastStreams(s, dir) {
       GraftTables.ensure(s, dir)
       val stream = s.readStream.format("bigtable")
         .option("store", GraftTables.storeName(dir))
