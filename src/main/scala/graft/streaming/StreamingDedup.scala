@@ -314,6 +314,17 @@ object StreamingDedup {
       // shuffle_hash plan (shuffles both sides, sorts neither) returns.
       val batchBandRows = base.count() * bands
       val broadcastBatch = batchBandRows <= MaxBroadcastBandRows
+      // the shuffled-hash hints below are a MICRO-BATCH optimization
+      // (SMJ would sort shingle arrays per trigger: +2.6s at sf0.1) and
+      // share the broadcast gate's size signal: a catch-up batch's
+      // candidate set can put GBs behind one skewed id (a hub doc in a
+      // degenerate near-dup cluster), and a shuffled-hash BUILD cannot
+      // spill — the r17 sf10 run died with "Can't acquire 8589934592
+      // bytes to build hash relation" on exactly that shape. Past the
+      // budget the hints come off and AQE plans spillable sort-merge
+      // with skew-join splitting — the 100 TB catch-up path.
+      def microBatchHint(df: DataFrame): DataFrame =
+        if (broadcastBatch) df.hint("shuffle_hash") else df
       // fallback build side = the BATCH, never the index: a shuffled hash
       // join cannot spill its build side, and the index is the one frame
       // that grows without bound — building it OOM'd outright at the 3.2M
@@ -333,7 +344,7 @@ object StreamingDedup {
           least(col("n.id"), col("o.id")).as("id1"),
           greatest(col("n.id"), col("o.id")).as("id2"))
       val within = newBands.alias("a")
-        .join(newBands.alias("b").hint("shuffle_hash"), Seq("band", "bucket"))
+        .join(microBatchHint(newBands.alias("b")), Seq("band", "bucket"))
         .where(col("a.id") < col("b.id") && estOk(col("a.sigb"), col("b.sigb")))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
       // Verify-side semi filter, GATED on size AND duplicate coverage
@@ -434,18 +445,20 @@ object StreamingDedup {
               .union(cands.select(col("id2").as("id"))).distinct()
             allShBase.join(broadcast(candIds), Seq("id"), "left_semi")
           } else allShBase
-        // the pair joins keep explicit shuffle_hash hints: left to AQE
-        // they plan sort-merge and SORT the shingle arrays per batch
-        // (measured +2.6 s on the sf0.1 gate when tried); AQE still
-        // upgrades tiny sides to broadcast under the hint. The hints sit
-        // on the CANDIDATE side (and the candidates+sh1 intermediate),
-        // never on allSh: a shuffled hash join cannot spill its build
-        // side, and allSh is corpus-sized exactly when the semi filter
-        // declines — building it OOM'd the 3.2M-doc steady-state probe.
-        // The candidate side is pair-bounded in every regime.
-        val pairs = cands.hint("shuffle_hash")
+        // the pair joins keep explicit shuffle_hash hints FOR MICRO
+        // BATCHES: left to AQE they plan sort-merge and SORT the shingle
+        // arrays per batch (measured +2.6 s on the sf0.1 gate when
+        // tried); AQE still upgrades tiny sides to broadcast under the
+        // hint. The hints sit on the CANDIDATE side (and the
+        // candidates+sh1 intermediate), never on allSh: a shuffled hash
+        // join cannot spill its build side, and allSh is corpus-sized
+        // exactly when the semi filter declines — building it OOM'd the
+        // 3.2M-doc steady-state probe. Catch-up batches drop the hints
+        // entirely (microBatchHint): their candidate partitions can skew
+        // past task memory behind one hub id.
+        val pairs = microBatchHint(cands)
           .join(allSh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-          .hint("shuffle_hash")
+        val pairs2 = microBatchHint(pairs)
           .join(allSh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
           .withColumn("j", Dedup.jaccardSortedCol(col("sh1"), col("sh2")))
           .where(col("j") >= threshold)
@@ -459,7 +472,7 @@ object StreamingDedup {
           case Some(b) => CommitLog.append(df, s"$workDir/$dataset", b): Unit
           case None => CommitLog.appendAlways(df, s"$workDir/$dataset")
         }
-        commit(pairs, "pairs")
+        commit(pairs2, "pairs")
         commit(newBands, "bands")
         commit(newSh, "shingles")
         def bytesOf(dir: String, fs: Seq[String]): Long =
