@@ -1937,9 +1937,15 @@ object SparkEntry {
     //     fragment ---
     "doc_span_dedup_anchored" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      // planted ids shift by max(doc_id)+1, derived on BOTH sides (the
+      // ADVICE-r16 hazard class: a fixed +100000 collides with real ids
+      // once a scale factor reaches 100k docs — two texts under one id
+      // make the span reconstruction order engine-defined; caught as an
+      // actual sf10 hash mismatch in round 17)
+      val shift = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1L
       val corpus = docs.unionAll(
         docs.where(col("doc_id") < 50)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + lit(shift)).as("doc_id"),
             concat(lit("zzpad "), col("text")).as("text")))
       graft.operators.SpanDedup
         .dedupSpansAnchored(corpus, "doc_id", "text", spanTokens = 16)
@@ -1974,8 +1980,11 @@ object SparkEntry {
     //     product only — base × base pairs must NOT appear. ---
     "doc_near_dup_incr" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      // fresh-batch ids shift by max(doc_id)+1, derived on BOTH sides
+      // (a fixed +100000 collides with real ids at 100k+ docs)
+      val shift = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1L
       val fresh = docs.where(col("doc_id") < 250)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(shift)).as("doc_id"), col("text"))
       graft.operators.Dedup.nearDuplicatesAgainst(docs, fresh, "doc_id", "text",
           threshold = 0.9, numHashes = 120, bands = 20, persistIntermediate = true)
         .orderBy(col("id1"), col("id2"))
@@ -2411,8 +2420,13 @@ object SparkEntry {
       val updates = cust.where(col("c_custkey") % 7 === 0)
         .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
           lit(1L).as("version"), lit(false).as("deleted"))
+      // insert keys shift by max(c_custkey)+1, derived on BOTH sides: a
+      // fixed +1000000 collides with real keys at sf10 (1.5M customers),
+      // and a collided "% 11" insert meeting a "% 7" update ties two
+      // version-1 rows on one key — engine-defined winner
+      val insShift = cust.agg(max(col("c_custkey").cast("long"))).head.getLong(0) + 1L
       val inserts = cust.where(col("c_custkey") % 11 === 0)
-        .select((col("c_custkey") + 1000000).as("c_custkey"), lit(50.0).as("c_acctbal"),
+        .select((col("c_custkey") + lit(insShift)).as("c_custkey"), lit(50.0).as("c_acctbal"),
           lit(1L).as("version"), lit(false).as("deleted"))
       val deletes = cust.where(col("c_custkey") % 13 === 0)
         .select(col("c_custkey"), col("c_acctbal"),
@@ -2883,7 +2897,10 @@ object SparkEntry {
     // result non-trivial AND exactly SQL-expressible for the oracle.
     "emb_near_dup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
-      val corpus = emb.union(emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      // twin ids shift by max(vec_id)+1, derived on BOTH sides (a fixed
+      // +1000000 collides with real ids once a corpus reaches 1M vectors)
+      val shift = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) + 1L
+      val corpus = emb.union(emb.select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding")))
       graft.operators.Dedup
         .embeddingNearDuplicates(corpus, "vec_id", "embedding", dim = 64, threshold = 0.99)
         .orderBy(col("id1"), col("id2"))
@@ -3891,7 +3908,8 @@ object SparkEntry {
       """WITH c AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
-           SELECT vec_id + 1000000, embedding FROM embeddings)
+           SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
+           FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,
                 round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cosine
          FROM c a JOIN c b ON a.vec_id < b.vec_id
@@ -4072,7 +4090,8 @@ object SparkEntry {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000 AS doc_id, 'zzpad ' || text AS text
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+                  'zzpad ' || text AS text
            FROM documents WHERE doc_id < 50),
          toks AS (
            SELECT doc_id, t.tok, t.pos
@@ -4132,7 +4151,7 @@ object SparkEntry {
                                 i -> text[i:i+4])) AS sh
            FROM documents),
          sn AS (
-           SELECT doc_id + 100000 AS doc_id,
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
                   list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
                                 i -> text[i:i+4])) AS sh
            FROM documents WHERE doc_id < 250),
@@ -4480,7 +4499,8 @@ object SparkEntry {
            SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, CAST(1 AS BIGINT) AS version, false AS deleted, 1 AS prio
            FROM customer WHERE c_custkey % 7 = 0
            UNION ALL
-           SELECT c_custkey + 1000000, 50.0, CAST(1 AS BIGINT), false, 1
+           SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+                  50.0, CAST(1 AS BIGINT), false, 1
            FROM customer WHERE c_custkey % 11 = 0
            UNION ALL
            SELECT c_custkey, c_acctbal, CAST(2 AS BIGINT), true, 1
