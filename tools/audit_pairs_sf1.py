@@ -214,7 +214,7 @@ def main(sf_dir, out_dir, sample_n=300):
         bad = con.execute("""
           WITH c AS (
             SELECT vec_id, embedding FROM embeddings
-            UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+            UNION ALL SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding FROM embeddings)
           SELECT count(*) FROM erep r
           JOIN c a ON a.vec_id = r.id1 JOIN c b ON b.vec_id = r.id2
           WHERE abs(round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6)
@@ -225,7 +225,7 @@ def main(sf_dir, out_dir, sample_n=300):
         true_em = con.execute(f"""
           WITH c AS (
             SELECT vec_id, embedding FROM embeddings
-            UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+            UNION ALL SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding FROM embeddings),
           s AS (SELECT * FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {int(sample_n)})
           SELECT least(a.vec_id, b.vec_id) AS id1, greatest(a.vec_id, b.vec_id) AS id2
           FROM s a JOIN c b ON a.vec_id != b.vec_id
