@@ -75,6 +75,16 @@ object SparkEntry {
     */
   private val FastStreamMaxDocBytes = 64L * 1024 * 1024
 
+  /** Planted-id shift: max(keyCol)+1 over `df`, derived from the corpus
+    * so planted rows can never collide with real ids at any scale
+    * factor. `max` over zero rows is NULL and `.getLong(0)` on it NPEs,
+    * so an empty table degrades to shift=1 instead (ADVICE r17).
+    */
+  private def shiftPastMax(df: DataFrame, keyCol: String): Long = {
+    val row = df.agg(max(col(keyCol).cast("long"))).head
+    (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1L
+  }
+
   private def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
@@ -1558,7 +1568,7 @@ object SparkEntry {
       // BOTH sides (ADVICE r16: a fixed +500000 collides with corpus ids
       // once a scale factor reaches 500k docs, silently corrupting the
       // index identity and the oracle union in agreement)
-      val shift = docs.agg(max(col("id"))).head.getLong(0) + 1L
+      val shift = shiftPastMax(docs, "id")
       graft.streaming.StreamingDedup.processBatch(
         docs.where(col("id") < 50).select((col("id") + lit(shift)).as("id"), col("text")),
         work, 0.9, 5, 120, 20, batchId = Some(1L))
@@ -1942,7 +1952,7 @@ object SparkEntry {
       // once a scale factor reaches 100k docs — two texts under one id
       // make the span reconstruction order engine-defined; caught as an
       // actual sf10 hash mismatch in round 17)
-      val shift = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1L
+      val shift = shiftPastMax(docs, "doc_id")
       val corpus = docs.unionAll(
         docs.where(col("doc_id") < 50)
           .select((col("doc_id") + lit(shift)).as("doc_id"),
@@ -1982,7 +1992,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
       // fresh-batch ids shift by max(doc_id)+1, derived on BOTH sides
       // (a fixed +100000 collides with real ids at 100k+ docs)
-      val shift = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1L
+      val shift = shiftPastMax(docs, "doc_id")
       val fresh = docs.where(col("doc_id") < 250)
         .select((col("doc_id") + lit(shift)).as("doc_id"), col("text"))
       graft.operators.Dedup.nearDuplicatesAgainst(docs, fresh, "doc_id", "text",
@@ -2424,7 +2434,7 @@ object SparkEntry {
       // fixed +1000000 collides with real keys at sf10 (1.5M customers),
       // and a collided "% 11" insert meeting a "% 7" update ties two
       // version-1 rows on one key — engine-defined winner
-      val insShift = cust.agg(max(col("c_custkey").cast("long"))).head.getLong(0) + 1L
+      val insShift = shiftPastMax(cust, "c_custkey")
       val inserts = cust.where(col("c_custkey") % 11 === 0)
         .select((col("c_custkey") + lit(insShift)).as("c_custkey"), lit(50.0).as("c_acctbal"),
           lit(1L).as("version"), lit(false).as("deleted"))
@@ -2899,7 +2909,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
       // twin ids shift by max(vec_id)+1, derived on BOTH sides (a fixed
       // +1000000 collides with real ids once a corpus reaches 1M vectors)
-      val shift = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) + 1L
+      val shift = shiftPastMax(emb, "vec_id")
       val corpus = emb.union(emb.select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding")))
       graft.operators.Dedup
         .embeddingNearDuplicates(corpus, "vec_id", "embedding", dim = 64, threshold = 0.99)
@@ -3868,7 +3878,7 @@ object SparkEntry {
       s"""WITH ${shinglePrefixPairCtes("0.9",
              src = """(SELECT doc_id, text FROM documents
                        UNION ALL
-                       SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+                       SELECT CAST(doc_id + (SELECT max(doc_id) + 1 FROM documents) AS BIGINT) AS doc_id, text
                        FROM documents WHERE doc_id < 50)""")}
          $nearDupPairSelect""",
     "stream_sessionize" ->
@@ -3908,7 +3918,7 @@ object SparkEntry {
       """WITH c AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
-           SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding
+           SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT), embedding
            FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,
                 round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cosine
@@ -4090,7 +4100,7 @@ object SparkEntry {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+           SELECT CAST(doc_id + (SELECT max(doc_id) + 1 FROM documents) AS BIGINT) AS doc_id,
                   'zzpad ' || text AS text
            FROM documents WHERE doc_id < 50),
          toks AS (
@@ -4151,7 +4161,7 @@ object SparkEntry {
                                 i -> text[i:i+4])) AS sh
            FROM documents),
          sn AS (
-           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+           SELECT CAST(doc_id + (SELECT max(doc_id) + 1 FROM documents) AS BIGINT) AS doc_id,
                   list_distinct(list_transform(range(1, greatest(length(text)-4, 1) + 1),
                                 i -> text[i:i+4])) AS sh
            FROM documents WHERE doc_id < 250),
@@ -4499,7 +4509,7 @@ object SparkEntry {
            SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, CAST(1 AS BIGINT) AS version, false AS deleted, 1 AS prio
            FROM customer WHERE c_custkey % 7 = 0
            UNION ALL
-           SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+           SELECT CAST(c_custkey + (SELECT max(c_custkey) + 1 FROM customer) AS BIGINT),
                   50.0, CAST(1 AS BIGINT), false, 1
            FROM customer WHERE c_custkey % 11 = 0
            UNION ALL
