@@ -194,6 +194,33 @@ object SparkEntry {
       dir
     })
 
+  /** Same corpus under the TIERED maintenance schedule a long-running
+    * ingest actually runs (VERDICT r17 #2): base build, one MAJOR
+    * compaction (the first compaction is always the full rewrite), an
+    * append delta, then a MINOR compaction that folds ONLY the delta
+    * into a new tier and carries every base file by reference — the
+    * require()s pin the modes so the gate cannot silently degrade to
+    * two majors.
+    */
+  private val tieredTermDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tieredTermDir(s: SparkSession, sfDir: String): String =
+    tieredTermDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-invidx-tiered").toString
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Retrieval.buildIndex(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", dir, numBuckets = 64)
+      val major = graft.operators.Retrieval.compactIndex(s, dir)
+      require(major.mode == "major",
+        s"first index compaction must be a major rewrite, got $major")
+      graft.operators.Retrieval.appendToIndex(
+        docs.where(col("doc_id") % 3 === 0), "doc_id", "text", dir)
+      val minor = graft.operators.Retrieval.compactIndex(s, dir)
+      require(minor.mode == "minor",
+        s"post-append index compaction must be an O(delta) minor, got $minor")
+      dir
+    })
+
   /** Events replayed as a file stream INTO a mutable store through
     * `writeStream.format("bigtable")` — once per JVM per scale factor;
     * the gate then batch-reads the store back through the connector.
@@ -2685,6 +2712,19 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("score"))
     }),
 
+    // --- the same search against an index maintained on the TIERED
+    //     schedule: major rewrite, append delta, O(delta) minor fold
+    //     (base tier carried by reference) — the fixture require()s the
+    //     major-then-minor modes, and the search must read the union of
+    //     tiers + prune both layout generations to match the whole-
+    //     corpus oracle ---
+    "doc_term_search_tiered" -> ((s, dir) => {
+      val idx = tieredTermDir(s, dir)
+      graft.operators.Retrieval
+        .indexSearch(s, idx, query = Seq("dup", "key", "batch"), topK = 25)
+        .select(col("doc").as("doc_id"), col("score"))
+    }),
+
     // --- PII scrubbing: emails/URLs/IPv4s/phone-spans replaced with
     //     typed sentinels, a pure codegen'd regexp_replace chain (the
     //     corpus has no natural PII, so deterministic spans are
@@ -3231,8 +3271,9 @@ object SparkEntry {
        FROM pts ORDER BY doc_id"""
 
   /** Shared by doc_term_search (direct scan), doc_term_search_indexed
-    * (persisted index probe) and doc_term_search_incr (base + append
-    * delta): three plans, one semantic.
+    * (persisted index probe), doc_term_search_incr (base + append
+    * delta) and doc_term_search_tiered (major + delta + minor fold):
+    * four plans, one semantic.
     */
   private val termSearchOracle =
     """WITH tok AS (
@@ -4424,6 +4465,7 @@ object SparkEntry {
          ORDER BY score DESC, doc_id LIMIT 25""",
     "doc_term_search_incr" -> termSearchOracle,
     "doc_term_search_indexed" -> termSearchOracle,
+    "doc_term_search_tiered" -> termSearchOracle,
     "stream_term_index" -> termSearchOracle,
     "doc_phrases" -> phrasesOracle,
     "doc_phrases_join" -> phrasesOracle,

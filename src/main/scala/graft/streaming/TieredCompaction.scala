@@ -90,8 +90,8 @@ object TieredCompaction {
     * on the probe key within each file for row-group min/max skipping),
     * `1` = the `hybridSort`-sorted single-partition hybrid under the
     * `__p1=0/` marker, [[AutoLayout]] = follow an existing base, else
-    * measure (write partitioned, compare bytes, fall back to the hybrid
-    * past [[AutoInflationRatio]]). A dataset at or under
+    * measure (write `autoDefault`-partitioned, compare bytes, fall back
+    * to the hybrid past [[AutoInflationRatio]]). A dataset at or under
     * `targetRecordsPerFile` rows keeps the sorted single-file layout
     * whatever was asked.
     */
@@ -103,7 +103,8 @@ object TieredCompaction {
       keyCols: Seq[String],
       hybridSort: Seq[String],
       incremental: Boolean = true,
-      maxTiers: Int = DefaultMaxTiers): DatasetCompaction = {
+      maxTiers: Int = DefaultMaxTiers,
+      autoDefault: Int = StreamingDedup.IndexPartitions): DatasetCompaction = {
     require(maxTiers >= 1, s"maxTiers must be >= 1, got $maxTiers")
     val all = CommitLog.currentFiles(dir)
     val bytesOf = (fs: Seq[String]) => fs.map(f => new java.io.File(s"$dir/$f").length).sum
@@ -156,7 +157,7 @@ object TieredCompaction {
     val autoP =
       if (rows <= targetRecordsPerFile) 1
       else if (wantP != AutoLayout) wantP
-      else StreamingDedup.IndexPartitions
+      else autoDefault
     var p = autoP
     var fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows)
     if (partitions == AutoLayout && p > 1 &&

@@ -90,7 +90,8 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(probed == direct, s"post-append divergence: $probed vs $direct")
     val filesBefore = graft.streaming.CommitLog.currentFiles(dir).size
-    Retrieval.compactIndex(spark, dir)
+    val first = Retrieval.compactIndex(spark, dir)
+    assert(first.mode == "major", s"first compaction must be a major rewrite: $first")
     val filesAfter = graft.streaming.CommitLog.currentFiles(dir).size
     assert(filesAfter < filesBefore, s"compaction did not shrink: $filesBefore -> $filesAfter")
     val afterCompact = Retrieval.indexSearch(spark, dir, Seq("rare", "common"), topK = 10)
@@ -123,6 +124,58 @@ class RetrievalSpec extends AnyFunSuite {
     assert(streamed == direct, s"streamed index diverged: $streamed vs $direct")
     // idf corpus count advanced to the full corpus exactly once
     assert(CommitLogAccess.readMeta(dir)._2 == 4L)
+  }
+
+  test("tiered maintenance: major, then O(delta) minors carrying the base by reference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-tier").toString
+    Retrieval.buildIndex(docs.where($"doc_id" <= 2), "doc_id", "text", dir, numBuckets = 4)
+    val major = Retrieval.compactIndex(spark, dir)
+    assert(major.mode == "major" && major.tiers == 1, s"unexpected first compaction: $major")
+    val base = graft.streaming.CommitLog.currentFiles(dir).toSet
+
+    Retrieval.appendToIndex(docs.where($"doc_id" === 3), "doc_id", "text", dir)
+    val minor1 = Retrieval.compactIndex(spark, dir)
+    assert(minor1.mode == "minor" && minor1.tiers == 2, s"expected a minor fold: $minor1")
+    val after1 = graft.streaming.CommitLog.currentFiles(dir).toSet
+    assert(base.subsetOf(after1),
+      s"minor compaction must carry base files BY REFERENCE: ${base -- after1} rewritten")
+
+    Retrieval.appendToIndex(docs.where($"doc_id" === 4), "doc_id", "text", dir)
+    val minor2 = Retrieval.compactIndex(spark, dir)
+    assert(minor2.mode == "minor" && minor2.tiers == 3, s"expected a second minor: $minor2")
+
+    // the multi-tier union still answers every probe exactly
+    for (q <- Seq(Seq("rare", "common"), Seq("common"), Seq("absent"))) {
+      val direct = Retrieval.termSearch(docs, "doc_id", "text", q, topK = 10)
+        .as[(Long, Long)].collect().toSeq
+      val probed = Retrieval.indexSearch(spark, dir, q, topK = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(probed == direct, s"tiered index diverged on $q: $probed vs $direct")
+    }
+    // every probed file belongs to a layout the query's terms hash into:
+    // __b=<k> appends, __p4=<k> compacted tiers (same xxhash64 bucket),
+    // or the __p1=0 hybrid (modulus the probe did not compute)
+    val probeDf = Retrieval.indexSearch(spark, dir, Seq("rare"), topK = 10)
+    probeDf.collect()
+    val touched = spark.sql("SELECT CAST(pmod(xxhash64('rare'), 4) AS INT)").head.getInt(0)
+    val bad = probeDf.inputFiles.filterNot { f =>
+      f.contains(s"__b=$touched/") || f.contains(s"__p4=$touched/") || f.contains("__p1=0/")
+    }
+    assert(bad.isEmpty, s"probe read files outside its touched buckets: ${bad.toSeq}")
+
+    // past maxTiers the next compaction is a forced major back to 1 tier
+    Retrieval.appendToIndex(
+      docs.where($"doc_id" === 1).select($"doc_id" + 100 as "doc_id", $"text"),
+      "doc_id", "text", dir)
+    val forced = Retrieval.compactIndex(spark, dir, maxTiers = 3)
+    assert(forced.mode == "major" && forced.tiers == 1, s"expected a forced major: $forced")
+    val all = docs.unionAll(
+      docs.where($"doc_id" === 1).select($"doc_id" + 100 as "doc_id", $"text"))
+    val direct = Retrieval.termSearch(all, "doc_id", "text", Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    val probed = Retrieval.indexSearch(spark, dir, Seq("rare", "common"), topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(probed == direct, s"post-forced-major divergence: $probed vs $direct")
   }
 
   test("bucket pruning: a one-term query reads exactly one bucket file") {
