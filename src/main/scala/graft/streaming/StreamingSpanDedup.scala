@@ -32,6 +32,43 @@ object StreamingSpanDedup {
   private def docsSchema(idCol: String, textCol: String) = StructType(Seq(
     StructField(idCol, LongType), StructField(textCol, StringType)))
 
+  /** Batch-side broadcast budget for the index probe, in exploded span
+    * rows — [[StreamingDedup]]'s MaxBroadcastBandRows discipline applied
+    * to the span path (VERDICT r17 #5). At or below it the probe takes
+    * the two-broadcast plan of [[probeFresh]]; a catch-up batch past it
+    * reverts to the plain anti-join, which AQE plans as spillable
+    * sort-merge with skew splitting. 2M span hash rows ≈ 30–60 MB
+    * broadcast. Overridable per session (ops knob + the spec's flip
+    * probe): `spark.graft.streaming.spanProbeBroadcastMaxRows`.
+    */
+  private val SpanProbeBroadcastMaxRows = 2000000L
+
+  private[graft] val SpanProbeBroadcastConf =
+    "spark.graft.streaming.spanProbeBroadcastMaxRows"
+
+  private def spanProbeBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(SpanProbeBroadcastConf).map(_.toLong)
+      .getOrElse(SpanProbeBroadcastMaxRows)
+
+  /** The index probe: exploded batch spans not yet claimed by the
+    * accumulated index. With `broadcastProbe` (a batch inside the
+    * broadcast budget) the index — the one frame that grows without
+    * bound — is never shuffled, sorted, or hash-built: it streams
+    * map-side through a semi-join against the BROADCAST batch hash set,
+    * and the batch-bounded hit set broadcasts back into the anti-join
+    * (a hash build cannot spill, so the unbounded side must never be a
+    * build side — the r17 sf10 OOM class). Past the budget the plain
+    * anti-join returns and AQE plans spillable sort-merge.
+    */
+  private[streaming] def probeFresh(
+      exploded: DataFrame, index: DataFrame, broadcastProbe: Boolean): DataFrame =
+    if (broadcastProbe) {
+      val batchHashes = exploded.select(col("__sh").as("sh")).distinct()
+      val hits = index.join(broadcast(batchHashes), Seq("sh"), "left_semi")
+      exploded.join(broadcast(hits), exploded("__sh") === hits("sh"), "left_anti")
+    } else
+      exploded.join(index, exploded("__sh") === index("sh"), "left_anti")
+
   /** Start the incremental span dedup over a STREAMING (idCol, textCol)
     * frame. Surviving documents land under `workDir`/docs; the span
     * index accumulates under `workDir`/spans. `checkpoint` is REQUIRED
@@ -114,9 +151,11 @@ object StreamingSpanDedup {
           .parquet(spanFiles.map(f => s"$spansDir/$f"): _*)
     // new = never seen by any earlier batch; localCheckpoint pins the
     // frame because THREE consumers read it (keepers, kept join, index
-    // append) and the anti-join must not re-probe the index per consumer
-    val fresh = exploded
-      .join(index, exploded("__sh") === index("sh"), "left_anti")
+    // append) and the anti-join must not re-probe the index per consumer.
+    // The probe plan is SIZE-GATED like StreamingDedup's band joins
+    // (exploded is persisted, so the count is paid once and reused)
+    val fresh = probeFresh(exploded, index,
+      broadcastProbe = exploded.count() <= spanProbeBroadcastMaxRows(spark))
       .localCheckpoint()
     exploded.unpersist(): Unit // localCheckpoint is eager: exploded ran twice at most
     // keeper per span hash: min (doc, idx) — single occurrences are

@@ -28,7 +28,11 @@ object PlanSnapshot {
     // AQE / DSv2 plan identifiers
     ("""plan_id=\d+""".r, "plan_id=N"),
     // JVM object identity hashes: GraftObj@1a2b3c4d
-    ("""@[0-9a-f]{6,16}\b""".r, "@ADDR"),
+    // identityHashCode hex has NO minimum width (a 5-hex @e0d2c slipped
+    // a {6,16} floor and flapped a committed snapshot in r18) — but a
+    // 1-char floor would eat decimal-looking tokens like @1, so require
+    // 4+ which every plausible identity hash exceeds
+    ("""@[0-9a-f]{4,16}\b""".r, "@ADDR"),
     // lambda class names: Lambda$1234/0x00007f…
     ("""\$\$Lambda\$?\d*(/0x[0-9a-f]+)?""".r, "\\$\\$Lambda\\$N"),
     // stream runIds, checkpoint UUIDs, shuffle IDs rendered as UUIDs

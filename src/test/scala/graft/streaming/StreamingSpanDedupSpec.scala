@@ -103,6 +103,56 @@ class StreamingSpanDedupSpec extends AnyFunSuite {
     assert(docsMap(work) == before + (50L -> "a5 b5 c5 d5"))
   }
 
+  test("index probe plan flips past the broadcast budget (catch-up discipline)") {
+    import spark.implicits._
+    val exploded = graft.operators.SpanDedup.explodedSpans(
+      Seq((1L, "a b c d e f g h"), (2L, "a b c d q r s t")).toDF("doc_id", "text"),
+      "doc_id", "text", 4)
+    val index = Seq(java.lang.Long.valueOf(42L)).toDF("sh")
+    // inside the budget: the two-broadcast shape — the index streams
+    // map-side through a LeftSemi against the broadcast batch hashes,
+    // and is never a build side
+    val small = StreamingSpanDedup.probeFresh(exploded, index, broadcastProbe = true)
+    small.collect()
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("LeftSemi") && smallPlan.contains("BroadcastHashJoin"),
+      s"expected the broadcast probe shape:\n$smallPlan")
+    assert(!smallPlan.contains("SortMergeJoin"), s"unexpected sort in:\n$smallPlan")
+    // past the budget: the plain anti-join — no semi stage, no forced
+    // build of the unbounded side (AQE free to pick spillable sort-merge)
+    val big = StreamingSpanDedup.probeFresh(exploded, index, broadcastProbe = false)
+    big.collect()
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("LeftSemi"), s"fallback must not semi-join:\n$bigPlan")
+    // both plans return exactly the same fresh spans
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("__doc", "__idx", "__sh").collect().map(_.toString).sorted.toSeq
+    assert(key(small) == key(big))
+  }
+
+  test("forced fallback probe yields exactly the default plan's documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d a b c d"), (1L, "a b c d x y z w"), (2L, "p q r s a b c d"))
+    def run(conf: Option[String]): Map[Long, String] = {
+      conf.foreach(v => spark.conf.set(StreamingSpanDedup.SpanProbeBroadcastConf, v))
+      try {
+        val work = java.nio.file.Files.createTempDirectory("sspan-flip").toString
+        StreamingSpanDedup.init(spark, work, "doc_id", "text")
+        corpus.zipWithIndex.foreach { case (d, b) =>
+          StreamingSpanDedup.processBatch(
+            Seq(d).toDF("doc_id", "text"), "doc_id", "text", work, 4, Some(b.toLong))
+        }
+        docsMap(work)
+      } finally conf.foreach(_ => spark.conf.unset(StreamingSpanDedup.SpanProbeBroadcastConf))
+    }
+    val default = run(None)
+    val forcedFallback = run(Some("-1")) // every batch exceeds a -1 budget
+    assert(default == forcedFallback,
+      s"probe plans diverged: $default vs $forcedFallback")
+    assert(default.contains(0L) && default(1L).endsWith("x y z w"))
+  }
+
   test("replaying a committed batch changes nothing (exactly-once)") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("sspan-replay").toString
