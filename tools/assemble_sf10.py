@@ -21,9 +21,9 @@ import sys
 # artifact carried as SKETCH_WITHIN_BOUNDS, bounds audited by
 # tools/audit_sketch.py
 SKETCH_GATES = {
-    "doc_distinct_sketch", "doc_heavy_hitters", "doc_salted_count",
-    "rel_quantile_sketch", "rel_theta_sets", "stream_distinct_sketch",
-    "stream_heavy_hitters", "stream_quantiles",
+    "doc_sql_pipeline", "rel_quantile_sketch", "rel_stats",
+    "rel_theta_sets", "stream_distinct_sketch", "stream_heavy_hitters",
+    "stream_quantiles",
 }
 
 RESOURCE_RE = re.compile(r"Out of Memory Error|failed to offload|temp_directory")
@@ -41,7 +41,11 @@ def main():
             if status == "PASS":
                 results[gate] = ("PASS", rest.strip())
             elif status == "ROWS-ONLY":
-                results[gate] = ("ROWS_ONLY", rest.strip())
+                # the checker prints ROWS-ONLY for every gate OUTSIDE its
+                # CHECK_ONLY filter too — never let it override a real
+                # adjudication from another log
+                if gate not in results:
+                    results[gate] = ("ROWS_ONLY", rest.strip())
             elif status == "SKIP" and "oracle timeout" in rest:
                 results[gate] = ("ORACLE_TIMEOUT_ENGINE_OK", rest.strip())
             elif status == "FAIL" and RESOURCE_RE.search(rest):
