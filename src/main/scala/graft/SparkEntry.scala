@@ -2956,6 +2956,47 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // --- SemDeDup (cluster-scoped semantic dedup): assign every vector
+    //     to its nearest deterministic seed centroid (the √N lowest-id
+    //     vectors, kmeansIterations=0 — so the assignment argmax is
+    //     exactly SQL-expressible; √N sizing keeps within-cluster pair
+    //     volume O(N^1.5) at every sf), then drop any vector whose
+    //     cluster holds a lower-id vector at cosine >= 0.99. Twins
+    //     planted as in emb_near_dup; survivors = the originals WITH
+    //     their cluster id, so the oracle verifies assignment + scoping
+    //     + keep rule hash-exactly. Candidate scope is a learned
+    //     partition (bucket sizes track data density), vs emb_near_dup's
+    //     hyperplane LSH ---
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+      val shift = shiftPastMax(emb, "vec_id")
+      val corpus = emb.union(emb.select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding")))
+      graft.operators.Dedup
+        .semanticDedup(corpus, "vec_id", "embedding", threshold = 0.99,
+          nCentroids = 0, kmeansIterations = 0)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- SemDeDup with TRAINED centroids (distributed Lloyd, 2
+    //     iterations, √N quantizer sizing): k-means float sums are not
+    //     SQL-expressible, but the PAIR SET is invariant to the learned
+    //     partition — identical twin vectors co-assign under any
+    //     centroid table (same argmax on the same input), and no
+    //     distinct synthetic vectors reach 0.99 cosine — so the oracle
+    //     pins exactly the planted twins without replicating the
+    //     clustering ---
+    "emb_semantic_dedup_kmeans" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+      val shift = shiftPastMax(emb, "vec_id")
+      val corpus = emb.union(emb.select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding")))
+      graft.operators.Dedup
+        .semanticNearDuplicates(corpus, "vec_id", "embedding", threshold = 0.99,
+          nCentroids = 0, kmeansIterations = 2)
+        .select(col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // --- int8 embedding quantization: per-vector scale + quantized
     //     stats, exactly reproducible (round(x * (127/maxabs))) ---
     "emb_quantize" -> ((s, dir) => {
@@ -3966,6 +4007,50 @@ object SparkEntry {
          FROM c a JOIN c b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
          ORDER BY id1, id2""",
+    // SemDeDup with deterministic seed centroids: the oracle replays the
+    // exact engine arithmetic — cosine = list_dot_product(v,c) /
+    // greatest(sqrt(dot(v,v))*sqrt(dot(c,c)), 1e-12) over DOUBLE[] (both
+    // engines accumulate doubles left-to-right), argmax ties to the
+    // smaller centroid index (ORDER BY sim DESC, cid = the engine's
+    // ascending (-sim, idx))
+    "emb_semantic_dedup" ->
+      """WITH c AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT),
+                  CAST(embedding AS DOUBLE[])
+           FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM c ORDER BY vec_id
+                 LIMIT (SELECT least(4096, greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+                        FROM c))),
+         asgn AS (
+           SELECT vec_id, v, cid AS cluster FROM (
+             SELECT c.vec_id, c.v, cent.cid,
+                    row_number() OVER (
+                      PARTITION BY c.vec_id
+                      ORDER BY list_dot_product(c.v, cent.cv) /
+                               greatest(sqrt(list_dot_product(c.v, c.v)) *
+                                        sqrt(list_dot_product(cent.cv, cent.cv)), 1e-12)
+                               DESC, cent.cid) AS rn
+             FROM c CROSS JOIN cent)
+           WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id AS did
+           FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) /
+                 greatest(sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.99)
+         SELECT vec_id, cluster
+         FROM asgn WHERE vec_id NOT IN (SELECT did FROM drops)
+         ORDER BY vec_id""",
+    // trained-centroid SemDeDup: the pair set is clustering-invariant
+    // (see the gate comment) — exactly the planted twins
+    "emb_semantic_dedup_kmeans" ->
+      """SELECT vec_id AS id1,
+                CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT) AS id2
+         FROM embeddings ORDER BY id1, id2""",
     "rel_q5" ->
       """SELECT r_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty,
          count(DISTINCT o_orderkey) AS n_orders

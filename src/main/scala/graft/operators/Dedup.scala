@@ -965,4 +965,101 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("__cos"), 6).as("cosine"))
       .distinct()
   }
+
+  /** Cluster-then-dedup assignment shared by [[semanticNearDuplicates]]
+    * and [[semanticDedup]] (the SemDeDup shape, Abbas et al. 2023):
+    * every vector is assigned to its nearest centroid by cosine
+    * ([[graft.functions.NearestCentroids]] over one broadcast centroid
+    * table — ties to the smaller index), and candidate pairs are scoped
+    * to a cluster. With `kmeansIterations = 0` the centroids are the
+    * `k` lowest-id vectors (deterministic, so the whole pipeline is
+    * exactly SQL-expressible for an oracle); with iterations > 0 they
+    * come from the distributed Lloyd loop ([[Similarity.kmeansCentroids]]).
+    * `nCentroids = 0` sizes the quantizer as √(corpus rows)
+    * ([[Similarity.autoCentroids]]) — per-cluster membership then holds
+    * at ~√N, so the within-cluster self-join shuffles pair volume
+    * O(N^1.5) instead of the all-pairs O(N²); the join itself is a plain
+    * equi-join on the cluster id (one hash shuffle, AQE-splittable on
+    * skewed clusters), never a cartesian.
+    */
+  private def semanticAssigned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      kmeansIterations: Int
+  ): DataFrame = {
+    val base = parallelize(
+      df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    ).select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val k =
+      if (nCentroids > 0) nCentroids
+      else Similarity.autoCentroids(base.count())
+    val cents: Seq[Seq[Double]] =
+      if (kmeansIterations > 0)
+        Similarity.kmeansCentroids(base, "__id", "__v", k, kmeansIterations)
+      else
+        base.orderBy(col("__id")).limit(k).collect().map(_.getSeq[Double](1)).toSeq
+    // one-shot lazily-returned frame: the broadcast copy is left to
+    // driver GC per the broadcastCentroids contract (both join sides
+    // below share this single handle — never one broadcast per side)
+    val bc = Similarity.broadcastCentroids(cents)
+    base.withColumn("__cl", Similarity.nearestCentroidBuckets(col("__v"), bc, 1).getItem(0))
+  }
+
+  /** SemDeDup pair finder: near-duplicate pairs (`cosine >= threshold`)
+    * scoped to k-means (or deterministic-seed) clusters. Output
+    * `(id1, id2, cluster)` with `id1 < id2`. Unlike
+    * [[embeddingNearDuplicates]] (random-hyperplane LSH buckets), the
+    * candidate scope here is a learned partition of the embedding
+    * space — the published scale path for semantic dedup, where bucket
+    * sizes track data density instead of hyperplane geometry.
+    */
+  def semanticNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nCentroids: Int = 0,
+      kmeansIterations: Int = 0
+  ): DataFrame = {
+    val assigned = semanticAssigned(df, idCol, vecCol, nCentroids, kmeansIterations)
+    val l = assigned.select(col("__cl"), col("__id").as("id1"), col("__v").as("__v1"))
+    val r = assigned.select(col("__cl"), col("__id").as("id2"), col("__v").as("__v2"))
+    l.join(r, Seq("__cl"))
+      .where(col("id1") < col("id2"))
+      .where(Similarity.cosine(col("__v1"), col("__v2")) >= threshold)
+      .select(col("id1"), col("id2"), col("__cl").as("cluster"))
+  }
+
+  /** SemDeDup survivors: drop every vector that near-duplicates
+    * (`cosine >= threshold`, within its cluster) a lower-id vector —
+    * i.e. keep the lowest id of each duplicate chain. Output
+    * `(<idCol>, cluster)`. The drop set is the DISTINCT `id2` side of
+    * [[semanticNearDuplicates]]; the anti-join is a broadcast at
+    * realistic dup rates (dups ≪ corpus).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nCentroids: Int = 0,
+      kmeansIterations: Int = 0
+  ): DataFrame = {
+    val assigned = semanticAssigned(df, idCol, vecCol, nCentroids, kmeansIterations)
+    val l = assigned.select(col("__cl"), col("__id").as("id1"), col("__v").as("__v1"))
+    val r = assigned.select(col("__cl"), col("__id").as("id2"), col("__v").as("__v2"))
+    val dropIds = l
+      .join(r, Seq("__cl"))
+      .where(col("id1") < col("id2"))
+      .where(Similarity.cosine(col("__v1"), col("__v2")) >= threshold)
+      .select(col("id2").as("__drop"))
+      .distinct()
+    assigned
+      .join(dropIds, assigned("__id") === dropIds("__drop"), "left_anti")
+      .select(col("__id").as(idCol), col("__cl").as("cluster"))
+  }
 }

@@ -132,6 +132,55 @@ class DedupSpec extends AnyFunSuite {
     assert(found == emb.count())
   }
 
+  test("semantic dedup (seed centroids) drops exactly the planted twins, keeps assignments") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val n = emb.count()
+    val doubledEmb = emb.union(emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val kept = Dedup.semanticDedup(doubledEmb, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 0, kmeansIterations = 0)
+    val rows = kept.collect()
+    // survivors = the originals (every twin has a lower-id duplicate)
+    assert(rows.length == n)
+    assert(rows.forall(_.getLong(0) < 100000))
+    // every survivor carries a valid cluster id under √N sizing
+    val k = Similarity.autoCentroids(2 * n)
+    assert(rows.forall { r => val c = r.getInt(1); c >= 0 && c < k })
+    // the within-cluster candidate join must stay an equi-join on the
+    // cluster id — never a cartesian/nested-loop over the corpus
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup candidate scope must be a cluster equi-join")
+  }
+
+  test("semantic near-dup pairs are cluster-SCOPED: cross-cluster pairs above threshold are not candidates") {
+    // seeds (lowest ids) pin the centroids: c0=(1,0), c1=(0,1).
+    // v3=(0.8,0.6)→cluster 0, v4=(0.6,0.8)→cluster 1: cosine(v3,v4)=0.96
+    // >= 0.95 but cross-cluster → NOT reported (the SemDeDup contract —
+    // recall is traded for never comparing across clusters).
+    // v5=2·v3 → cluster 0, cosine(v3,v5)=1 → reported.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.8f, 0.6f)), (4L, Seq(0.6f, 0.8f)), (5L, Seq(1.6f, 1.2f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 2, kmeansIterations = 0)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 5L)), s"expected only the co-cluster pair, got $pairs")
+  }
+
+  test("semantic near-dup with TRAINED centroids still finds every identical twin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val doubledEmb = emb.union(emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val pairs = Dedup.semanticNearDuplicates(doubledEmb, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 0, kmeansIterations = 2)
+    // identical vectors co-assign under ANY centroid table (same argmax
+    // on the same input), so the pair set is invariant to the training
+    assert(pairs.where($"id2" === $"id1" + 100000).count() == emb.count())
+    assert(pairs.count() == emb.count(), "no non-twin pair reaches 0.99 cosine in the fixture")
+  }
+
   test("containment candidates find a document embedded in another") {
     val docs500 = docs.select($"doc_id", $"text").limit(50)
     val host = docs500.select(
