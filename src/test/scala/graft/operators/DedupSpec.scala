@@ -169,6 +169,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((3L, 5L)), s"expected only the co-cluster pair, got $pairs")
   }
 
+  test("semantic near-dup with ONE cluster equals brute-force all-pairs cosine") {
+    // nCentroids=1 puts every vector in the same cluster, so the
+    // cluster scope is vacuous and the operator must equal an exact
+    // all-pairs cosine join — pinning the pair emission + cosine math
+    // on NON-planted pairs (the twin gates only exercise cosine≈1)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(100)
+    val got = Dedup.semanticNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.3, nCentroids = 1, kmeansIterations = 0)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecD = transform($"embedding", x => x.cast("double"))
+    val a = emb.select($"vec_id".as("id1"), vecD.as("v1"))
+    val b = emb.select($"vec_id".as("id2"), vecD.as("v2"))
+    val want = a.crossJoin(b).where($"id1" < $"id2")
+      .where(Similarity.cosine($"v1", $"v2") >= 0.3)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce some pairs at threshold 0.3")
+    assert(got == want, s"single-cluster SemDeDup must equal brute force: ${got.size} vs ${want.size}")
+  }
+
   test("semantic near-dup with TRAINED centroids still finds every identical twin") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
