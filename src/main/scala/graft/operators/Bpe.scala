@@ -64,13 +64,15 @@ object Bpe {
     */
   val CutEverySteps = 16
 
-  /** Ceiling on [[tokensCol]]'s composed merge chain, measured by
-    * [[graft.tools.BpeDepthProbe]]: each nested lambda fold consumes ~1
-    * analyzer Resolution iteration, so the chain HARD-FAILS at ~97
-    * merges ("Max iterations (100) reached for batch Resolution" —
-    * Spark's `spark.sql.analyzer.maxIterations` default). 64 leaves
-    * budget for the caller's own surrounding lambdas, which draw from
-    * the same iteration pool.
+  /** Ceiling on [[tokensCol]]'s composed merge chain. Historically a
+    * hard analyzer limit: the pre-r18 nested-fold implementation
+    * consumed ~1 analyzer Resolution iteration per merge and HARD-FAILED
+    * at ~97 ("Max iterations (100) reached for batch Resolution" —
+    * measured by [[graft.tools.BpeDepthProbe]]). The r18 string-packed
+    * regexp_replace chain no longer nests lambdas, but the ceiling stays:
+    * one linear regex pass per merge over every document is still the
+    * wrong shape past the tens-of-merges regime — a vocabulary-scale
+    * encoder belongs on [[tokenCounts]]' word→segment-table probe.
     */
   val MaxExprMerges = 64
 
@@ -121,20 +123,19 @@ object Bpe {
     * the shipped-tokenizer behavior: words never seen in training still
     * segment correctly (greedy merges over their characters), which the
     * [[tokenCounts]] vocabulary join cannot do. Pure projection (no
-    * shuffle), but the fold chain is interpreted, not codegen'd —
-    * higher-order array functions are `CodegenFallback` — and each
-    * nested fold costs one analyzer Resolution iteration, so the chain
-    * hard-fails around 97 merges (measured,
-    * [[graft.tools.BpeDepthProbe]]). Enforced ceiling
-    * [[MaxExprMerges]] = 64: the right shape for the tens-of-merges
-    * regime (feature hashing, sub-token stats); a vocabulary-scale
-    * encoder (30k merges) must use [[tokenCounts]]' word→segment-table
-    * probe, which is how real trainers ship a tokenizer.
+    * shuffle): the document is packed into one separator-delimited
+    * string and each merge is one linear regexp_replace pass (see
+    * [[tokensColUnchecked]] for the equivalence argument to the greedy
+    * fold). Enforced ceiling [[MaxExprMerges]] = 64: the right shape
+    * for the tens-of-merges regime (feature hashing, sub-token stats);
+    * a vocabulary-scale encoder (30k merges) must use [[tokenCounts]]'
+    * word→segment-table probe, which is how real trainers ship a
+    * tokenizer.
     */
   def tokensCol(text: Column, merges: Seq[BpeMerge]): Column = {
     require(merges.size <= MaxExprMerges,
-      s"tokensCol composes one fold per merge into a single expression chain — " +
-        s"viable for the tens-of-merges regime but not a vocabulary-scale " +
+      s"tokensCol composes one replace pass per merge into a single expression " +
+        s"chain — viable for the tens-of-merges regime but not a vocabulary-scale " +
         s"tokenizer (got ${merges.size} merges, ceiling $MaxExprMerges, measured " +
         s"by graft.tools.BpeDepthProbe). Encode through the model's word→segment " +
         s"table instead (Bpe.tokenCounts / BpeModel.wordTokens) — that is how " +
@@ -145,9 +146,54 @@ object Bpe {
   /** [[tokensCol]] without the merge-count ceiling — for the depth probe
     * that MEASURES the ceiling. Not a public API.
     */
-  private[graft] def tokensColUnchecked(text: Column, merges: Seq[BpeMerge]): Column =
-    flatten(transform(TextFunctions.tokens(text), w =>
-      merges.foldLeft(charsCol(w))((syms, m) => applyMergeCol(syms, m.lft, m.rgt))))
+  private[graft] def tokensColUnchecked(text: Column, merges: Seq[BpeMerge]): Column = {
+    import java.util.regex.{Matcher, Pattern}
+    // String-packed greedy merge (r18 optimization): the whole document
+    // becomes ONE string — each word's symbols SymSep-TERMINATED
+    // ("a␁b␁c␁"), words joined by WordSep — and every merge is one
+    // linear regexp_replace pass instead of a nested per-element
+    // aggregate() fold (which rebuilt an O(n) array per element, O(n²)
+    // per merge per word, and dominated the encode gate's runtime).
+    //
+    // replaceAll == the greedy fold, by construction:
+    //  - leftmost-first, resuming AFTER each replacement = the fold's
+    //    left-to-right scan where a merged symbol never re-merges as
+    //    the LEFT side within the same pass;
+    //  - a match consumes its trailing SymSep, so the pattern's leading
+    //    anchor cannot fire on the merged output either — merged output
+    //    only participates again on the NEXT merge's pass, exactly like
+    //    the fold chain;
+    //  - the (?:^|(?<=[SymSep WordSep])) anchor pins matches to symbol
+    //    STARTS and the trailing SymSep in the pattern pins symbol ENDS,
+    //    so "xa␁b␁" never merges on (a,b) and (a,b) never fires on
+    //    "a␁bc␁" — same comparisons the fold makes on whole symbols;
+    //  - patterns contain only token chars and SymSep, so they can never
+    //    span a WordSep: merges stay within words.
+    // Token chars are [\p{L}\p{N}'] (TextFunctions.tokens), so the two
+    // control-char separators never collide with symbol content.
+    // BpeExprParitySpec holds this path equal to a reference fold on
+    // randomized symbol/merge streams.
+    val seeded = concat_ws(WordSep,
+      transform(TextFunctions.tokens(text), w =>
+        regexp_replace(w, lit("(.)"), lit("$1" + SymSep))))
+    val merged = merges.foldLeft(seeded)((s, m) =>
+      regexp_replace(s,
+        lit(s"(?:^|(?<=[$SymSep$WordSep]))" + Pattern.quote(m.lft + SymSep + m.rgt + SymSep)),
+        lit(Matcher.quoteReplacement(m.lft + m.rgt + SymSep))))
+    // back to the token array: drop word boundaries, split on SymSep
+    // (the trailing separator leaves one empty slot; real tokens are
+    // never empty, so the length filter only strips that artifact)
+    filter(split(translate(merged, WordSep, ""), Pattern.quote(SymSep)),
+      t => length(t) > 0)
+  }
+
+  /** Separators for the string-packed segment representation in
+    * [[tokensColUnchecked]]: SymSep terminates every symbol, WordSep
+    * divides words. Both are control chars [[TextFunctions.tokens]] can
+    * never emit.
+    */
+  private val SymSep = "\u0001"
+  private val WordSep = "\u0002"
 
   /** Per-document token count under the trained model: explode words,
     * probe the word→segment-length table (vocab-sized — Spark
