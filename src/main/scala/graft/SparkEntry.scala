@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -84,6 +84,22 @@ object SparkEntry {
     val row = df.agg(max(col(keyCol).cast("long"))).head
     (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1L
   }
+
+  /** Presentation sort that preserves downstream PARALLELISM (r18
+    * optimization): the sort-then-project discipline (see doc_quality)
+    * places heavy projections AFTER a global `orderBy` so they evaluate
+    * once — but `orderBy` is a range exchange whose post-shuffle
+    * partitions AQE coalesces by BYTES, so a few MB of rows collapse
+    * onto one or two tasks and the heavy projection runs on one core.
+    * Pinning the range-partition count (user-specified counts are never
+    * AQE-coalesced) keeps the byte-identical global order — range
+    * partitions concatenate in order — while the projection runs on
+    * every core. Scale-adaptive by construction: the count follows the
+    * session's parallelism, not a constant.
+    */
+  private def sortedSpread(df: DataFrame, keys: Column*): DataFrame =
+    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+      .sortWithinPartitions(keys: _*)
 
   private def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
@@ -2257,10 +2273,10 @@ object SparkEntry {
     //     shingle hashes included). ---
     // (presentation sort FIRST: a global orderBy's range-sampling pass
     // executes its child twice, so sorting the cheap input and
-    // projecting after evaluates the expensive expressions exactly once)
+    // projecting after evaluates the expensive expressions exactly once;
+    // sortedSpread keeps the post-sort projection on every core)
     "doc_quality" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .orderBy(col("doc_id"))
+      sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),
@@ -2382,8 +2398,9 @@ object SparkEntry {
       // predicate (filtering on the computed bpe_tokens would inline the
       // 8-fold merge chain into the Filter and evaluate it twice), and
       // sort-then-project (see doc_quality) so the chain runs ONCE
-      docs.where(size(graft.functions.TextFunctions.tokens(col("text"))) > 0)
-        .orderBy(col("doc_id"))
+      sortedSpread(
+        docs.where(size(graft.functions.TextFunctions.tokens(col("text"))) > 0),
+        col("doc_id"))
         .select(col("doc_id"),
           size(graft.operators.Bpe.tokensCol(col("text"), model.merges))
             .cast("long").as("bpe_tokens"))
@@ -2504,8 +2521,7 @@ object SparkEntry {
     //     PURE PROJECTIONS (token array staged once; no per-gram shuffle) ---
     "doc_repetition" -> ((s, dir) => {
       val tf = graft.functions.TextFunctions
-      s.read.parquet(s"$dir/documents.parquet")
-        .orderBy(col("doc_id")) // sort-then-project: see doc_quality
+      sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
         .select(col("doc_id"), tf.tokens(col("text")).as("__ts"))
         .select(col("doc_id"),
           tf.tokenNgrams(col("__ts"), 2).as("__bg"),
@@ -2740,8 +2756,7 @@ object SparkEntry {
             lit(" via https://ex"), col("doc_id").cast("string"),
             lit(".example.org/p ip 192.168.1."),
             pmod(col("doc_id"), lit(200)).cast("string")).as("__t"))
-      synth
-        .orderBy(col("doc_id")) // sort-then-project: see doc_quality
+      sortedSpread(synth, col("doc_id"))
         .select(col("doc_id"), col("__t"), tf.piiCounts(col("__t")).as("__c"))
         .select(col("doc_id"),
           md5(tf.redactPii(col("__t"))).as("redacted_hash"),
@@ -3001,8 +3016,7 @@ object SparkEntry {
     //     stats, exactly reproducible (round(x * (127/maxabs))) ---
     "emb_quantize" -> ((s, dir) => {
       val (q, scale) = graft.operators.Similarity.quantizeInt8(col("embedding"))
-      s.read.parquet(s"$dir/embeddings.parquet")
-        .orderBy(col("vec_id")) // sort-then-project: see doc_quality
+      sortedSpread(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"))
         .select(
           col("vec_id"),
           aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
@@ -3063,8 +3077,7 @@ object SparkEntry {
 
     // --- text quality + language-ID, fully oracle-replicated in SQL ---
     "doc_quality_oracle" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .orderBy(col("doc_id")) // sort-then-project: see doc_quality
+      sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
         .select(
           col("doc_id"),
           graft.functions.TextFunctions.langGuess(col("text")).as("lang_guess"),

@@ -73,11 +73,11 @@ object TextFunctions {
     * one shared fingerprint. Native expression; no shuffle.
     */
   def winnowFingerprints(text: Column, shingleK: Int = 5, windowW: Int = 8): Column = {
-    // positional (NOT distinct) shingles: winnowing needs document order
-    val shingled = transform(
-      sequence(lit(1), greatest(length(text) - (shingleK - 1), lit(1))),
-      i => xxhash64(text.substr(i, lit(shingleK)))
-    )
+    // positional (NOT distinct) shingles: winnowing needs document
+    // order. Native ShingleHashes (r18): one compiled pass instead of
+    // an interpreted substring+hash lambda per position.
+    val shingled = ColumnBridge.column(
+      ShingleHashes(ColumnBridge.expression(text), shingleK, ShingleHashesImpl.XxhPositional))
     ColumnBridge.column(Winnow(ColumnBridge.expression(shingled), windowW))
   }
 
@@ -87,10 +87,12 @@ object TextFunctions {
     * can rebuild the positional hashes and window minima exactly).
     */
   def winnowFingerprintsMd5(text: Column, shingleK: Int = 5, windowW: Int = 8): Column = {
-    val shingled = transform(
-      sequence(lit(1), greatest(length(text) - (shingleK - 1), lit(1))),
-      i => md5Hash60(text.substr(i, lit(shingleK)))
-    )
+    // native positional md5-60 shingle hashes (r18): the interpreted
+    // md5 -> hex -> conv round-trip per position was the dominant cost
+    // of every winnowing-based gate; ShingleHashesSpec pins equality
+    // to the md5Hash60(substr) chain
+    val shingled = ColumnBridge.column(
+      ShingleHashes(ColumnBridge.expression(text), shingleK, ShingleHashesImpl.Md5Positional))
     ColumnBridge.column(Winnow(ColumnBridge.expression(shingled), windowW))
   }
 

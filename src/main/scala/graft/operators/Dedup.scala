@@ -222,8 +222,15 @@ object Dedup {
   /** Sorted distinct 64-bit hashes of a document's shingle set — the
     * verification-side representation (native merge-walk jaccard).
     */
-  private[graft] def sortedShingleHashes(text: Column, shingleK: Int): Column =
-    array_sort(transform(charShingles(text, shingleK), s => xxhash64(s)))
+  private[graft] def sortedShingleHashes(text: Column, shingleK: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // native compiled shingle pass (r18) — replaces the interpreted
+    // array_sort(transform(charShingles, xxhash64)) chain; distinct is
+    // by hash, within the merge-walk jaccard's documented
+    // sorted-distinct contract (see ShingleHashes)
+    ColumnBridge.column(graft.functions.ShingleHashes(
+      ColumnBridge.expression(text), shingleK, graft.functions.ShingleHashesImpl.XxhDistinctSorted))
+  }
 
   private[graft] def jaccardSortedCol(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -240,7 +247,10 @@ object Dedup {
     * shuffle.
     */
   def minhashSignature(text: Column, shingleK: Int = 5, numHashes: Int = 128): Column =
-    minhashFromHashes(transform(charShingles(text, shingleK), s => xxhash64(s)), numHashes)
+    // shingle hashing through the native ShingleHashes pass (r18); the
+    // distinct-sorted set is the same multiset-of-minima input as the
+    // old distinct-string chain, so signatures are unchanged
+    minhashFromHashes(sortedShingleHashes(text, shingleK), numHashes)
 
   private def minhashFromHashes(shingleHashes: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
