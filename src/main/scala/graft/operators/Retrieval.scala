@@ -272,7 +272,7 @@ object Retrieval {
         org.apache.spark.sql.types.StructType(Seq(
           schema("doc"),
           org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType))))
-    val tf = spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    val tf = graft.streaming.CommitLog.readFiles(spark, dir, schema, files)
       .where(col("term").isInCollection(terms))
     // df per term from the probed postings (complete by bucketing); tiny
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))

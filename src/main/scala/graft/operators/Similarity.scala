@@ -528,7 +528,7 @@ object Similarity {
     // #4); the path parse is a per-FILE constant under codegen's
     // input_file_name caching and is byte-faithful to the writer's
     // assignment by construction.
-    val bucketed = spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    val bucketed = graft.streaming.CommitLog.readFiles(spark, dir, schema, files)
       .withColumn("__b", regexp_extract(input_file_name(), "__b=(\\d+)/", 1).cast("int"))
     val scored = bucketed
       .join(broadcast(probes), "__b")

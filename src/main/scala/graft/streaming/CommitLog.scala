@@ -269,13 +269,25 @@ object CommitLog {
   /** All committed rows: the latest `replace` manifest's fileset plus
     * every appended commit after it.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = currentFiles(dir)
-    val schema = schemaOf(dir)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readFiles(spark, dir, schemaOf(dir), currentFiles(dir))
+
+  /** DataFrame over an explicit file subset of a commit-logged dataset
+    * (paths relative to `dir`). Planned straight from the given fileset
+    * ([[org.apache.spark.sql.graft.ManifestReadBridge]]) — the manifest
+    * IS the listing, so no InMemoryFileIndex is built and no listing
+    * job runs (r18: `spark.read.parquet(file1..fileN)` launched a
+    * cluster listing job per read once N passed the parallel-discovery
+    * threshold, ~1 s per streaming-dedup batch against a compacted
+    * index).
+    */
+  def readFiles(
+      spark: SparkSession, dir: String, schema: StructType, files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
-  }
+    else
+      org.apache.spark.sql.graft.ManifestReadBridge.parquetFromFiles(
+        spark, schema, files.map(f => s"$dir/$f"))
 
   /** Fold the manifest tail into a checkpoint file NOW and prune what it
     * folded: manifests at or below the checkpoint sequence, older

@@ -113,10 +113,7 @@ object SnapshotUpsert {
           case None => true // un-bucketed legacy file: fold it in (self-healing)
         }
       }
-      val base =
-        if (rewrite.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(rewrite.map(f => s"$dir/$f"): _*)
+      val base = CommitLog.readFiles(spark, dir, schema, rewrite)
       val merged = Upsert.mergeLatest(base, pinned, keys, versionCol,
         deleteCol = None, versionDominates = true)
 
@@ -155,10 +152,7 @@ object SnapshotUpsert {
       if (version >= 0) CommitLog.filesAt(dir, version.toLong)
       else CommitLog.currentFiles(dir)
     val schema = CommitLog.schemaOf(dir)
-    val df =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    val df = CommitLog.readFiles(spark, dir, schema, files)
     deleteCol match {
       case Some(d) => df.where(!col(d)).drop(d)
       case None => df

@@ -286,12 +286,7 @@ object StreamingDedup {
         }
       }
       val oldBands =
-        if (bandFiles.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CommitLog.schemaOf(bandsDir))
-        else
-          spark.read.schema(CommitLog.schemaOf(bandsDir))
-            .parquet(bandFiles.map(f => s"$bandsDir/$f"): _*)
+        CommitLog.readFiles(spark, bandsDir, CommitLog.schemaOf(bandsDir), bandFiles)
       // estimated-Jaccard prefilter inline in both bucket joins (batch
       // operator's exact machinery — see Dedup.estimateCut): the low-j
       // candidate mass dies in codegen before distinct/verify.
@@ -417,13 +412,7 @@ object StreamingDedup {
             pruneBandFiles(shFilesAll, touched)
           }
         val oldSh =
-          if (shFilesSel.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              CommitLog.schemaOf(shinglesDir))
-          else
-            spark.read.schema(CommitLog.schemaOf(shinglesDir))
-              .parquet(shFilesSel.map(f => s"$shinglesDir/$f"): _*)
+          CommitLog.readFiles(spark, shinglesDir, CommitLog.schemaOf(shinglesDir), shFilesSel)
         // the coverage gate above inspects only COMMITTED data, so a
         // duplicate-heavy catch-up batch could still make the candidate
         // id set broadcast-fatal (the adjacent index join guards its

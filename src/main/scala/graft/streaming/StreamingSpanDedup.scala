@@ -143,12 +143,7 @@ object StreamingSpanDedup {
         TieredCompaction.pruneFiles(allFiles, touched)
       }
     val index =
-      if (spanFiles.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CommitLog.schemaOf(spansDir))
-      else
-        spark.read.schema(CommitLog.schemaOf(spansDir))
-          .parquet(spanFiles.map(f => s"$spansDir/$f"): _*)
+      CommitLog.readFiles(spark, spansDir, CommitLog.schemaOf(spansDir), spanFiles)
     // new = never seen by any earlier batch; localCheckpoint pins the
     // frame because THREE consumers read it (keepers, kept join, index
     // append) and the anti-join must not re-probe the index per consumer.
