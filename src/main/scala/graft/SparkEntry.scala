@@ -2574,8 +2574,11 @@ object SparkEntry {
     "doc_unigram_rarity" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val (model, total) = graft.operators.UnigramModel.fit(docs, "text", size = 16)
-      graft.operators.UnigramModel.score(docs, "doc_id", "text", model, total)
-        .orderBy(col("doc_id"))
+      // sort the cheap input, score after (order-preserving projection):
+      // the trailing orderBy's sampling pass evaluated the rarity fold
+      // twice and AQE-coalesced it onto one task (see sortedSpread)
+      graft.operators.UnigramModel.score(
+        sortedSpread(docs, col("doc_id")), "doc_id", "text", model, total)
     }),
 
     // --- the same scoring through UnigramModel.scoreLarge's BROADCAST-
@@ -3087,11 +3090,12 @@ object SparkEntry {
     //     trick): linear model over md5-hashed bag-of-token features as
     //     a PURE PROJECTION — zero shuffles over the corpus; integer
     //     weights keep the score exact for the oracle ---
+    // sortedSpread FIRST, classify after (order-preserving projection):
+    // the trailing orderBy's sampling pass scored every doc twice
     "doc_classifier" -> ((s, dir) =>
       graft.operators.Classifier
-        .classify(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          dims = 256, weightOf = b => (b % 7) - 3, bias = 2L)
-        .orderBy(col("doc_id"))),
+        .classify(sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id")),
+          "doc_id", "text", dims = 256, weightOf = b => (b % 7) - 3, bias = 2L)),
 
     // --- same model through the weight-TABLE plan (bucket → weight,
     //     broadcast left join + one map-side-combined aggregate) — the
@@ -3115,11 +3119,11 @@ object SparkEntry {
     //     weight list and left-folds, DuckDB's list sum order. ---
     "doc_classifier_float" -> ((s, dir) =>
       graft.operators.Classifier
-        .classify(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        .classify(sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id")),
+          "doc_id", "text",
           dims = 256,
           weightOf = b => sqrt((b + lit(1)).cast("double")) / lit(8.0) - lit(1.0),
-          bias = lit(0.5), threshold = lit(40.0))
-        .orderBy(col("doc_id"))),
+          bias = lit(0.5), threshold = lit(40.0))),
 
     // --- FLOAT-weight classifier (weight-TABLE path): the join
     //     re-aggregate's addition order is partition-nondeterministic,
@@ -3170,13 +3174,17 @@ object SparkEntry {
     //     byte arithmetic; the oracle recomputes the dimensions that were
     //     encoded, so the gate verifies the encode→parse round trip. ---
     "mm_decode" -> ((s, dir) => {
+      // sortedSpread the cheap input; synthesize/decode/resize are
+      // order-preserving projections and media_id == doc_id, so the
+      // output stays globally sorted without a trailing orderBy (whose
+      // sampling pass ran the byte-arithmetic trees twice on one task)
       val media = graft.operators.Multimodal.synthesizeContainers(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id")),
+        "doc_id", "text")
       graft.operators.Multimodal
         .resizeMeta(graft.operators.Multimodal.decodeHeaders(media), maxDim = 512)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"), col("size_bytes"), col("resized_width"), col("resized_height"))
-        .orderBy(col("media_id"))
     }),
 
     // --- audio/video header decode: WAV via a real RIFF chunk walk
@@ -3185,10 +3193,11 @@ object SparkEntry {
     //     synthesized valid containers, exact encode→parse round-trip
     //     oracle, pure codegen'd byte arithmetic like mm_decode ---
     "mm_av_decode" -> ((s, dir) => {
+      // same sortedSpread-then-project shape as mm_decode
       val media = graft.operators.Multimodal.synthesizeAvContainers(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        sortedSpread(s.read.parquet(s"$dir/documents.parquet"), col("doc_id")),
+        "doc_id", "text")
       graft.operators.Multimodal.decodeAvHeaders(media)
-        .orderBy(col("media_id"))
     })
   )
 

@@ -77,7 +77,9 @@ object BigramModel {
       backoffMult: Long = 2L
   ): DataFrame = {
     require(backoffMult >= 1, s"backoffMult must be >= 1: $backoffMult")
-    val bgs = docs
+    // spread before the explode+join map side (r18): a one-split corpus
+    // otherwise scores on a single task (batch-only entry point)
+    val bgs = Spread.small(docs)
       .select(col(idCol).as("__doc"), TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(col("__doc"), explode(TextFunctions.tokenNgrams(col("__ts"), 2)).as("__bg"))
       .withColumn("__w1", split_part(col("__bg"), lit(" "), lit(1)))

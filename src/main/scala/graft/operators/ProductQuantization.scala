@@ -41,7 +41,11 @@ object ProductQuantization {
   ): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val ds = dim / m
-    val c = corpus.select(
+    // spread before heavy per-row compute (r18): the per-row code
+    // assignment (m x k interpreted centroid scorings) otherwise runs
+    // on the input's single parquet split — one 0.4 s task per
+    // iteration at gate scale; a no-op at real scale (Spread.small)
+    val c = Spread.small(corpus).select(
       col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     // deterministic init: subvectors of the k lowest-id vectors
@@ -143,7 +147,8 @@ object ProductQuantization {
       iterations: Int = 2
   ): DataFrame = {
     val codebooks = train(corpus, idCol, vecCol, dim, m, codebookSize, iterations)
-    val encoded = corpus.select(
+    // spread before the per-row encode, same rationale as train (r18)
+    val encoded = Spread.small(corpus).select(
       col(idCol).as("nid"),
       encode(col(vecCol), codebooks).as("__codes"))
     val reconstructed = encoded.select(
@@ -229,7 +234,8 @@ object ProductQuantization {
     val vd = transform(col(vecCol), x => x.cast("double"))
     // one broadcast for corpus assignment + probes (VERDICT r14 #3)
     val bc = Similarity.broadcastCentroids(coarse)
-    val bucketed = corpus.select(
+    // spread before the per-row assign+encode, same rationale as train
+    val bucketed = Spread.small(corpus).select(
       col(idCol).as("nid"),
       Similarity.nearestCentroidBuckets(vd, bc, 1).getItem(0).as("bucket"),
       encode(col(vecCol), codebooks).as("__codes"))

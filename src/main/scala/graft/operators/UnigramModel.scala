@@ -106,7 +106,8 @@ object UnigramModel {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       return score(docs, idCol, textCol, m, total)
     }
-    val toks = docs.select(
+    // spread before the tokenize+explode map side (r18, batch-only)
+    val toks = Spread.small(docs).select(
       col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__tok"))
     val cnt = coalesce(col("__cnt"), lit(1L))
     toks
