@@ -110,6 +110,25 @@ object StreamingDedup {
   private[streaming] def footerRows(spark: SparkSession, dir: String): Long =
     CommitLog.rowCount(spark, dir)
 
+  /** Run independent driver actions concurrently (guide §2.6: Spark
+    * schedules jobs submitted from several threads at once, so a later
+    * job's tasks back-fill executors freed by the current job's tail).
+    * Propagates the first failure; always waits for every unit.
+    */
+  private[streaming] def parallelUnits(units: Seq[() => Unit]): Unit = {
+    if (units.size <= 1) { units.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(units.size)
+    try {
+      val fs = units.map(u => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = u()
+      }))
+      fs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Bucket-hash partition count for the COMPACTED bands index layout
     * (VERDICT r14 #5): [[compactIndex]] rewrites the index into
     * `__p64=<k>/` partition dirs keyed on `xxhash64(band, bucket) % 64`,
@@ -461,9 +480,17 @@ object StreamingDedup {
           case Some(b) => CommitLog.append(df, s"$workDir/$dataset", b): Unit
           case None => CommitLog.appendAlways(df, s"$workDir/$dataset")
         }
-        commit(pairs2, "pairs")
-        commit(newBands, "bands")
-        commit(newSh, "shingles")
+        // the three datasets are independent logs, so their commit jobs
+        // run CONCURRENTLY (guide-§2.6 overlap): the two projection
+        // writes (bands/shingles, reads of the persisted base) back-fill
+        // executors while the verify pipeline's write finishes its tail.
+        // Replay correctness never depended on commit ORDER — each
+        // append is atomic + idempotent per batchId, and the self-pair
+        // guard already covers index-before-pairs interleavings.
+        parallelUnits(Seq(
+          () => commit(pairs2, "pairs"),
+          () => commit(newBands, "bands"),
+          () => commit(newSh, "shingles")))
         def bytesOf(dir: String, fs: Seq[String]): Long =
           fs.map(f => new java.io.File(s"$dir/$f").length).sum
         BatchStats(replayed = false,
@@ -581,29 +608,38 @@ object StreamingDedup {
       maxTiers: Int = DefaultMaxTiers
   ): Map[String, DatasetCompaction] = {
     require(maxTiers >= 1, s"maxTiers must be >= 1, got $maxTiers")
-    Map(
-      "bands" -> TieredCompaction.compactKeyed(spark, s"$workDir/bands", targetRecordsPerFile,
-        bandsPartitions match {
-          case AutoLayout => AutoLayout
-          case FollowIndexPartitions => indexPartitions
-          case bp =>
-            require(bp >= 1, s"bandsPartitions must be >= 1 or a sentinel, got $bp"); bp
-        },
-        keyCols = Seq("band", "bucket"), hybridSort = Seq("id"),
-        incremental, maxTiers),
+    // the three datasets are independent logs with independent replace
+    // commits — compact them CONCURRENTLY (guide-§2.6 overlap; same
+    // single-writer-per-dataset contract as before)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, DatasetCompaction]()
+    parallelUnits(Seq(
+      () => out.put("bands",
+        TieredCompaction.compactKeyed(spark, s"$workDir/bands", targetRecordsPerFile,
+          bandsPartitions match {
+            case AutoLayout => AutoLayout
+            case FollowIndexPartitions => indexPartitions
+            case bp =>
+              require(bp >= 1, s"bandsPartitions must be >= 1 or a sentinel, got $bp"); bp
+          },
+          keyCols = Seq("band", "bucket"), hybridSort = Seq("id"),
+          incremental, maxTiers)): Unit,
       // the shingles log partitions on the id the verify joins probe by,
       // so per-batch verify reads prune to the partitions candidate ids
       // hash into (see the oldSh prune in [[processBatch]]); one row per
       // doc, so there is no locality to lose and no AUTO decision needed
-      "shingles" -> TieredCompaction.compactKeyed(spark, s"$workDir/shingles", targetRecordsPerFile,
-        indexPartitions, keyCols = Seq("id"), hybridSort = Seq("id"),
-        incremental, maxTiers),
+      () => out.put("shingles",
+        TieredCompaction.compactKeyed(spark, s"$workDir/shingles", targetRecordsPerFile,
+          indexPartitions, keyCols = Seq("id"), hybridSort = Seq("id"),
+          incremental, maxTiers)): Unit,
       // confirmed pairs: no probe joins read this by key, so it stays
       // the single-partition sorted layout — but tiered, so a nightly
       // re-compaction folds only the pairs appended since the last one
-      "pairs" -> TieredCompaction.compactKeyed(spark, s"$workDir/pairs", targetRecordsPerFile,
-        1, keyCols = Seq("id1", "id2"), hybridSort = Seq("id1", "id2"),
-        incremental, maxTiers))
+      () => out.put("pairs",
+        TieredCompaction.compactKeyed(spark, s"$workDir/pairs", targetRecordsPerFile,
+          1, keyCols = Seq("id1", "id2"), hybridSort = Seq("id1", "id2"),
+          incremental, maxTiers)): Unit))
+    Map("bands" -> out.get("bands"), "shingles" -> out.get("shingles"),
+      "pairs" -> out.get("pairs"))
   }
 
 }

@@ -215,14 +215,26 @@ object StreamingSpanDedup {
       indexPartitions: Int = 64,
       incremental: Boolean = true,
       maxTiers: Int = TieredCompaction.DefaultMaxTiers
-  ): Map[String, TieredCompaction.DatasetCompaction] = Map(
-    "spans" -> TieredCompaction.compactKeyed(spark, s"$workDir/spans", targetRecordsPerFile,
-      indexPartitions, keyCols = Seq("sh"), hybridSort = Seq("sh"), incremental, maxTiers),
-    "docs" -> {
-      // sorted single-partition tiers on the id column (recorded in the
-      // log's schema at init — first field by construction)
-      val idCol = CommitLog.schemaOf(s"$workDir/docs").fieldNames.head
-      TieredCompaction.compactKeyed(spark, s"$workDir/docs", targetRecordsPerFile,
-        1, keyCols = Seq(idCol), hybridSort = Seq(idCol), incremental, maxTiers)
-    })
+  ): Map[String, TieredCompaction.DatasetCompaction] = {
+    // independent logs, independent replace commits — compact them
+    // concurrently, like StreamingDedup.compactIndexDetailed. (The
+    // per-BATCH commits above stay strictly ordered: docs before spans
+    // is a replay-correctness invariant; compaction rewrites committed
+    // data only, so no such ordering exists between these two.)
+    val out =
+      new java.util.concurrent.ConcurrentHashMap[String, TieredCompaction.DatasetCompaction]()
+    StreamingDedup.parallelUnits(Seq(
+      () => out.put("spans",
+        TieredCompaction.compactKeyed(spark, s"$workDir/spans", targetRecordsPerFile,
+          indexPartitions, keyCols = Seq("sh"), hybridSort = Seq("sh"),
+          incremental, maxTiers)): Unit,
+      () => out.put("docs", {
+        // sorted single-partition tiers on the id column (recorded in the
+        // log's schema at init — first field by construction)
+        val idCol = CommitLog.schemaOf(s"$workDir/docs").fieldNames.head
+        TieredCompaction.compactKeyed(spark, s"$workDir/docs", targetRecordsPerFile,
+          1, keyCols = Seq(idCol), hybridSort = Seq(idCol), incremental, maxTiers)
+      }): Unit))
+    Map("spans" -> out.get("spans"), "docs" -> out.get("docs"))
+  }
 }
