@@ -194,17 +194,25 @@ object Bench {
     // the line must fit the harness's ~2000-char tail window with room for
     // preceding noise: degrade timing precision, and when even 1-decimal
     // timings for every query cannot fit (≥~90 queries), drop the per-query
-    // map from STDOUT entirely and point at BENCH_LINE.json — a truncated
-    // line parses as null and loses everything; a pointer loses nothing
-    // (BENCH_LINE.json carries the identical contract JSON at full
-    // precision and is committed with the repo)
+    // map from STDOUT entirely and point at a queries file — a truncated
+    // line parses as null and loses everything; a pointer loses nothing.
+    // The pointer names a RUN-SCOPED file (cpus + sf in the name,
+    // VERDICT r18 #1): the driver benches the same tree at 32 cores AND
+    // a low core count, and a single shared filename meant the second
+    // run overwrote the first's per-query data — PERF rounds 17/18 had
+    // n_common=0 and an empty scaling block for exactly that reason.
+    // BENCH_LINE.json (unscoped) is still written for compatibility and
+    // is what the repo commits from the 32-core refresh.
+    val sfLabel = Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val scopedLineFile = s"BENCH_LINE_c${cpus}_$sfLabel.json"
     val qsBudget = (1700 - errJson.length).max(600)
     val total = timings.values.filter(_ >= 0).sum
     val line = Seq(3, 2, 1).map(qsAt).find(_.length <= qsBudget) match {
       case Some(qs) =>
         s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)}$errJson}"""
       case None =>
-        s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${timings.size},"queries_file":"BENCH_LINE.json","sf":${q(sfDir)}$errJson}"""
+        s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${timings.size},"queries_file":${q(scopedLineFile)},"sf":${q(sfDir)}$errJson}"""
     }
     // detail file keeps full-length error messages (no tail-window budget)
     val errJsonFull =
@@ -215,13 +223,17 @@ object Bench {
       s"""{"repeats":$repeats,"fixtures_sec":${"%.3f".format(fixturesSec)},"queries":${qsAt(3)},"runs":$runsJson$errJsonFull}\n"""
         .getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    // full-precision contract line as a file: immune to the stdout
-    // tail-window budget, so precision degradation never loses data
-    try Files.write(
-      Paths.get("BENCH_LINE.json"),
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${qsAt(3)},"sf":${q(sfDir)}$errJsonFull}\n"""
-        .getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // full-precision contract line as files: immune to the stdout
+    // tail-window budget, so precision degradation never loses data.
+    // Written twice — the run-scoped name the stdout pointer references
+    // (per-(cpus, sf) so concurrent/back-to-back driver runs never
+    // clobber each other) and the legacy unscoped name.
+    val lineJson =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","cpus":$cpus,"queries":${qsAt(3)},"sf":${q(sfDir)}$errJsonFull}\n"""
+    Seq(scopedLineFile, "BENCH_LINE.json").foreach { f =>
+      try Files.write(Paths.get(f), lineJson.getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
     // after spark.stop() so no executor/log noise can print after it
     println(line)

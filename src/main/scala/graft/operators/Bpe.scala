@@ -182,9 +182,14 @@ object Bpe {
         lit(Matcher.quoteReplacement(m.lft + m.rgt + SymSep))))
     // back to the token array: drop word boundaries, split on SymSep
     // (the trailing separator leaves one empty slot; real tokens are
-    // never empty, so the length filter only strips that artifact)
-    filter(split(translate(merged, WordSep, ""), Pattern.quote(SymSep)),
-      t => length(t) > 0)
+    // never empty, so the length filter only strips that artifact).
+    // NULL text stays NULL (ADVICE r18): concat_ws swallows the null
+    // token array, so the packed pipeline alone would return [] where
+    // the pre-r18 fold chain (and the null-in-null-out convention of
+    // every other text expression here) returned null.
+    when(text.isNotNull,
+      filter(split(translate(merged, WordSep, ""), Pattern.quote(SymSep)),
+        t => length(t) > 0))
   }
 
   /** Separators for the string-packed segment representation in

@@ -122,9 +122,21 @@ object StreamingDedup {
       val fs = units.map(u => pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = u()
       }))
-      fs.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      // collect EVERY outcome before rethrowing (ADVICE r18): bailing on
+      // the first failed get() left the remaining commit/compaction jobs
+      // running in the background while the caller unwound and possibly
+      // retried/cleaned up concurrently — "always waits for every unit"
+      // must mean waits-then-throws, not throws-then-abandons
+      val failures = fs.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+          case e: Throwable => Some(e)
+        }
+      }
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed)
+        throw first
       }
     } finally pool.shutdown()
   }
@@ -487,10 +499,19 @@ object StreamingDedup {
         // Replay correctness never depended on commit ORDER — each
         // append is atomic + idempotent per batchId, and the self-pair
         // guard already covers index-before-pairs interleavings.
-        parallelUnits(Seq(
+        // ONLY when batchId is defined (ADVICE r18): the batchId-less
+        // mode commits via appendAlways (at-least-once, NOT idempotent),
+        // and concurrent commits there widen a partial failure from
+        // "an ordered prefix committed" to "any subset committed" —
+        // a caller retry then duplicate-appends datasets whose reads
+        // are not all defensively deduped (only pairs is). Sequential
+        // order restores the documented prefix semantics.
+        val commits = Seq(
           () => commit(pairs2, "pairs"),
           () => commit(newBands, "bands"),
-          () => commit(newSh, "shingles")))
+          () => commit(newSh, "shingles"))
+        if (batchId.isDefined) parallelUnits(commits)
+        else commits.foreach(_.apply())
         def bytesOf(dir: String, fs: Seq[String]): Long =
           fs.map(f => new java.io.File(s"$dir/$f").length).sum
         BatchStats(replayed = false,

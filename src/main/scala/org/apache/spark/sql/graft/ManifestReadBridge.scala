@@ -52,6 +52,13 @@ object ManifestReadBridge {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val statuses = paths.map { p =>
       val f = new java.io.File(p)
+      // fail FAST on a manifest-listed file missing on disk (ADVICE r18):
+      // java.io.File.length() is 0 for a nonexistent path, so a pruned or
+      // partially-restored data file would otherwise become a 0-length
+      // status and a silently EMPTY scan — in a dedup index read that is
+      // silently dropped committed data, where spark.read.parquet failed
+      // loudly. The stat is already being performed; only the check is new.
+      require(f.isFile, s"manifest-listed file missing on disk: $p")
       new FileStatus(f.length(), false, 1, 128L * 1024 * 1024, f.lastModified(),
         new Path(f.toURI))
     }.toArray

@@ -85,4 +85,16 @@ class BpeExprParitySpec extends AnyFunSuite {
       assert(got == refTokens(text, merges), s"text='$text'")
     }
   }
+
+  test("tokensCol null text yields null, not an empty array (ADVICE r18)") {
+    val merges = Seq(BpeMerge(1, "a", "b", "ab", 1L))
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "ab"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Bpe.tokensCol($"text", merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isEmpty, "null text must stay null (pre-r18 fold semantics)")
+    assert(rows(2L).map(_.asInstanceOf[scala.collection.Seq[_]].toList).contains(Nil),
+      "empty text tokenizes to an empty array")
+    assert(rows(3L).map(_.asInstanceOf[scala.collection.Seq[_]].toList).contains(List("ab")))
+  }
 }
