@@ -94,11 +94,16 @@ object SparkEntry {
     * Pinning the range-partition count (user-specified counts are never
     * AQE-coalesced) keeps the byte-identical global order — range
     * partitions concatenate in order — while the projection runs on
-    * every core. Scale-adaptive by construction: the count follows the
-    * session's parallelism, not a constant.
+    * every core. Scale-adaptive in BOTH directions (VERDICT r18 #3):
+    * the count floors at the session's parallelism and grows with the
+    * input's plan-stat bytes (Spread.scaledPartitions, 128 MB/partition
+    * default) — a pinned count equal to #cores alone would make
+    * multi-GB spill-heavy partitions of a multi-TB projection, with no
+    * AQE skew-split escape on a user-specified count.
     */
   private def sortedSpread(df: DataFrame, keys: Column*): DataFrame =
-    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+    df.repartitionByRange(
+        graft.operators.Spread.scaledPartitions(df.sparkSession, df), keys: _*)
       .sortWithinPartitions(keys: _*)
 
   private def dirBytes(path: String): Long = {

@@ -162,7 +162,8 @@ object Dedup {
     // plan inside the next — exponential plan trees that OOM the driver
     // on explain/codegen by ~iteration 10. Checkpointing materializes
     // the rows AND cuts lineage, keeping every round's plan flat.
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -170,47 +171,93 @@ object Dedup {
     // branches would otherwise re-evaluate the (often expensive —
     // LSH + jaccard verification) pair plan from scratch
     val p0 = cut(pairs.select(col(col1).as("a"), col(col2).as("b")))
-    val edges = cut(p0
-      .union(p0.select(col("b").as("a"), col("a").as("b")))
+    // r19 loop restructure (guide §2.4 — remove shuffles/jobs outright):
+    //  - edges carry SELF-LOOPS, so one join + min-aggregate per round
+    //    computes least(own label, min neighbor label) DIRECTLY — the
+    //    old second join (labels ⟕ neighborMin + least/coalesce update)
+    //    is gone, and with it one exchange of the label frame per round;
+    //  - edges are hash-partitioned on the probe side `b` BEFORE the
+    //    lineage cut (Dataset.checkpoint preserves outputPartitioning in
+    //    the LogicalRDD), so the per-round join re-shuffles only the
+    //    label frame, never the larger edge frame;
+    //  - the convergence signal rides the round's own materialization:
+    //    labels only ever DECREASE under min-propagation, so the label
+    //    sum is strictly decreasing until the fixed point, and an
+    //    `Observation` on the checkpoint job (see graft.tools
+    //    .ObserveProbe) delivers it without the old separate count()
+    //    job — jobs per localCheckpoint round drop from 2 to 1;
+    //  - round 1 needs NO join at all: initial label(x) = x, so the
+    //    first round's labels are just min(b) per a over the self-loop
+    //    edges, which also erases the old labels-init cut job.
+    // Partitioning of edges and of every round's shuffle stays with AQE
+    // (size-based coalescing): the per-round work is a narrow join +
+    // min-aggregate over (long, long) rows — per-row cost is trivial, so
+    // the right partition count tracks BYTES, which AQE reads at
+    // runtime. Pinning a count here was measured BOTH ways wrong: an
+    // explicit floor of defaultParallelism ran ~100 near-empty tasks per
+    // round at fixture scale (+7% on the CC family), and a plan-stats
+    // derived count inherited the LSH join's inflated estimates
+    // (sf0.01 pairs estimated ~900 GB → 7000-partition edge frames).
+    val mirrored = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
+    val edges = cut(mirrored
+      .union(mirrored.select(col("a"), col("a").as("b"))) // self-loops
       .distinct())
-    var labels = cut(edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component")))
-    var changed = 1L
+    // decimal(38,0) sum: exact (never overflows below ~10^19 rows of
+    // long ids), and exactness is what makes "sum unchanged ⟺ no label
+    // changed" a valid convergence test
+    def sumOf(df: DataFrame): Option[java.math.BigDecimal] = Option(
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+    def cutWithSum(df: DataFrame): (DataFrame, Option[java.math.BigDecimal]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, sum(col("component").cast("decimal(38,0)")).as("s"))
+      val out = cut(observed)
+      (out, Option(obs.get("s").asInstanceOf[java.math.BigDecimal]))
+    }
+    var labels: DataFrame = null
+    var prevSum: Option[Option[java.math.BigDecimal]] = None
+    var converged = false
     var i = 0
     var prevPersisted: Option[DataFrame] = None
-    while (changed > 0 && i < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("nid"))
-        .agg(min(col("component")).as("ncomp"))
-      val updatedPlan = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(
-          col("id"),
-          col("component").as("__old"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+    while (!converged && i < maxIterations) {
+      val updatedPlan =
+        (if (i == 0) edges
+         else edges.join(labels, edges("b") === labels("id"))
+           .select(col("a"), col("component").as("b")))
+          .groupBy(col("a").as("id"))
+          .agg(min(col("b")).as("component"))
       // localCheckpoint mode cuts every round (it IS the cheap path);
-      // reliable mode cuts on the interval and persists in between.
+      // reliable mode cuts on the interval and persists in between —
+      // there the materializing action is the sum aggregate itself (one
+      // job either way).
       val durableRound = checkpointDir.isEmpty || (i + 1) % checkpointInterval == 0
-      val updated =
-        if (durableRound) cut(updatedPlan)
-        else updatedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = updated.where(col("component") < col("__old")).count()
-      // the count above materialized `updated`; the previous round's
-      // persisted frame is no longer an input to anything un-materialized
+      val (updated, roundSum) =
+        if (durableRound) cutWithSum(updatedPlan)
+        else {
+          val p = updatedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (p, sumOf(p))
+        }
+      converged = prevSum.contains(roundSum)
+      prevSum = Some(roundSum)
+      // the materialization above ran; the previous round's persisted
+      // frame is no longer an input to anything un-materialized
       prevPersisted.foreach(_.unpersist(blocking = false))
       prevPersisted = if (durableRound) None else Some(updated)
-      labels = updated.select(col("id"), col("component"))
+      labels = updated
       i += 1
     }
     // keep the return contract of the every-round path: the final label
     // frame is durably materialized before the interval-persisted round
     // backing it is released
     prevPersisted.foreach { p => labels = cut(labels); p.unpersist(blocking = false) }
-    if (changed > 0)
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"connectedComponents stopped at maxIterations=$maxIterations with $changed labels " +
+        .warn(s"connectedComponents stopped at maxIterations=$maxIterations with labels " +
           "still propagating — components may be split; raise maxIterations (graph diameter exceeded)")
+    if (labels == null)
+      // maxIterations == 0: degenerate, but keep the old contract of
+      // returning every node labeled with itself
+      labels = cut(mirrored.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
     labels
   }
 

@@ -138,7 +138,8 @@ object TieredCompaction {
       val p = baseModuli.head
       val deltaDf = CommitLog.readFiles(spark, dir, CommitLog.schemaOf(dir), delta)
       val fresh = writeTier(spark, dir, deltaDf, p, keyCols, hybridSort,
-        targetRecordsPerFile, rows = footerRowsOf(spark, dir, delta))
+        targetRecordsPerFile, rows = footerRowsOf(spark, dir, delta),
+        inputBytes = deltaBytes)
       publishReplace(dir, base ++ fresh)
       return DatasetCompaction(all.size.toLong, (base.size + fresh.size).toLong,
         "minor", s"p$p", tiers + 1, deltaBytes, baseBytes)
@@ -158,14 +159,16 @@ object TieredCompaction {
       else if (wantP != AutoLayout) wantP
       else autoDefault
     var p = autoP
-    var fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows)
+    var fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows,
+      inputBytes = inBytes)
     if (partitions == AutoLayout && p > 1 &&
         bytesOf(fresh) > (AutoInflationRatio * inBytes).toLong) {
       // measured inflation: discard the partitioned fileset (never
       // committed — invisible to every reader) and write the hybrid
       fresh.map(tierOf).distinct.foreach(t => deleteRecursively(new java.io.File(s"$dir/$t")))
       p = 1
-      fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows)
+      fresh = writeTier(spark, dir, df, p, keyCols, hybridSort, targetRecordsPerFile, rows,
+        inputBytes = inBytes)
     }
     publishReplace(dir, fresh)
     DatasetCompaction(all.size.toLong, fresh.size.toLong, "major", s"p$p", 1,
@@ -196,21 +199,27 @@ object TieredCompaction {
       keyCols: Seq[String],
       hybridSort: Seq[String],
       targetRecordsPerFile: Long,
-      rows: Long): Seq[String] = {
+      rows: Long,
+      inputBytes: Long): Seq[String] = {
     val pcol = s"__p$p"
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$uuid"
     if (p <= 1) {
-      // r18: partition count capped at the session's parallelism, file
-      // sizing delegated to maxRecordsPerFile (each task rolls files at
-      // the target) — one range partition PER FILE paid a sampling pass
+      // r18: partition count no longer one-per-file, file sizing
+      // delegated to maxRecordsPerFile (each task rolls files at the
+      // target) — one range partition PER FILE paid a sampling pass
       // and a task launch per hundred-ish rows (the tiered gate's major
       // wrote 334 one-file tasks; measured 2x slower than 32 rolling
       // tasks for the identical on-disk layout). Same layout contract:
       // files sorted on hybridSort, ≈targetRecordsPerFile rows each.
+      // r19 (VERDICT r18 #3): the cap is data-size adaptive — floor at
+      // the session's parallelism, scale with the MEASURED input bytes
+      // (known exactly from the files being compacted), so a multi-TB
+      // major rewrite never funnels through #cores write tasks.
       val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-      val nParts = math.min(nFiles,
-        math.max(spark.sparkContext.defaultParallelism, 1)).toInt
+      val nParts = math.min(nFiles.toLong,
+        graft.operators.Spread.scaledPartitions(spark, BigInt(inputBytes)).toLong).toInt
+        .max(1)
       df.repartitionByRange(nParts, hybridSort.map(col): _*)
         .sortWithinPartitions(hybridSort.map(col): _*)
         .withColumn(pcol, lit(0))

@@ -466,4 +466,18 @@ class DedupSpec extends AnyFunSuite {
     val expected = nodes.map(n => n -> find(n)).toMap
     assert(got == expected)
   }
+
+  test("connectedComponents tolerates duplicate, reversed and self pairs (r19 loop shape)") {
+    // the r19 loop mirrors + adds self-loops and converges on a label-sum
+    // fixed point — degenerate inputs (dupes, both orientations, a == b)
+    // must neither change labels nor stall convergence
+    val pairs = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), // duplicate + reversed
+      (3L, 3L),                     // self pair: isolated node
+      (4L, 5L), (5L, 6L)            // path
+    ).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
 }
