@@ -2945,12 +2945,16 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 5)
       val exact = exactKnnTop10(s, dir)
-      // corpus-proportional shortlist, same rationale as emb_knn_pq_recall
-      val ivfpqShortlist = math.max(100L, emb.count() / 20L).toInt
+      // corpus-proportional shortlist, same rationale as emb_knn_pq_recall;
+      // the ONE count also sizes the coarse quantizer (identical value to
+      // the auto path, which re-counted the same frame — r19: one job)
+      val embRows = emb.count()
+      val ivfpqShortlist = math.max(100L, embRows / 20L).toInt
       val approx = graft.operators.ProductQuantization
         .ivfPqTopKRerank(emb, queries, "vec_id", "embedding", 10,
           dim = 64, m = 8, codebookSize = 16, iterations = 2,
-          shortlist = ivfpqShortlist) // nCentroids/nProbe auto: sqrt scaling
+          nCentroids = graft.operators.Similarity.autoCentroids(embRows),
+          shortlist = ivfpqShortlist) // nProbe auto: sqrt scaling
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       exact.join(approx, Seq("qid", "nid"), "left")
         .groupBy(col("qid"))

@@ -42,9 +42,9 @@ object ProductQuantization {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val ds = dim / m
     // spread before heavy per-row compute (r18): the per-row code
-    // assignment (m x k interpreted centroid scorings) otherwise runs
-    // on the input's single parquet split — one 0.4 s task per
-    // iteration at gate scale; a no-op at real scale (Spread.small)
+    // assignment (m x k centroid scorings) otherwise runs on the
+    // input's single parquet split — one 0.4 s task per iteration at
+    // gate scale; a no-op at real scale (Spread.small)
     val c = Spread.small(corpus).select(
       col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -55,26 +55,28 @@ object ProductQuantization {
     var iter = 0
     while (iter < iterations) {
       // ALL subspaces assigned and re-estimated in ONE aggregation pass:
-      // per row compute the m codes, explode the vector once, key every
-      // dimension by (subspace, that subspace's code, dim-in-subspace).
-      // The collect is m x k x ds doubles — the codebooks, never the data.
-      val codesCol = array(codebooks.zipWithIndex.map { case (cb, j) =>
-        nearestCodeIdx(slice(col("__v"), j * ds + 1, ds), typedlit(cb), cb.size)
-      }: _*)
+      // per row compute the m codes (native pq_encode against a
+      // per-iteration broadcast, destroyed after the eager collect),
+      // explode the vector once, key every dimension by (subspace, that
+      // subspace's code, dim-in-subspace). The collect is m x k x ds
+      // doubles — the codebooks, never the data.
+      val bc = broadcastCodebooks(codebooks)
       // codes staged into their own projection: a generator (posexplode)
       // sharing a select with a lambda-struct expression re-derives it and
       // drops the struct's field names (FIELD_NOT_FOUND on getField)
-      val sums = c
-        .select(col("__v"), codesCol.as("__codes"))
-        .select(col("__codes"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .select(
-          (col("__dim") / ds).cast("int").as("__sub"),
-          element_at(col("__codes"), (col("__dim") / ds).cast("int") + 1).as("__bucket"),
-          (col("__dim") % ds).cast("int").as("__sd"),
-          col("__x"))
-        .groupBy(col("__sub"), col("__bucket"), col("__sd"))
-        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
+      val sums =
+        try c
+          .select(col("__v"), encodeCol(col("__v"), bc).as("__codes"))
+          .select(col("__codes"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+          .select(
+            (col("__dim") / ds).cast("int").as("__sub"),
+            element_at(col("__codes"), (col("__dim") / ds).cast("int") + 1).as("__bucket"),
+            (col("__dim") % ds).cast("int").as("__sd"),
+            col("__x"))
+          .groupBy(col("__sub"), col("__bucket"), col("__sd"))
+          .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        finally bc.destroy()
       val bySub = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
       codebooks = codebooks.zipWithIndex.map { case (cb, j) =>
         cb.indices.map { b =>
@@ -90,43 +92,46 @@ object ProductQuantization {
     codebooks
   }
 
-  /** Index of the L2-nearest centroid: argmin ||v-c||^2 = argmin
-    * (c.c - 2 v.c), evaluated with the native [[Similarity.dot]] loop;
-    * deterministic ties (lowest index wins).
+  /** Codebooks → executor-resident broadcast for the native codec
+    * expressions. Callers whose consuming action is EAGER should
+    * `destroy()` afterwards; the convenience [[encode]]/[[decode]]
+    * overloads leave the (m × k × d/m doubles — KBs, not the IVF
+    * centroid table) copy to driver GC, acceptable for one-shot frames.
     */
-  private def nearestCodeIdx(vec: Column, centLit: Column, nCentroids: Int): Column =
-    slice(
-      transform(
-        array_sort(
-          zip_with(
-            transform(centLit, cv => Similarity.dot(cv, cv) - lit(2.0) * Similarity.dot(vec, cv)),
-            sequence(lit(0), lit(nCentroids - 1)),
-            (d, idx) => struct(d.cast("double").as("dist"), idx.cast("int").as("idx")))),
-        s => s.getField("idx")),
-      1, 1).getItem(0)
+  def broadcastCodebooks(
+      codebooks: Seq[Seq[Seq[Double]]]): org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]] =
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(codebooks.map(_.map(_.toArray).toArray).toArray)
+
+  private def encodeCol(
+      vecDouble: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqEncode(ColumnBridge.expression(vecDouble), bc))
+  }
+
+  private def decodeCol(
+      codes: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqDecode(ColumnBridge.expression(codes), bc))
+  }
 
   /** PQ codes for a vector column: array of `m` centroid indices, one per
-    * subspace. Per-row projection against the broadcast codebook literal.
+    * subspace. Per-row projection — a compiled argmin against broadcast
+    * codebooks ([[graft.functions.PqEncode]]; r19, was an interpreted
+    * HOF chain over a typedlit literal per subspace).
     */
-  def encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val ds = codebooks.head.head.size
-    val subCodes = codebooks.zipWithIndex.map { case (cb, j) =>
-      nearestCodeIdx(
-        transform(slice(vec, j * ds + 1, ds), x => x.cast("double")),
-        typedlit(cb), cb.size)
-    }
-    array(subCodes: _*)
-  }
+  def encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    encodeCol(transform(vec, x => x.cast("double")), broadcastCodebooks(codebooks))
 
   /** Reconstruct the quantized vector from its codes: concatenation of
     * the selected centroids — the corpus-side half of ADC scoring.
+    * Compiled concat against broadcast codebooks
+    * ([[graft.functions.PqDecode]]).
     */
-  def decode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val cbLit = typedlit(codebooks)
-    flatten(
-      zip_with(codes, sequence(lit(0), lit(codebooks.size - 1)),
-        (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
-  }
+  def decode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    decodeCol(codes, broadcastCodebooks(codebooks))
 
   /** Compressed-corpus cosine top-k (ADC): train codebooks, encode the
     * corpus to m codes per vector, reconstruct per row, and score the
