@@ -129,6 +129,42 @@ class TieredCompactionSpec extends AnyFunSuite {
     assert(readSorted(dir) == expected :+ (100L, "c"))
   }
 
+  test("sampled AUTO layout decides like the measured path above the row floor (r19)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val rows = TieredCompaction.AutoSampleMinRows + 40000 // probe engages
+    def bandsLike(copies: Int): (String, org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("tiered-auto").toString
+      CommitLog.init(dir, StructType(Seq(
+        StructField("id", LongType), StructField("band", IntegerType),
+        StructField("bucket", LongType), StructField("sigb", BinaryType))))
+      val df = spark.range(rows / copies)
+        .select(col("id"), explode(sequence(lit(0), lit(copies - 1))).as("band"))
+        .select(col("id"), col("band").cast("int").as("band"),
+          xxhash64(col("id"), col("band")).as("bucket"),
+          // fat per-id payload: adjacent under the id sort, scattered by
+          // the (band, bucket) hash layout
+          unhex(concat((0 until 12).map(i =>
+            lpad(hex(xxhash64(col("id"), lit(i))), 16, "0")): _*)).as("sigb"))
+        .repartition(4, col("id")).sortWithinPartitions(col("id"))
+      (dir, df)
+    }
+    def autoCompact(dir: String) = TieredCompaction.compactKeyed(
+      spark, dir, targetRecordsPerFile = 50000L,
+      partitions = TieredCompaction.AutoLayout,
+      keyCols = Seq("band", "bucket"), hybridSort = Seq("id"),
+      autoDefault = 16)
+    // duplicated fat payload: scattering kills dictionary adjacency →
+    // the sampled estimate must pick the hybrid, like the measured path
+    val (dupDir, dupDf) = bandsLike(copies = 20)
+    CommitLog.appendAlways(dupDf, dupDir)
+    assert(autoCompact(dupDir).layout == "p1", "inflating payload must pick the hybrid")
+    // unique payload per row: no locality to lose → stays partitioned
+    val (uniqDir, uniqDf) = bandsLike(copies = 1)
+    CommitLog.appendAlways(uniqDf, uniqDir)
+    assert(autoCompact(uniqDir).layout == "p16", "non-inflating payload must stay partitioned")
+  }
+
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       dst.mkdirs(): Unit
