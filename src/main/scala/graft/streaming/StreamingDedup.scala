@@ -87,6 +87,12 @@ object StreamingDedup {
   private[graft] val VerifySemiFilterConf =
     "spark.graft.streaming.verifySemiFilterMinBytes"
 
+  /** Concurrent compaction width for [[compactIndexDetailed]] (default
+    * 3 = one thread per dataset): see the envelope note there.
+    */
+  private[graft] val MaintenanceParallelismConf =
+    "spark.graft.streaming.maintenanceParallelism"
+
   private def verifySemiFilterMinBytes(spark: SparkSession): Long =
     spark.conf.getOption(VerifySemiFilterConf).map(_.toLong).getOrElse(VerifySemiFilterMinBytes)
 
@@ -115,9 +121,10 @@ object StreamingDedup {
     * job's tasks back-fill executors freed by the current job's tail).
     * Propagates the first failure; always waits for every unit.
     */
-  private[streaming] def parallelUnits(units: Seq[() => Unit]): Unit = {
-    if (units.size <= 1) { units.foreach(_.apply()); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(units.size)
+  private[streaming] def parallelUnits(units: Seq[() => Unit], maxThreads: Int = Int.MaxValue): Unit = {
+    val width = math.min(units.size, math.max(1, maxThreads))
+    if (width <= 1 || units.size <= 1) { units.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
     try {
       val fs = units.map(u => pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = u()
@@ -631,9 +638,19 @@ object StreamingDedup {
     require(maxTiers >= 1, s"maxTiers must be >= 1, got $maxTiers")
     // the three datasets are independent logs with independent replace
     // commits — compact them CONCURRENTLY (guide-§2.6 overlap; same
-    // single-writer-per-dataset contract as before)
+    // single-writer-per-dataset contract as before). Width is an ops
+    // knob (VERDICT r18 #6): each compaction pipeline carries its own
+    // shuffle/write footprint, so running all three at once trades
+    // ~Nx the maintenance pass's peak memory envelope for the overlap —
+    // cheap at fixture scale (MaintenanceEnvelopeProbe, 10x fixture,
+    // warm-JIT alternation: peak heap ~13% over staged for ~40% less
+    // wall time), but a memory-tight deployment can set
+    // `spark.graft.streaming.maintenanceParallelism` to 2 or 1 to stage
+    // the passes sequentially at the cost of idle tails.
+    val width = spark.conf.getOption(MaintenanceParallelismConf)
+      .map(_.toInt).getOrElse(3)
     val out = new java.util.concurrent.ConcurrentHashMap[String, DatasetCompaction]()
-    parallelUnits(Seq(
+    parallelUnits(maxThreads = width, units = Seq(
       () => out.put("bands",
         TieredCompaction.compactKeyed(spark, s"$workDir/bands", targetRecordsPerFile,
           bandsPartitions match {

@@ -223,7 +223,9 @@ object StreamingSpanDedup {
     // data only, so no such ordering exists between these two.)
     val out =
       new java.util.concurrent.ConcurrentHashMap[String, TieredCompaction.DatasetCompaction]()
-    StreamingDedup.parallelUnits(Seq(
+    val width = spark.conf.getOption(StreamingDedup.MaintenanceParallelismConf)
+      .map(_.toInt).getOrElse(2)
+    StreamingDedup.parallelUnits(maxThreads = width, units = Seq(
       () => out.put("spans",
         TieredCompaction.compactKeyed(spark, s"$workDir/spans", targetRecordsPerFile,
           indexPartitions, keyCols = Seq("sh"), hybridSort = Seq("sh"),
