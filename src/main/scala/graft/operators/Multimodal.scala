@@ -109,6 +109,17 @@ object Multimodal {
     * format sniffed from the magic number, dimensions/channels parsed
     * per-format, JPEG via a real bounded segment walk to SOF0/SOF2.
     * Pure codegen'd column arithmetic — scales as a projection.
+    *
+    * The JPEG walk offsets are staged as named intermediate COLUMNS for
+    * the same reason [[decodeAvHeaders]] stages its chunk/box walks:
+    * each step references its predecessor twice (advance + LE size
+    * read), so expression-chaining copies every step's tree into the
+    * next — ~2^depth growth that Catalyst then re-analyzes inside the
+    * sofPos fold and again inside each of width/height/channels. The
+    * staged offsets are gated on the JPEG magic so non-JPEG rows
+    * null-propagate out of the walk instead of parsing garbage
+    * (matching the old per-row profile, where the walk sat under
+    * `when(fmt === "jpeg", ...)`).
     */
   def decodeHeaders(media: DataFrame): DataFrame = {
     val p = col("payload")
@@ -132,20 +143,25 @@ object Multimodal {
 
     // JPEG: walk segments from offset 3 (after SOI) until an SOF marker.
     // Each non-SOF segment is FF <marker> <len BE16 incl itself>; the next
-    // segment starts at pos + 2 + len. Unrolled JpegWalkDepth times with
-    // column-valued offsets — stays in codegen, handles any APPn/COM run.
+    // segment starts at pos + 2 + len. Unrolled JpegWalkDepth times into
+    // staged columns (see scaladoc), handles any APPn/COM run.
     val sofMarkers = Seq("FFC0", "FFC1", "FFC2") // baseline, ext. sequential, progressive
     def isSof(pos: Column): Column = hex(p.substr(pos, lit(2))).isin(sofMarkers: _*)
-    def next(pos: Column): Column = pos + lit(2) + beInt(p, pos + 2, 2)
-    val offsets = Iterator.iterate(lit(3): Column)(next).take(JpegWalkDepth).toSeq
+    var staged = media.withColumn("__jp0", when(fmt === "jpeg", lit(3)).cast("int"))
+    (0 until JpegWalkDepth - 1).foreach { i =>
+      val pos = col(s"__jp$i")
+      staged = staged.withColumn(s"__jp${i + 1}", (pos + lit(2) + beInt(p, pos + 2, 2)).cast("int"))
+    }
+    val offsets = (0 until JpegWalkDepth).map(i => col(s"__jp$i"))
     val sofPos = offsets.reverse.foldLeft(lit(null).cast("int")) { (acc, pos) =>
       when(isSof(pos), pos.cast("int")).otherwise(acc)
     }
-    val jpegH = beInt(p, sofPos + 5, 2)
-    val jpegW = beInt(p, sofPos + 7, 2)
-    val jpegChannels = beInt(p, sofPos + 9, 1)
+    staged = staged.withColumn("__sof", sofPos)
+    val jpegH = beInt(p, col("__sof") + 5, 2)
+    val jpegW = beInt(p, col("__sof") + 7, 2)
+    val jpegChannels = beInt(p, col("__sof") + 9, 1)
 
-    media.select(
+    staged.select(
       col("media_id"),
       fmt.as("format"),
       when(fmt === "png", pngW).when(fmt === "gif", gifW).when(fmt === "jpeg", jpegW).as("width"),
