@@ -120,13 +120,19 @@ object SpanDedup {
     * anchoring reduced to a per-token predicate, which keeps the oracle
     * computation engine-portable (`md5` is bit-identical everywhere).
     *
-    * Scale shape: one shuffle on doc id for the running-max window that
-    * assigns tokens to their segment (per-doc state, bounded by document
-    * length — same bound as [[reassemble]]), then the span texts form in
-    * a map-side-combined aggregate keyed by (doc, segment, sub-span).
-    * The extra shuffle over the grid variant is the price of shift
-    * invariance; at 100 TB it is doc-id-partitioned and skew-bounded by
-    * the longest document, not by span popularity.
+    * Scale shape: span construction is ROW-LOCAL — anchor positions,
+    * sub-split boundaries and span texts are all array functions of the
+    * document's own token array, so the spans materialize in a pure
+    * projection with NO shuffle (r19; the first implementation exploded
+    * every token to a row and pushed the corpus token-by-token through
+    * a running-max window plus a (doc, segment, sub-span) aggregate —
+    * two exchanges of token-granularity rows carrying their token
+    * strings, guide §2.3/§2.4, and the per-doc state bound was the same
+    * one this version gets for free from row-locality). The staged
+    * arrays (`__a`, `__b`) are named columns, not chained expressions —
+    * each is referenced more than once, and CollapseProject keeps
+    * multiply-referenced non-cheap aliases in their own projection
+    * (the mm_decode lesson).
     */
   private[graft] def anchoredSpans(
       docs: DataFrame,
@@ -134,31 +140,39 @@ object SpanDedup {
       textCol: String,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(
         col(idCol).as("__doc"),
         filter(split(col(textCol), " "), t => t =!= "").as("__t"))
-      .select(col("__doc"), posexplode_outer(col("__t")).as(Seq("__pos", "__tok")))
-      .where(col("__tok").isNotNull)
-    val runningSeg = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seg = toks.withColumn(
-      "__segStart",
-      max(when(col("__pos") === 0 ||
-        substring(md5(col("__tok")), 1, 1) === "0", col("__pos"))).over(runningSeg))
-    seg
-      .groupBy(
-        col("__doc"), col("__segStart"),
-        ((col("__pos") - col("__segStart")) / lit(k)).cast("int").as("__sub"))
-      .agg(
-        min(col("__pos")).as("__idx"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-            s => s.getField("__tok")),
-          " ").as("__span"))
-      .select(col("__doc"), col("__idx"), col("__span"), xxhash64(col("__span")).as("__sh"))
+      // empty/null-text docs contribute no spans (the explode below
+      // emits nothing for them; the old posexplode_outer + isNotNull
+      // filter had the same net effect)
+      .where(size(col("__t")) > 0)
+    val n = size(col("__t"))
+    // anchor positions (0-based): position 0, plus every token whose md5
+    // hex rendering starts with '0' — identical predicate, evaluated once
+    // per token as before (just per array element instead of per row)
+    val anchors = filter(sequence(lit(0), n - 1),
+      i => (i === 0) ||
+        (substring(md5(element_at(col("__t"), i + 1)), 1, 1) === "0"))
+    // span boundaries: each anchor-free run [a_m, a_{m+1}) sub-splits
+    // every k tokens FROM THE RUN'S START — sequence(a_m, a_{m+1}-1, k);
+    // the final run ends at n. Boundaries stay globally ascending.
+    def withNext(arr: Column, last: Column): Column =
+      concat(slice(arr, lit(2), greatest(size(arr) - 1, lit(0))), array(last))
+    val staged = toks.withColumn("__a", anchors)
+    val bounds = flatten(zip_with(col("__a"), withNext(col("__a"), n),
+      (s, e) => sequence(s, e - 1, lit(k))))
+    val spans = staged.withColumn("__b", bounds)
+      .select(col("__doc"), col("__t"),
+        explode(zip_with(col("__b"), withNext(col("__b"), n),
+          (s, e) => struct(s.as("__idx"),
+            array_join(slice(col("__t"), s + 1, e - s), " ").as("__span")))).as("__sp"))
+    spans.select(
+      col("__doc"),
+      col("__sp").getField("__idx").as("__idx"),
+      col("__sp").getField("__span").as("__span"),
+      xxhash64(col("__sp").getField("__span")).as("__sh"))
   }
 
   /** [[dedupSpans]] with the content-anchored spans of

@@ -137,4 +137,61 @@ class SpanDedupSpec extends AnyFunSuite {
     val out = result(SpanDedup.scrubFrequentSpans(docs, "doc_id", "text", 2, maxOccurrences = 1))
     assert(out == Map(0L -> "r s", 1L -> "t u"))
   }
+
+  /** The pre-r19 anchoredSpans, VERBATIM: token-row explode + running-max
+    * window + (doc, segment, sub-span) aggregate. The row-local rewrite
+    * must reproduce its span rows exactly.
+    */
+  private def anchoredSpansReference(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(
+        col(idCol).as("__doc"),
+        filter(split(col(textCol), " "), t => t =!= "").as("__t"))
+      .select(col("__doc"), posexplode_outer(col("__t")).as(Seq("__pos", "__tok")))
+      .where(col("__tok").isNotNull)
+    val runningSeg = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = toks.withColumn(
+      "__segStart",
+      max(when(col("__pos") === 0 ||
+        substring(md5(col("__tok")), 1, 1) === "0", col("__pos"))).over(runningSeg))
+    seg
+      .groupBy(
+        col("__doc"), col("__segStart"),
+        ((col("__pos") - col("__segStart")) / lit(k)).cast("int").as("__sub"))
+      .agg(
+        min(col("__pos")).as("__idx"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("__span"))
+      .select(col("__doc"), col("__idx"), col("__span"), xxhash64(col("__span")).as("__sh"))
+  }
+
+  test("row-local anchored spans == the window/aggregate reference (randomized)") {
+    val rnd = new scala.util.Random(20260818)
+    // alphabet chosen so anchors actually fire: md5 first hex '0' has
+    // p=1/16 per distinct token; 40 tokens guarantees several anchored
+    // docs across 120 documents, plus crafted edge shapes
+    val vocab = (0 until 40).map(i => s"w$i")
+    val random = (0 until 120).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val edges = Seq(
+      (1000L, ""), (1001L, "   "), (1002L, "solo"),
+      (1003L, ("x " * 25).trim),          // one run sub-split by k
+      (1004L, vocab.mkString(" ")))       // every token distinct
+    val docs = (random ++ edges).toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val got = SpanDedup.anchoredSpans(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      val want = anchoredSpansReference(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == want, s"anchored spans diverge from reference at k=$k")
+    }
+  }
 }
