@@ -121,14 +121,72 @@ object Phrases {
       flush)
   }
 
+  /** 0-based start positions of adjacent token pairs present in the
+    * phrase literal — the match set the greedy walk consumes.
+    */
+  private def matchedPairPositions(ts: Column, phraseLit: Column): Column = {
+    val emptyI = array().cast("array<int>")
+    when(size(ts) < 2, emptyI).otherwise(
+      filter(sequence(lit(0), size(ts) - 2), i =>
+        array_contains(phraseLit,
+          concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2)))))
+  }
+
+  /** The greedy left-to-right non-overlap rule on a SORTED match-position
+    * list: position m fuses iff matched and m−1 did not just fuse. The
+    * walk is sequential by nature, but it runs over the sparse MATCH
+    * list, never the token array — the r19 rewrite that took the fuse
+    * step from O(tokens²) to O(tokens + matches²) per document (the old
+    * per-token `aggregate` fold copied its accumulated output array on
+    * every token; see [[fuseTokens]], kept as the reference).
+    */
+  private def fusePositions(mp: Column): Column = {
+    val st0 = struct(array().cast("array<int>").as("out"),
+      lit(-2).as("prev"), lit(false).as("prevFused"))
+    aggregate(mp, st0, (st, m) => {
+      val fused = !(st.getField("prevFused") && (m === st.getField("prev") + 1))
+      struct(
+        when(fused, concat(st.getField("out"), array(m)))
+          .otherwise(st.getField("out")).as("out"),
+        m.as("prev"), fused.as("prevFused"))
+    }, st => st.getField("out"))
+  }
+
+  /** Emit the fused token stream for precomputed fuse positions: each
+    * index yields its fused pair, nothing (consumed by the previous
+    * fuse), or the token itself. `fs` MUST be a named column at the call
+    * site — it sits inside the lambda, so an inline expression would be
+    * re-evaluated once per token.
+    */
+  private def emitFused(ts: Column, fs: Column): Column = {
+    val emptyS = array().cast("array<string>")
+    when(size(ts) < 1, emptyS).otherwise(
+      flatten(transform(sequence(lit(0), size(ts) - 1), i =>
+        when(array_contains(fs, i),
+          array(concat_ws("_", element_at(ts, i + 1), element_at(ts, i + 2))))
+          .when(array_contains(fs, i - 1), emptyS)
+          .otherwise(array(element_at(ts, i + 1))))))
+  }
+
   /** [[fuseTokens]] over a corpus: (idCol, fused) with `fused` the
     * phrase-merged token sequence of `textCol` — the tokenization a
-    * vocabulary build runs AFTER phrase mining.
+    * vocabulary build runs AFTER phrase mining. Value-exact with
+    * [[fuseTokens]] (PhrasesSpec pins it on randomized corpora), but
+    * built from the staged match-position columns, not the per-token
+    * fold.
     */
-  def fuseCorpus(docs: DataFrame, idCol: String, textCol: String, phrases: Seq[(String, String)]): DataFrame =
+  def fuseCorpus(docs: DataFrame, idCol: String, textCol: String, phrases: Seq[(String, String)]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must contain at least one (w1, w2) pair")
+    val phraseLit = typedlit(phrases.map { case (a, b) => s"$a $b" }.distinct.sorted)
     Spread.small(docs)
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
-      .select(col(idCol), fuseTokens(col("__ts"), phrases).as("fused"))
+      .withColumn("__mp", matchedPairPositions(col("__ts"), phraseLit))
+      .withColumn("__fs", fusePositions(col("__mp")))
+      .select(col(idCol),
+        // the old fold null-propagates on a null token array; keep that
+        when(col("__ts").isNull, lit(null).cast("array<string>"))
+          .otherwise(emitFused(col("__ts"), col("__fs"))).as("fused"))
+  }
 
   /** [[fuseCorpus]] for a phrase set too large to inline as an array
     * literal (a real mined phrase table runs 10^4-10^5 pairs; the literal
@@ -186,35 +244,12 @@ object Phrases {
       .agg(sort_array(collect_list(col("__pos"))).as("__mp"))
     toks
       .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        fuseAtPositions(col("__ts"), coalesce(col("__mp"), array().cast("array<int>")))
-          .as("fused"))
-  }
-
-  /** Row-local greedy walk given the matched pair-start positions: fuse
-    * at i when i is matched and i-1 did not just fuse (the skip bit),
-    * else emit the token. The per-position membership probe scans the
-    * document's OWN match list — bounded by document length, never by
-    * the phrase-set size.
-    */
-  private def fuseAtPositions(ts: Column, mp: Column): Column = {
-    val empty = array().cast("array<string>")
-    val st0 = struct(empty.as("out"), lit(false).as("skip"))
-    when(size(ts) < 1, empty).otherwise(
-      aggregate(
-        sequence(lit(0), size(ts) - 1),
-        st0,
-        (st, i) =>
-          when(st.getField("skip"),
-            struct(st.getField("out").as("out"), lit(false).as("skip")))
-            .when(array_contains(mp, i),
-              struct(
-                concat(st.getField("out"),
-                  array(concat_ws("_", element_at(ts, i + 1), element_at(ts, i + 2)))).as("out"),
-                lit(true).as("skip")))
-            .otherwise(
-              struct(concat(st.getField("out"), array(element_at(ts, i + 1))).as("out"),
-                lit(false).as("skip"))),
-        st => st.getField("out")))
+      // matched positions arrive sorted (sort_array above); the greedy
+      // walk runs over them alone, then a per-token emission pass reads
+      // the fuse set — O(tokens + matches²), not the old per-token fold's
+      // O(tokens²). __fs staged as a named column (see emitFused).
+      .withColumn("__fs",
+        fusePositions(coalesce(col("__mp"), array().cast("array<int>"))))
+      .select(col(idCol), emitFused(col("__ts"), col("__fs")).as("fused"))
   }
 }

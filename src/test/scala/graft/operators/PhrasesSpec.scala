@@ -111,4 +111,28 @@ class PhrasesSpec extends AnyFunSuite {
     assert(out(("a", "b")) > 1.0)
     assert(out.get(("z", "a")).forall(_ < out(("a", "b"))))
   }
+
+  test("fuseCorpus positional path == the fuseTokens fold (randomized)") {
+    // tiny alphabet + self-pair phrases so overlapping match RUNS (the
+    // greedy alternation's hard case) occur constantly
+    val rnd = new scala.util.Random(20260819)
+    val vocab = Seq("a", "b", "c", "d")
+    val docs = ((0 until 150).map { i =>
+      val len = rnd.nextInt(24)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "   "), (902L, "a a a a a a a"))).toDF("doc_id", "text")
+    val phrases = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("c", "d"))
+    val got = Phrases.fuseCorpus(docs, "doc_id", "text", phrases)
+      .as[(Long, Seq[String])].collect().toMap
+    // reference: the per-token fold, exactly the pre-r19 fuseCorpus body
+    val want = Spread.small(docs)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("__ts"))
+      .select($"doc_id", Phrases.fuseTokens($"__ts", phrases).as("fused"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+      s"positional fuse diverges from the fold at docs $bad: " +
+        bad.map(k => s"$k: got=${got.get(k)} want=${want.get(k)}").mkString("; ")
+    })
+  }
 }
